@@ -1,0 +1,369 @@
+"""SequentialAligner: guide+PAM alignment orchestration.
+
+Reimplements the full observable behavior of the reference's
+``SequentialGuideAligner`` (SequentialGuideAligner.scala:170-537):
+
+  1. guide-only glocal DP on both strands, arranged so the PAM site is at
+     the right-hand end of the query (the DP guarantees completeness per
+     alignment *end*, not start — :255-259);
+  2. ungapped PAM extension with 0..maxExtraGap gap offsets, best per PAM
+     (:433-492);
+  3. intra-window overlap dedup ordered by (score desc, fewer gaps), with
+     ``edits <= max_total_diffs`` applied as a post-filter (:315-322).
+
+The DP itself is pluggable: the default is the exact NumPy oracle; the
+TPU search path screens windows on-device first and only runs this code on
+candidate windows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from calitas_tpu.core.cigar import Cigar, CigarElem
+from calitas_tpu.core.guide import Guide
+from calitas_tpu.core.scoring import Defaults, Scorer, derive_scorer, worst_guide_diff_score
+from calitas_tpu.core.sequence import (
+    encode_query,
+    encode_target,
+    revcomp_bytes,
+    revcomp_padded,
+    revcomp,
+    to_bytes,
+)
+from calitas_tpu.align.alignment import Alignment
+from calitas_tpu.align.guide_alignment import GuideAlignment, SORT_KEY
+from calitas_tpu.align.oracle import glocal_align_multi
+
+
+class SequentialAligner:
+    def __init__(
+        self,
+        ref=None,  # optional indexed FASTA (calitas_tpu.io.fasta.IndexedFasta)
+        mismatch_net_cost: int = Defaults.MISMATCH_NET_COST,
+        genome_gap_net_cost: int = Defaults.GENOME_GAP_NET_COST,
+        guide_gap_net_cost: int = Defaults.GUIDE_GAP_NET_COST,
+        pam_mismatch_net_cost: int = Defaults.PAM_MISMATCH_NET_COST,
+    ):
+        self.ref = ref
+        self.scorer: Scorer = derive_scorer(
+            mismatch_net_cost=mismatch_net_cost,
+            genome_gap_net_cost=genome_gap_net_cost,
+            guide_gap_net_cost=guide_gap_net_cost,
+            pam_mismatch_net_cost=pam_mismatch_net_cost,
+        )
+        self.worst_guide_diff_score = worst_guide_diff_score(
+            mismatch_net_cost, genome_gap_net_cost, guide_gap_net_cost
+        )
+
+    # ------------------------------------------------------------------ DP
+
+    def min_guide_score(self, guide: Guide, max_guide_diffs: int) -> int:
+        """Minimum score of any alignment wanted from the guide-only DP
+        (SequentialGuideAligner.scala:239-243)."""
+        return (
+            self.scorer.match_score * guide.protospacer_length
+            + self.worst_guide_diff_score * max_guide_diffs
+        )
+
+    def _dp(self, query: bytes, target: bytes, min_score: int) -> list[Alignment]:
+        return glocal_align_multi(
+            query=query,
+            target=target,
+            qmask=encode_query(query),
+            tmask=encode_target(target),
+            scorer=self.scorer,
+            min_score=min_score,
+        )
+
+    # ------------------------------------------------------------- align()
+
+    def align(
+        self,
+        guide: Guide,
+        target,
+        target_name: str = "n/a",
+        target_offset: int = 0,
+        *,
+        max_guide_diffs: int,
+        max_gaps_between_guide_and_pam: int,
+        max_pam_diffs: int,
+        max_total_diffs: int,
+        max_overlap: int = 0,
+        precomputed: Optional[dict] = None,
+    ) -> list[GuideAlignment]:
+        """All acceptable alignments of guide(+PAMs) to target, deduped.
+
+        ``precomputed`` optionally supplies device-computed DP results keyed
+        by pass name ('fwd'/'rev') to skip the host DP (same contract as
+        ``_dp``).
+        """
+        target_b = bytes(to_bytes(target))
+        L = len(target_b)
+        min_score = self.min_guide_score(guide, max_guide_diffs)
+        # Use the sum of the three diff limits during extension; apply
+        # max_total_diffs only as a post-filter (:245-249).
+        max_diffs_filtering = (
+            max_guide_diffs + max_gaps_between_guide_and_pam + max_pam_diffs
+        )
+        rc_target_b = bytes(revcomp_bytes(np.frombuffer(target_b, dtype=np.uint8)))
+
+        def run(query: str, pams: Sequence[str], tgt: bytes, key: str) -> list[Alignment]:
+            qb = query.encode("ascii")
+            if precomputed is not None and key in precomputed:
+                alns = precomputed[key]
+            else:
+                alns = self._dp(qb, tgt, min_score)
+            return self._extend_and_filter_right(
+                alns,
+                [p.encode("ascii") for p in pams],
+                tgt,
+                max_guide_diffs=max_guide_diffs,
+                max_pam_mismatches=max_pam_diffs,
+                max_gap_before_extending=max_gaps_between_guide_and_pam,
+                max_total_diffs=max_diffs_filtering,
+            )
+
+        if guide.pam_is_5prime:
+            # Align revcomp(guide) so the PAM lands on the right (:260-293).
+            fs = run(guide.guide_rc, guide.pams_rc, rc_target_b, "fwd")
+            fwd = []
+            for a in fs:
+                ga = _to_guide_alignment(a, target_name, 0, "+")
+                fwd.append(
+                    ga.copy(
+                        guide=revcomp(ga.guide),
+                        cigar=ga.cigar.reverse(),
+                        padded_guide=revcomp_padded(ga.padded_guide),
+                        padded_alignment=ga.padded_alignment[::-1],
+                        padded_target=revcomp_padded(ga.padded_target),
+                        start_offset=target_offset + L - ga.end_offset,
+                        end_offset=target_offset + L - ga.start_offset,
+                        guide_start_offset=target_offset + L - ga.guide_end_offset,
+                        guide_end_offset=target_offset + L - ga.guide_start_offset,
+                    )
+                )
+            rs = run(guide.guide_rc, guide.pams_rc, target_b, "rev")
+            rev = []
+            for a in rs:
+                ga = _to_guide_alignment(a, target_name, target_offset, "+")
+                rev.append(
+                    ga.copy(
+                        guide=revcomp(ga.guide),
+                        cigar=ga.cigar.reverse(),
+                        strand="-",
+                        padded_guide=revcomp_padded(ga.padded_guide),
+                        padded_alignment=ga.padded_alignment[::-1],
+                        padded_target=revcomp_padded(ga.padded_target),
+                    )
+                )
+        else:
+            # 3'-PAM or PAM-less (:294-313).
+            fs = run(guide.guide_fw, guide.pams_fw, target_b, "fwd")
+            fwd = [_to_guide_alignment(a, target_name, target_offset, "+") for a in fs]
+            rs = run(guide.guide_fw, guide.pams_fw, rc_target_b, "rev")
+            rev = []
+            for a in rs:
+                ga = _to_guide_alignment(a, target_name, 0, "+")
+                rev.append(
+                    ga.copy(
+                        strand="-",
+                        start_offset=target_offset + L - ga.end_offset,
+                        guide_start_offset=target_offset + L - ga.guide_end_offset,
+                        end_offset=target_offset + L - ga.start_offset,
+                        guide_end_offset=target_offset + L - ga.guide_start_offset,
+                    )
+                )
+
+        # Intra-window dedup (:315-322): fwd then rev, each sorted
+        # (score desc, fewer gaps; stable), keep if within max_total_diffs
+        # and no kept same-strand alignment overlaps by more than max_overlap.
+        retval: list[GuideAlignment] = []
+        for alns in (fwd, rev):
+            for aln in sorted(alns, key=SORT_KEY):
+                if aln.edits <= max_total_diffs and not any(
+                    k.strand == aln.strand and k.overlap(aln) > max_overlap
+                    for k in retval
+                ):
+                    retval.append(aln)
+        return retval
+
+    # -------------------------------------------------------- convenience
+
+    def align_best(
+        self,
+        guide: Guide,
+        target,
+        max_gaps_between_guide_and_pam: int = Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM,
+    ) -> GuideAlignment:
+        """Best glocal alignment with all limits maxed out
+        (SequentialGuideAligner.scala:333-345)."""
+        alns = self.align(
+            guide,
+            target,
+            max_guide_diffs=guide.protospacer_length,
+            max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+            max_pam_diffs=guide.pam_length,
+            max_total_diffs=guide.protospacer_length
+            + max_gaps_between_guide_and_pam
+            + guide.pam_length,
+        )
+        return max(alns, key=lambda a: a.score)  # first max wins ties
+
+    def align_to_ref(
+        self,
+        guide: Guide,
+        chrom: str,
+        pos: int,
+        window_size: Optional[int] = None,
+        *,
+        max_guide_diffs: int,
+        max_gaps_between_guide_and_pam: int,
+        max_pam_diffs: int,
+        max_total_diffs: int,
+        max_overlap: int = 0,
+    ) -> list[GuideAlignment]:
+        """Align around chrom:pos in a +/- padding window
+        (SequentialGuideAligner.scala:359-387)."""
+        if self.ref is None:
+            raise ValueError("Cannot perform alignments to ref without a ref fasta!")
+        seq_len = self.ref.sequence_length(chrom)
+        if seq_len is None:
+            raise ValueError(f"Unknown chromosome: {chrom}")
+        padding = (window_size // 2) if window_size is not None else guide.length * 2
+        region_start = max(pos - padding, 1)
+        region_end = min(pos + padding, seq_len)
+        target = self.ref.get_subsequence(chrom, region_start, region_end)
+        return sorted(
+            self.align(
+                guide,
+                target,
+                target_name=chrom,
+                target_offset=region_start - 1,
+                max_guide_diffs=max_guide_diffs,
+                max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+                max_pam_diffs=max_pam_diffs,
+                max_total_diffs=max_total_diffs,
+                max_overlap=max_overlap,
+            ),
+            key=SORT_KEY,
+        )
+
+    def align_to_ref_best(
+        self,
+        guide: Guide,
+        chrom: str,
+        pos: int,
+        window_size: Optional[int] = None,
+        max_gaps_between_guide_and_pam: int = Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM,
+    ) -> GuideAlignment:
+        return self.align_to_ref(
+            guide,
+            chrom,
+            pos,
+            window_size,
+            max_guide_diffs=guide.protospacer_length,
+            max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+            max_pam_diffs=guide.pam_length,
+            max_total_diffs=guide.protospacer_length
+            + max_gaps_between_guide_and_pam
+            + guide.pam_length,
+            max_overlap=0,
+        )[0]
+
+    # ------------------------------------------------------- PAM extension
+
+    def _extend_and_filter_right(
+        self,
+        alns: list[Alignment],
+        pams: list[bytes],
+        target: bytes,
+        *,
+        max_guide_diffs: int,
+        max_pam_mismatches: int,
+        max_gap_before_extending: int,
+        max_total_diffs: int,
+    ) -> list[Alignment]:
+        """Extend alignments to the right with the PAM; at most one output
+        per (alignment, PAM), preferring fewer gaps between guide and PAM
+        (SequentialGuideAligner.scala:433-492)."""
+        with_diffs = [(a, a.cigar.diff_bases()) for a in alns]
+
+        if not pams or (len(pams) == 1 and len(pams[0]) == 0):
+            return [a for a, d in with_diffs if d <= max_guide_diffs]
+
+        out: list[Alignment] = []
+        for aln, guide_diffs in with_diffs:
+            if guide_diffs > max_guide_diffs:
+                continue
+            terminal_gap = aln.cigar.last.length if aln.cigar.last.is_indel else 0
+            max_extra_gap = min(
+                max_gap_before_extending - terminal_gap, max_total_diffs - guide_diffs
+            )
+            for pam in pams:
+                pam_len = len(pam)
+                best: Optional[Alignment] = None
+                for offset in range(0, max_extra_gap + 1):
+                    # target_end is 1-based so it is the 0-based offset of
+                    # the base after the alignment.
+                    t_off = aln.target_end + offset
+                    pam_mm_limit = min(
+                        max_pam_mismatches, max_total_diffs - guide_diffs - offset
+                    )
+                    if t_off + pam_len > len(target) or pam_mm_limit < 0:
+                        continue
+                    score = 0
+                    n_mm = 0
+                    ops: list[str] = []
+                    for i in range(pam_len):
+                        addend = self.scorer.score_pairing(
+                            chr(pam[i]), chr(target[t_off + i])
+                        )
+                        score += addend
+                        if addend > 0:
+                            ops.append("=")
+                        else:
+                            ops.append("X")
+                            n_mm += 1
+                    if n_mm > pam_mm_limit:
+                        continue
+                    elems = list(aln.cigar.elems)
+                    if offset > 0:
+                        elems.append(CigarElem("D", offset))
+                    elems.extend(CigarElem(o, 1) for o in ops)
+                    cand = aln.copy(
+                        query=aln.query + pam,
+                        query_start=1,
+                        cigar=Cigar(elems).coalesce(),
+                        score=aln.score + score + offset * self.scorer.query_gap_score,
+                    )
+                    if best is None or cand.score > best.score:
+                        best = cand  # earliest offset wins ties (maxBy)
+                if best is not None:
+                    out.append(best)
+        return out
+
+
+def _to_guide_alignment(
+    alignment: Alignment,
+    target_name: str = "n/a",
+    target_offset: int = 0,
+    target_strand: str = ".",
+) -> GuideAlignment:
+    """Alignment (1-based closed) -> GuideAlignment (0-based open)
+    (SequentialGuideAligner.scala:505-524)."""
+    padded_guide, align_string, padded_target = alignment.padded_strings()
+    return GuideAlignment.create(
+        guide=alignment.query.decode("ascii"),
+        chrom=target_name,
+        start_offset=target_offset + alignment.target_start - 1,
+        end_offset=target_offset + alignment.target_end,
+        strand=target_strand,
+        score=alignment.score,
+        cigar=alignment.cigar,
+        padded_guide=padded_guide,
+        padded_alignment=align_string,
+        padded_target=padded_target,
+    )

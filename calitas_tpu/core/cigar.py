@@ -1,0 +1,131 @@
+"""CIGAR representation used by the alignment engine.
+
+Covers the subset of the fgbio ``Cigar`` / htsjdk ``CigarOperator`` contract
+that the reference relies on (SURVEY.md §2.9.2): operators ``= X M I D``,
+``coalesce``, ``reverse``, ``length_on_query`` / ``length_on_target``, and
+round-tripping through the standard string form.
+
+Conventions (match the reference throughout):
+  - ``I`` consumes query only (an inserted query base; gap in the target).
+  - ``D`` consumes target only (a deleted/skipped target base; gap in the
+    query) — e.g. the gap between guide and PAM is emitted as ``D``
+    (SequentialGuideAligner.scala:474).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+# operators that consume query / target bases
+_CONSUMES_QUERY = frozenset("=XMI")
+_CONSUMES_TARGET = frozenset("=XMD")
+_VALID_OPS = frozenset("=XMIDSHNP")
+_INDELS = frozenset("ID")
+
+
+@dataclass(frozen=True)
+class CigarElem:
+    op: str
+    length: int
+
+    def __post_init__(self) -> None:
+        if self.op not in _VALID_OPS:
+            raise ValueError(f"Invalid cigar operator: {self.op!r}")
+        if self.length <= 0:
+            raise ValueError(f"Invalid cigar element length: {self.length}")
+
+    @property
+    def length_on_query(self) -> int:
+        return self.length if self.op in _CONSUMES_QUERY else 0
+
+    @property
+    def length_on_target(self) -> int:
+        return self.length if self.op in _CONSUMES_TARGET else 0
+
+    @property
+    def is_indel(self) -> bool:
+        return self.op in _INDELS
+
+    def __str__(self) -> str:
+        return f"{self.length}{self.op}"
+
+
+class Cigar:
+    """An immutable sequence of CigarElems."""
+
+    __slots__ = ("elems",)
+
+    def __init__(self, elems: Iterable[CigarElem] | str = ()):
+        if isinstance(elems, str):
+            self.elems: tuple[CigarElem, ...] = tuple(_parse(elems))
+        else:
+            self.elems = tuple(elems)
+
+    def __iter__(self) -> Iterator[CigarElem]:
+        return iter(self.elems)
+
+    def __len__(self) -> int:
+        return len(self.elems)
+
+    def __bool__(self) -> bool:
+        return bool(self.elems)
+
+    def __getitem__(self, i):
+        return self.elems[i]
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Cigar) and self.elems == other.elems
+
+    def __hash__(self) -> int:
+        return hash(self.elems)
+
+    def __str__(self) -> str:
+        return "".join(str(e) for e in self.elems)
+
+    def __repr__(self) -> str:
+        return f"Cigar({str(self)!r})"
+
+    @property
+    def last(self) -> CigarElem:
+        return self.elems[-1]
+
+    @property
+    def length_on_query(self) -> int:
+        return sum(e.length_on_query for e in self.elems)
+
+    @property
+    def length_on_target(self) -> int:
+        return sum(e.length_on_target for e in self.elems)
+
+    def coalesce(self) -> "Cigar":
+        """Merge adjacent elements with the same operator."""
+        out: list[CigarElem] = []
+        for e in self.elems:
+            if out and out[-1].op == e.op:
+                out[-1] = CigarElem(e.op, out[-1].length + e.length)
+            else:
+                out.append(e)
+        return Cigar(out)
+
+    def reverse(self) -> "Cigar":
+        return Cigar(tuple(reversed(self.elems)))
+
+    def diff_bases(self) -> int:
+        """Total length of non-``=`` elements — the reference's per-alignment
+        "diffs" count (SequentialGuideAligner.scala:441-443)."""
+        return sum(e.length for e in self.elems if e.op != "=")
+
+
+def _parse(s: str) -> Iterator[CigarElem]:
+    n = 0
+    for ch in s:
+        if ch.isdigit():
+            n = n * 10 + int(ch)
+        else:
+            if n == 0:
+                raise ValueError(f"Malformed cigar string: {s!r}")
+            yield CigarElem(ch, n)
+            n = 0
+    if n != 0:
+        raise ValueError(f"Malformed cigar string: {s!r}")

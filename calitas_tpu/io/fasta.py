@@ -1,0 +1,284 @@
+"""FASTA I/O: .fai-indexed random access, streaming contig iteration, and
+.dict sequence dictionaries.
+
+Replaces the htsjdk pieces the reference leans on (SURVEY.md §2.9.4):
+``getSubsequenceAt`` (1-based closed), ``ReferenceSequenceIterator``, and
+the ``.fai`` + ``.dict`` requirement (reference README.md:63-68).
+
+Also provides :class:`ReferenceSetBuilder`, the synthetic-FASTA test
+fixture builder equivalent to fgbio's (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import mmap
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class FaiEntry:
+    name: str
+    length: int
+    offset: int  # byte offset of the first base
+    line_bases: int  # bases per line
+    line_width: int  # bytes per line including newline(s)
+
+
+@dataclass(frozen=True)
+class DictEntry:
+    name: str
+    length: int
+    assembly: Optional[str] = None
+    species: Optional[str] = None
+    md5: Optional[str] = None
+
+
+class SequenceDictionary:
+    """A SAM-style sequence dictionary (.dict file)."""
+
+    def __init__(self, entries: Sequence[DictEntry]):
+        self.entries = list(entries)
+        self._index = {e.name: i for i, e in enumerate(self.entries)}
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __iter__(self) -> Iterator[DictEntry]:
+        return iter(self.entries)
+
+    def index(self, name: str) -> int:
+        """Sequence index of a contig; -1 if unknown (matches htsjdk
+        ``getSequenceIndex`` used by the hit sort, ReferenceHit.scala:284)."""
+        return self._index.get(name, -1)
+
+    def get(self, name: str) -> Optional[DictEntry]:
+        i = self._index.get(name)
+        return self.entries[i] if i is not None else None
+
+    @property
+    def assembly(self) -> Optional[str]:
+        """First non-null assembly among the sequences
+        (ReferenceHit.scala:208)."""
+        for e in self.entries:
+            if e.assembly is not None:
+                return e.assembly
+        return None
+
+    @staticmethod
+    def read(path: str | Path) -> "SequenceDictionary":
+        entries = []
+        with open(path) as fh:
+            for line in fh:
+                if not line.startswith("@SQ"):
+                    continue
+                fields = dict(
+                    f.split(":", 1) for f in line.rstrip("\n").split("\t")[1:] if ":" in f
+                )
+                entries.append(
+                    DictEntry(
+                        name=fields["SN"],
+                        length=int(fields["LN"]),
+                        assembly=fields.get("AS"),
+                        species=fields.get("SP"),
+                        md5=fields.get("M5"),
+                    )
+                )
+        return SequenceDictionary(entries)
+
+    def write(self, path: str | Path) -> None:
+        with open(path, "w") as fh:
+            fh.write("@HD\tVN:1.6\n")
+            for e in self.entries:
+                parts = [f"@SQ\tSN:{e.name}\tLN:{e.length}"]
+                if e.md5:
+                    parts.append(f"M5:{e.md5}")
+                if e.assembly:
+                    parts.append(f"AS:{e.assembly}")
+                if e.species:
+                    parts.append(f"SP:{e.species}")
+                fh.write("\t".join(parts) + "\n")
+
+
+def dict_path_for(fasta: str | Path) -> Path:
+    """Path of the companion .dict (hts convention: replace the final
+    .fa/.fasta(.gz) suffix)."""
+    p = Path(fasta)
+    name = p.name
+    for suffix in (".fasta.gz", ".fa.gz", ".fasta", ".fa"):
+        if name.endswith(suffix):
+            return p.with_name(name[: -len(suffix)] + ".dict")
+    return p.with_name(name + ".dict")
+
+
+def extract_dictionary(path: str | Path) -> SequenceDictionary:
+    """Extract a sequence dictionary from a .dict file or a FASTA's
+    companion .dict (htsjdk SAMSequenceDictionaryExtractor equivalent,
+    SearchReference.scala:478-484)."""
+    p = Path(path)
+    if p.suffix == ".dict":
+        return SequenceDictionary.read(p)
+    dp = dict_path_for(p)
+    if dp.exists():
+        return SequenceDictionary.read(dp)
+    raise FileNotFoundError(
+        f"No sequence dictionary found for {path}; expected {dp}. "
+        "Create one with 'samtools dict' or calitas_tpu's ReferenceSetBuilder."
+    )
+
+
+class IndexedFasta:
+    """Random access over a .fai-indexed (uncompressed) FASTA file."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        fai = Path(str(path) + ".fai")
+        if not fai.exists():
+            raise FileNotFoundError(
+                f"FASTA index not found: {fai}. Index with 'samtools faidx'."
+            )
+        self.entries: list[FaiEntry] = []
+        with open(fai) as fh:
+            for line in fh:
+                name, length, offset, line_bases, line_width = line.split("\t")[:5]
+                self.entries.append(
+                    FaiEntry(name, int(length), int(offset), int(line_bases), int(line_width))
+                )
+        self._by_name = {e.name: e for e in self.entries}
+        self._fh = open(self.path, "rb")
+        self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        dp = dict_path_for(self.path)
+        self.dictionary: Optional[SequenceDictionary] = (
+            SequenceDictionary.read(dp) if dp.exists() else None
+        )
+
+    def close(self) -> None:
+        self._mm.close()
+        self._fh.close()
+
+    @property
+    def names(self) -> list[str]:
+        return [e.name for e in self.entries]
+
+    def has_chrom(self, chrom: str) -> bool:
+        return chrom in self._by_name
+
+    def sequence_length(self, chrom: str) -> Optional[int]:
+        e = self._by_name.get(chrom)
+        return e.length if e else None
+
+    def _slice_raw(self, e: FaiEntry, start0: int, end0: int) -> bytes:
+        """Bases [start0, end0) of a contig, newlines stripped."""
+        first_line = start0 // e.line_bases
+        last_line = (end0 - 1) // e.line_bases if end0 > start0 else first_line
+        byte_start = e.offset + first_line * e.line_width + (start0 % e.line_bases)
+        byte_end = e.offset + last_line * e.line_width + ((end0 - 1) % e.line_bases) + 1
+        raw = self._mm[byte_start:byte_end]
+        return raw.replace(b"\n", b"").replace(b"\r", b"")
+
+    def get_subsequence(self, chrom: str, start: int, end: int) -> bytes:
+        """Bases for 1-based closed [start, end] (htsjdk getSubsequenceAt)."""
+        e = self._by_name.get(chrom)
+        if e is None:
+            raise KeyError(f"Unknown chromosome: {chrom}")
+        if start < 1 or end > e.length or end < start:
+            raise ValueError(f"Bad range {chrom}:{start}-{end} (len {e.length})")
+        return self._slice_raw(e, start - 1, end)
+
+    def get_bases(self, chrom: str) -> np.ndarray:
+        """The full contig as a uint8 array (case as on disk)."""
+        e = self._by_name[chrom]
+        return np.frombuffer(self._slice_raw(e, 0, e.length), dtype=np.uint8).copy()
+
+    def iter_contigs(self) -> Iterator[tuple[str, np.ndarray]]:
+        for e in self.entries:
+            yield e.name, self.get_bases(e.name)
+
+
+def build_fai(fasta: str | Path) -> None:
+    """Create a .fai index for an uncompressed FASTA (samtools faidx
+    equivalent).  Requires uniform line lengths per contig."""
+    entries = []
+    with open(fasta, "rb") as fh:
+        offset = 0
+        name = None
+        seq_offset = 0
+        length = 0
+        line_bases = 0
+        line_width = 0
+        for line in fh:
+            if line.startswith(b">"):
+                if name is not None:
+                    entries.append((name, length, seq_offset, line_bases, line_width))
+                name = line[1:].split()[0].decode()
+                offset += len(line)
+                seq_offset = offset
+                length = 0
+                line_bases = 0
+                line_width = 0
+            else:
+                stripped = line.rstrip(b"\r\n")
+                if line_bases == 0 and stripped:
+                    line_bases = len(stripped)
+                    line_width = len(line)
+                length += len(stripped)
+                offset += len(line)
+        if name is not None:
+            entries.append((name, length, seq_offset, line_bases, line_width))
+    with open(str(fasta) + ".fai", "w") as out:
+        for name, length, seq_offset, line_bases, line_width in entries:
+            out.write(f"{name}\t{length}\t{seq_offset}\t{line_bases}\t{line_width}\n")
+
+
+class ReferenceSetBuilder:
+    """Synthesizes an indexed FASTA (+.fai +.dict) from literal strings —
+    the test-fixture builder equivalent to fgbio's ``ReferenceSetBuilder``."""
+
+    def __init__(self, assembly: Optional[str] = None, line_length: int = 100):
+        self.assembly = assembly
+        self.line_length = line_length
+        self._contigs: list[tuple[str, list[str]]] = []
+
+    def add(self, name: str) -> "ReferenceSetBuilder._Contig":
+        parts: list[str] = []
+        self._contigs.append((name, parts))
+        return ReferenceSetBuilder._Contig(parts)
+
+    class _Contig:
+        def __init__(self, parts: list[str]):
+            self._parts = parts
+
+        def add(self, seq: str, times: int = 1) -> "ReferenceSetBuilder._Contig":
+            self._parts.append(seq * times)
+            return self
+
+    def to_file(self, path: str | Path) -> Path:
+        path = Path(path)
+        with open(path, "w") as fh:
+            for name, parts in self._contigs:
+                fh.write(f">{name}\n")
+                seq = "".join(parts)
+                for i in range(0, len(seq), self.line_length):
+                    fh.write(seq[i : i + self.line_length] + "\n")
+        build_fai(path)
+        entries = []
+        for name, parts in self._contigs:
+            seq = "".join(parts)
+            md5 = hashlib.md5(seq.upper().encode()).hexdigest()
+            entries.append(
+                DictEntry(name=name, length=len(seq), assembly=self.assembly, md5=md5)
+            )
+        SequenceDictionary(entries).write(dict_path_for(path))
+        return path
+
+    def to_temp_file(self, dir: Optional[str] = None) -> Path:
+        import tempfile
+
+        fd, name = tempfile.mkstemp(suffix=".fa", dir=dir)
+        os.close(fd)
+        return self.to_file(name)
