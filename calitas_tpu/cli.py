@@ -1,0 +1,197 @@
+"""Command-line interface: the four sub-commands of the reference CLI
+(Main.scala, ClpMain.scala), with the same flags, short options and
+defaults (SearchReference.scala:451-471, AlignToReference.scala:34-51,
+PairwiseAlignSequences.scala:24-34, PrepareVcf.scala:31-37)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from calitas_tpu.core.scoring import Defaults
+
+
+def _add_scoring_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-m", "--guide-mismatch-net-cost", type=int,
+                   default=Defaults.MISMATCH_NET_COST,
+                   help="Net cost of going from a match to a mismatch in the guide.")
+    p.add_argument("-M", "--pam-mismatch-net-cost", type=int,
+                   default=Defaults.PAM_MISMATCH_NET_COST,
+                   help="Net cost of going from a match to a mismatch in the PAM.")
+    p.add_argument("-b", "--genome-gap-net-cost", type=int,
+                   default=Defaults.GENOME_GAP_NET_COST,
+                   help="Net cost of a 1bp gap in the genome.")
+    p.add_argument("-B", "--guide-gap-net-cost", type=int,
+                   default=Defaults.GUIDE_GAP_NET_COST,
+                   help="Net cost of a 1bp gap in the guide.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="calitas-tpu",
+        description="TPU-native CRISPR off-target search (CALITAS-compatible).",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # ---------------------------------------------------------- SearchReference
+    sr = sub.add_parser(
+        "SearchReference",
+        help="Searches a reference sequence for alignments of a guide+PAM.",
+    )
+    sr.add_argument("-i", "--guide", required=True,
+                    help="Guide with PAM, PAM must be lower case.")
+    sr.add_argument("-I", "--guide-id", required=True, help="ID of the guide.")
+    sr.add_argument("-x", "--auxiliary-pams", nargs="*", default=[],
+                    help="Additional PAM sequences. Must be lower case.")
+    sr.add_argument("-r", "--ref", required=True, help="Reference genome fasta.")
+    sr.add_argument("-v", "--variants", default=None,
+                    help="Optional VCF of variants to merge into the genome.")
+    sr.add_argument("-V", "--max-variants", type=int,
+                    default=Defaults.MAX_VARIANTS_IN_CLUSTER,
+                    help="Exclude clusters of more than this many variants.")
+    sr.add_argument("-o", "--output", default=None, help="Output file to write.")
+    sr.add_argument("-t", "--threads", type=int, default=8)
+    sr.add_argument("-w", "--window-size", type=int, default=1000)
+    sr.add_argument("-d", "--max-guide-diffs", type=int, default=Defaults.MAX_GUIDE_DIFFS)
+    sr.add_argument("-p", "--max-pam-mismatches", type=int, default=Defaults.MAX_PAM_MISMATCHES)
+    sr.add_argument("-g", "--max-gaps-between-guide-and-pam", type=int,
+                    default=Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM)
+    sr.add_argument("-D", "--max-total-diffs", type=int, default=None)
+    sr.add_argument("-O", "--max-overlap", type=int, default=Defaults.MAX_OVERLAP)
+    _add_scoring_args(sr)
+    sr.add_argument("-c", "--chrom", default=None,
+                    help="Examine only the named chromosome.")
+    sr.add_argument("--engine", choices=["auto", "host", "tpu"], default="auto",
+                    help="Execution engine (auto: TPU screen when available).")
+
+    # --------------------------------------------------------- AlignToReference
+    ar = sub.add_parser(
+        "AlignToReference",
+        help="Glocal alignment of query sequences to windows on the reference.",
+    )
+    ar.add_argument("-i", "--input", required=True,
+                    help="Input file of sequence queries and approximate positions.")
+    ar.add_argument("-r", "--ref", required=True,
+                    help="Reference genome fasta, must be indexed with faidx.")
+    ar.add_argument("-o", "--output", default=None)
+    ar.add_argument("-w", "--window-size", type=int, default=None)
+    ar.add_argument("-d", "--max-guide-diffs", type=int, default=None)
+    ar.add_argument("-p", "--max-pam-mismatches", type=int, default=None)
+    ar.add_argument("-g", "--max-gaps-between-guide-and-pam", type=int,
+                    default=Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM)
+    ar.add_argument("-D", "--max-total-diffs", type=int, default=None)
+    ar.add_argument("-O", "--max-overlap", type=int, default=None)
+    _add_scoring_args(ar)
+    ar.add_argument("-t", "--threads", type=int, default=8)
+
+    # ---------------------------------------------------- PairwiseAlignSequences
+    pw = sub.add_parser(
+        "PairwiseAlignSequences", help="Performs pairwise alignment of sequences."
+    )
+    pw.add_argument("-i", "--input", required=True, help="Input file of sequence pairs.")
+    pw.add_argument("-o", "--output", default=None)
+    pw.add_argument("-t", "--threads", type=int, default=8)
+    pw.add_argument("-g", "--max-gaps-between-guide-and-pam", type=int,
+                    default=Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM)
+    pw.add_argument("-O", "--max-overlap", type=int, default=Defaults.MAX_OVERLAP)
+    _add_scoring_args(pw)
+
+    # ----------------------------------------------------------------- PrepareVcf
+    pv = sub.add_parser("PrepareVcf",
+                        help="Prepares a VCF for optimal use by SearchReference.")
+    pv.add_argument("-i", "--input", nargs="+", required=True,
+                    help="One or more input VCFs")
+    pv.add_argument("-o", "--output", required=True, help="The output VCF to create.")
+    pv.add_argument("-f", "--min-af", type=float, default=0.01,
+                    help="The minimum allele frequency of variants to retain.")
+    pv.add_argument("-d", "--dict", dest="dict_path", default=None,
+                    help="An optional sequence dictionary to use to override contig lines.")
+    pv.add_argument("-c", "--add-chr-prefix", type=lambda s: s.lower() == "true",
+                    default=True, help="If true, add 'chr' to chroms 1-22, X and Y.")
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        stream=sys.stderr,
+    )
+    args = build_parser().parse_args(argv)
+    cmd = args.command
+
+    if cmd == "SearchReference":
+        from calitas_tpu.tools import search_reference
+
+        search_reference.run(
+            guide=args.guide,
+            guide_id=args.guide_id,
+            ref=args.ref,
+            auxiliary_pams=args.auxiliary_pams,
+            variants=args.variants,
+            max_variants=args.max_variants,
+            output=args.output,
+            threads=args.threads,
+            window_size=args.window_size,
+            max_guide_diffs=args.max_guide_diffs,
+            max_pam_mismatches=args.max_pam_mismatches,
+            max_gaps_between_guide_and_pam=args.max_gaps_between_guide_and_pam,
+            max_total_diffs=args.max_total_diffs,
+            max_overlap=args.max_overlap,
+            guide_mismatch_net_cost=args.guide_mismatch_net_cost,
+            pam_mismatch_net_cost=args.pam_mismatch_net_cost,
+            genome_gap_net_cost=args.genome_gap_net_cost,
+            guide_gap_net_cost=args.guide_gap_net_cost,
+            chrom=args.chrom,
+            engine=args.engine,
+        )
+    elif cmd == "AlignToReference":
+        from calitas_tpu.tools import align_to_reference
+
+        align_to_reference.run(
+            input=args.input,
+            ref=args.ref,
+            output=args.output,
+            window_size=args.window_size,
+            max_guide_diffs=args.max_guide_diffs,
+            max_pam_mismatches=args.max_pam_mismatches,
+            max_gaps_between_guide_and_pam=args.max_gaps_between_guide_and_pam,
+            max_total_diffs=args.max_total_diffs,
+            max_overlap=args.max_overlap,
+            guide_mismatch_net_cost=args.guide_mismatch_net_cost,
+            pam_mismatch_net_cost=args.pam_mismatch_net_cost,
+            genome_gap_net_cost=args.genome_gap_net_cost,
+            guide_gap_net_cost=args.guide_gap_net_cost,
+            threads=args.threads,
+        )
+    elif cmd == "PairwiseAlignSequences":
+        from calitas_tpu.tools import pairwise
+
+        pairwise.run(
+            input=args.input,
+            output=args.output,
+            threads=args.threads,
+            max_gaps_between_guide_and_pam=args.max_gaps_between_guide_and_pam,
+            max_overlap=args.max_overlap,
+            guide_mismatch_net_cost=args.guide_mismatch_net_cost,
+            pam_mismatch_net_cost=args.pam_mismatch_net_cost,
+            genome_gap_net_cost=args.genome_gap_net_cost,
+            guide_gap_net_cost=args.guide_gap_net_cost,
+        )
+    elif cmd == "PrepareVcf":
+        from calitas_tpu.tools import prepare_vcf
+
+        prepare_vcf.run(
+            input=args.input,
+            output=args.output,
+            min_af=args.min_af,
+            dict_path=args.dict_path,
+            add_chr_prefix=args.add_chr_prefix,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,195 @@
+"""Minimal VCF reader/writer covering the reference's usage
+(SURVEY.md §2.9.5): PASS filters, per-alt ``AF`` INFO arrays, the allele
+model, contig-header rewriting, genotype stripping, and gzip support.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import IO, Iterator, Optional, Sequence
+
+PASSING_FILTERS = frozenset({"PASS"})
+_SIMPLE_BASES = frozenset("ACGTNacgtn")
+
+
+@dataclass(frozen=True)
+class VcfVariant:
+    chrom: str
+    pos: int  # 1-based
+    id: Optional[str]  # None when '.'
+    ref: str
+    alts: tuple[str, ...]
+    qual: Optional[str]
+    filters: frozenset[str]  # empty when '.'
+    info: tuple[tuple[str, str], ...]  # ordered key=value pairs ('' for flags)
+    format: Optional[str] = None
+    genotypes: tuple[str, ...] = ()
+
+    @property
+    def end(self) -> int:
+        """1-based closed end = pos + len(ref) - 1 (fgbio Variant.end)."""
+        return self.pos + len(self.ref) - 1
+
+    @property
+    def n_alleles(self) -> int:
+        return 1 + len(self.alts)
+
+    def info_dict(self) -> dict[str, str]:
+        return dict(self.info)
+
+    def af(self) -> Optional[list[float]]:
+        """The AF INFO array (one value per alt), or None."""
+        raw = self.info_dict().get("AF")
+        if raw is None:
+            return None
+        return [float(x) for x in raw.split(",")]
+
+    def alleles_are_simple(self) -> bool:
+        """True iff ref and all alts are plain base strings (no symbolic or
+        breakend alleles) — fgbio SimpleAllele check (PrepareVcf.scala:70)."""
+        seqs = (self.ref,) + self.alts
+        return all(s and all(c in _SIMPLE_BASES for c in s) for s in seqs)
+
+    def copy(self, **kw) -> "VcfVariant":
+        return replace(self, **kw)
+
+
+@dataclass
+class VcfHeader:
+    lines: list[str] = field(default_factory=list)  # '##...' meta lines
+    samples: list[str] = field(default_factory=list)
+
+    def copy(self) -> "VcfHeader":
+        return VcfHeader(lines=list(self.lines), samples=list(self.samples))
+
+    def replace_contigs(self, contigs: Sequence[tuple[str, int, Optional[str]]]) -> None:
+        """Replace all ##contig lines with the given (name, length, assembly)
+        entries, preserving position of the first contig block (or appending)."""
+        non_contig = [l for l in self.lines if not l.startswith("##contig")]
+        new_lines = [
+            "##contig=<ID=%s,length=%d%s>" % (n, ln, f",assembly={a}" if a else "")
+            for (n, ln, a) in contigs
+        ]
+        # insert before #CHROM (i.e., at end of meta lines)
+        self.lines = non_contig + new_lines
+
+    def set_general(self, key: str, value: str) -> None:
+        self.lines = [l for l in self.lines if not l.startswith(f"##{key}=")]
+        self.lines.append(f"##{key}={value}")
+
+
+def _open_text(path: str | Path, mode: str = "rt") -> IO[str]:
+    p = str(path)
+    if p.endswith(".gz") or p.endswith(".bgz"):
+        return gzip.open(p, mode)  # type: ignore[return-value]
+    return open(p, mode)
+
+
+class VcfReader:
+    def __init__(self, path: str | Path):
+        self.path = path
+        self._fh = _open_text(path)
+        self.header = VcfHeader()
+        self._line: Optional[str] = None
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if line.startswith("##"):
+                self.header.lines.append(line)
+            elif line.startswith("#CHROM"):
+                cols = line.split("\t")
+                if len(cols) > 9:
+                    self.header.samples = cols[9:]
+                break
+            else:
+                # first record line without #CHROM header (malformed but tolerated)
+                self._line = line
+                break
+
+    def __iter__(self) -> Iterator[VcfVariant]:
+        if self._line is not None:
+            yield _parse_record(self._line)
+            self._line = None
+        for line in self._fh:
+            line = line.rstrip("\n")
+            if line:
+                yield _parse_record(line)
+        self._fh.close()
+
+    def query(self, chrom: str, start: int, end: int) -> Iterator[VcfVariant]:
+        """Stream-filter records on a chromosome range (the reference only
+        queries whole chromosomes, SearchReference.scala:229)."""
+        for v in self:
+            if v.chrom == chrom and start <= v.pos <= end:
+                yield v
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def _parse_record(line: str) -> VcfVariant:
+    f = line.split("\t")
+    chrom, pos, vid, ref, alt, qual, filt, info = f[:8]
+    fmt = f[8] if len(f) > 8 else None
+    gts = tuple(f[9:]) if len(f) > 9 else ()
+    info_pairs: list[tuple[str, str]] = []
+    if info != ".":
+        for item in info.split(";"):
+            if "=" in item:
+                k, v = item.split("=", 1)
+                info_pairs.append((k, v))
+            elif item:
+                info_pairs.append((item, ""))
+    return VcfVariant(
+        chrom=chrom,
+        pos=int(pos),
+        id=None if vid == "." else vid,
+        ref=ref,
+        alts=tuple(a for a in alt.split(",") if a != "."),
+        qual=None if qual == "." else qual,
+        filters=frozenset() if filt == "." else frozenset(filt.split(";")),
+        info=tuple(info_pairs),
+        format=fmt,
+        genotypes=gts,
+    )
+
+
+class VcfWriter:
+    def __init__(self, path: str | Path, header: VcfHeader):
+        self._fh = _open_text(path, "wt")
+        self.header = header
+        for line in header.lines:
+            self._fh.write(line + "\n")
+        cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
+        if header.samples:
+            cols += ["FORMAT"] + header.samples
+        self._fh.write("\t".join(cols) + "\n")
+
+    def write(self, v: VcfVariant) -> None:
+        info = (
+            ";".join(k if val == "" else f"{k}={val}" for k, val in v.info)
+            if v.info
+            else "."
+        )
+        fields = [
+            v.chrom,
+            str(v.pos),
+            v.id if v.id is not None else ".",
+            v.ref,
+            ",".join(v.alts) if v.alts else ".",
+            v.qual if v.qual is not None else ".",
+            ";".join(sorted(v.filters)) if v.filters else ".",
+            info,
+        ]
+        if self.header.samples:
+            fields.append(v.format or ".")
+            fields.extend(v.genotypes)
+        self._fh.write("\t".join(fields) + "\n")
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def format_af(values: Sequence[float]) -> str:
+    return ",".join(f"{v:g}" for v in values)

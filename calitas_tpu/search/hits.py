@@ -1,0 +1,279 @@
+"""ReferenceHit: the 34-column standardized hit table, its builder, the
+dictionary-order sort and the global overlap dedup.
+
+Parity contract: ReferenceHit.scala (all of it) and
+SearchReference.scala:653-675 (SURVEY.md §2.7/§2.8).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Sequence
+
+from calitas_tpu import __version__
+from calitas_tpu.core.cigar import Cigar
+from calitas_tpu.core.guide import Guide
+from calitas_tpu.core.sequence import revcomp
+from calitas_tpu.align.guide_alignment import GuideAlignment
+from calitas_tpu.io.fasta import IndexedFasta, SequenceDictionary
+
+#: aligner_version fallback format mirrors EditasMetric.scala:13
+ALIGNER_VERSION = __version__
+
+
+@dataclass(frozen=True)
+class ReferenceHit:
+    """One row of the standardized output table.  Field order here IS the
+    column order (ReferenceHit.scala:99-132; README.md:100-137)."""
+
+    guide_id: str
+    unpadded_guide_sequence: str
+    genome_build: str
+    chromosome: str
+    coordinate_start: int  # guide-only, 0-based open, PAM excluded
+    coordinate_end: int
+    strand: str
+    unpadded_target_sequence: str
+    ten_bases_5_prime: str
+    ten_bases_3_prime: str
+    pam_used: Optional[str]
+    variant_id: Optional[str]
+    variant_description: Optional[str]
+    variant_vcf: Optional[str]
+    allele_frequency: Optional[float]
+    score: int
+    guide_mm: int
+    guide_gaps: int
+    guide_mm_plus_gaps: int
+    pam_mm: int
+    total_mm_plus_gaps: int
+    padded_guide: str
+    padded_alignment: str
+    padded_target: str
+    padded_extra_8_bases_5_prime: str
+    padded_extra_8_bases_3_prime: str
+    cigar: str
+    unpadded_guide_sequence_length: int
+    unpadded_target_sequence_length: int
+    aligner: str
+    aligner_version: str
+    aligner_search_pam: str
+    aligner_other_parameters: str
+    time_stamp: str
+
+    @property
+    def end(self) -> int:
+        """End computed from start + cigar length-on-target, 1-based-closed
+        style (ReferenceHit.scala:135-138; htsjdk CoordMath.getEnd)."""
+        return self.coordinate_start + Cigar(self.cigar).length_on_target - 1
+
+    def overlap(self, other: "ReferenceHit") -> int:
+        """Genomic overlap between the full alignments of two hits
+        (ReferenceHit.scala:141-144)."""
+        if self.chromosome != other.chromosome:
+            return 0
+        return max(
+            0,
+            min(self.end, other.end)
+            - max(self.coordinate_start, other.coordinate_start),
+        )
+
+
+def now_timestamp() -> str:
+    """UTC run-start timestamp, format ``EEE MMM dd HH:mm:ss z yyyy``
+    (ReferenceHit.scala:169-173)."""
+    return time.strftime("%a %b %d %H:%M:%S UTC %Y", time.gmtime())
+
+
+def md5_of_file(path: str | Path) -> str:
+    digest = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(64 * 1024), b""):
+            digest.update(chunk)
+    return digest.hexdigest()
+
+
+class HitBuilder:
+    """Builds ReferenceHit rows from GuideAlignments
+    (ReferenceHit.scala:148-255).  Heavy one-time work (reference open, VCF
+    MD5, timestamp) happens in the constructor so the builder can be
+    ``copy()``-d cheaply with new guides."""
+
+    def __init__(
+        self,
+        guide_id: str,
+        guide: Guide,
+        ref: IndexedFasta,
+        vcf: Optional[str | Path],
+        aligner_id: str,
+        arguments: str,
+        *,
+        _vcf_id: Optional[str] = None,
+        _timestamp: Optional[str] = None,
+    ):
+        self.guide_id = guide_id
+        self.guide = guide
+        self.ref = ref
+        self.aligner_id = aligner_id
+        self.arguments = arguments
+        self.timestamp = _timestamp if _timestamp is not None else now_timestamp()
+        if _vcf_id is not None:
+            self.vcf_id: Optional[str] = _vcf_id
+        elif vcf is not None:
+            self.vcf_id = f"{Path(vcf).name}:{md5_of_file(vcf)}"
+        else:
+            self.vcf_id = None
+        self.aligner_search_pam = ",".join(guide.pams_5prime + guide.pams_3prime)
+        dictionary = ref.dictionary
+        self.genome_build = (
+            dictionary.assembly if dictionary and dictionary.assembly else "unknown"
+        )
+
+    def copy(self, guide_id: str, guide: Guide) -> "HitBuilder":
+        b = HitBuilder(
+            guide_id=guide_id,
+            guide=guide,
+            ref=self.ref,
+            vcf=None,
+            aligner_id=self.aligner_id,
+            arguments=self.arguments,
+            _vcf_id=self.vcf_id,
+            _timestamp=self.timestamp,
+        )
+        return b
+
+    def build(self, aln: GuideAlignment, variants: Sequence = ()) -> ReferenceHit:
+        # Variant columns only for variants inside the alignment span
+        # (ReferenceHit.scala:211).
+        vs = [
+            v
+            for v in variants
+            if aln.start_offset <= v.pos - 1 <= aln.end_offset
+        ]
+
+        neg = aln.is_negative_strand
+        ten_left = self._fetch(aln.chrom, aln.guide_start_offset + 1 - 10, aln.guide_start_offset, neg)
+        ten_right = self._fetch(aln.chrom, aln.guide_end_offset + 1, aln.guide_end_offset + 10, neg)
+        eight_left = self._fetch(aln.chrom, aln.start_offset + 1 - 8, aln.start_offset, neg)
+        eight_right = self._fetch(aln.chrom, aln.end_offset + 1, aln.end_offset + 8, neg)
+
+        pam_used = "".join(c for c in aln.guide if c.islower()) or None
+        pos_strand = aln.is_positive_strand
+
+        return ReferenceHit(
+            guide_id=self.guide_id,
+            unpadded_guide_sequence=self.guide.guide,
+            genome_build=self.genome_build if not vs else f"{self.genome_build}+variants",
+            chromosome=aln.chrom,
+            coordinate_start=aln.guide_start_offset,
+            coordinate_end=aln.guide_end_offset,
+            strand=aln.strand,
+            unpadded_target_sequence=aln.unpadded_target_without_pam,
+            ten_bases_5_prime=(
+                aln.left_of_guide_10bp
+                if aln.left_of_guide_10bp is not None
+                else (ten_left if pos_strand else ten_right)
+            ),
+            ten_bases_3_prime=(
+                aln.right_of_guide_10bp
+                if aln.right_of_guide_10bp is not None
+                else (ten_right if pos_strand else ten_left)
+            ),
+            pam_used=pam_used,
+            variant_id=";".join(v.id for v in vs) if vs else None,
+            variant_description=";".join(v.display_string for v in vs) if vs else None,
+            variant_vcf=self.vcf_id if vs else None,
+            allele_frequency=min((v.af for v in vs), default=None) if vs else None,
+            score=aln.score,
+            guide_mm=aln.guide_mismatches,
+            guide_gaps=aln.guide_gap_bases,
+            guide_mm_plus_gaps=aln.guide_mms_plus_gaps,
+            pam_mm=aln.pam_mismatches,
+            total_mm_plus_gaps=aln.edits,
+            padded_guide=aln.padded_guide,
+            padded_alignment=aln.padded_alignment,
+            padded_target=aln.padded_target,
+            padded_extra_8_bases_5_prime=(
+                aln.left_of_full_aln_8bp
+                if aln.left_of_full_aln_8bp is not None
+                else (eight_left if pos_strand else eight_right)
+            ),
+            padded_extra_8_bases_3_prime=(
+                aln.right_of_full_aln_8bp
+                if aln.right_of_full_aln_8bp is not None
+                else (eight_right if pos_strand else eight_left)
+            ),
+            cigar=str(aln.cigar),
+            unpadded_guide_sequence_length=len(self.guide.guide),
+            unpadded_target_sequence_length=len(aln.unpadded_target_without_pam),
+            aligner=self.aligner_id,
+            aligner_version=ALIGNER_VERSION,
+            aligner_search_pam=self.aligner_search_pam,
+            aligner_other_parameters=self.arguments,
+            time_stamp=self.timestamp,
+        )
+
+    def _fetch(self, chrom: str, start: int, end: int, rc: bool) -> str:
+        """Fetch bases 1-based closed, N-padding past contig ends
+        (ReferenceHit.scala:261-266)."""
+        length = self.ref.sequence_length(chrom)
+        adj_start = max(1, start)
+        adj_end = min(length, end)
+        if adj_end >= adj_start:
+            mid = self.ref.get_subsequence(chrom, adj_start, adj_end).decode("ascii")
+        else:
+            mid = ""
+        bases = "N" * (adj_start - start) + mid + "N" * (end - adj_end)
+        return revcomp(bases).upper() if rc else bases.upper()
+
+
+def sort_hits(
+    hits: Sequence[ReferenceHit], dictionary: Optional[SequenceDictionary]
+) -> list[ReferenceHit]:
+    """Sort by (dict sequence index, coordinate_start, strand, -score);
+    lexicographic chromosome fallback (ReferenceHit.scala:276-287)."""
+    if dictionary is not None:
+        key = lambda h: (dictionary.index(h.chromosome), h.coordinate_start, h.strand, -h.score)
+    else:
+        key = lambda h: (h.chromosome, h.coordinate_start, h.strand, -h.score)
+    return sorted(hits, key=key)
+
+
+def remove_overlaps(
+    hits: Sequence[ReferenceHit],
+    max_overlap: int,
+    dictionary: Optional[SequenceDictionary],
+) -> list[ReferenceHit]:
+    """Canonical best-per-locus global dedup (SearchReference.scala:653-675).
+
+    Hits are grouped by (chromosome, strand, variant_description), each
+    group sorted in dictionary order and scanned: while the next hit
+    overlaps the current by >= max_overlap (note >= here vs > intra-window)
+    with a <= score, it is dropped; the current hit is emitted only if the
+    next survivor doesn't overlap it.
+    """
+    keepers: list[ReferenceHit] = []
+    groups: dict[tuple, list[ReferenceHit]] = {}
+    for h in hits:
+        key = (h.chromosome, h.strand, h.variant_description or "")
+        groups.setdefault(key, []).append(h)
+
+    for hs in groups.values():
+        ordered = sort_hits(hs, dictionary)
+        i = 0
+        n = len(ordered)
+        while i < n:
+            hit = ordered[i]
+            i += 1
+            while (
+                i < n
+                and ordered[i].overlap(hit) >= max_overlap
+                and ordered[i].score <= hit.score
+            ):
+                i += 1
+            if i >= n or ordered[i].overlap(hit) < max_overlap:
+                keepers.append(hit)
+    return keepers

@@ -1,0 +1,369 @@
+"""The variant (VCF) haplotype engine: clusters variants, expands allele
+combinations into modified reference windows, and lifts hit coordinates
+back to the reference frame.
+
+Parity contract: SearchReference.scala:101-400 and the variant pass of
+execute() (:570-630); SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from calitas_tpu.core.cigar import Cigar, CigarElem
+from calitas_tpu.core.sequence import revcomp
+from calitas_tpu.align.guide_alignment import GuideAlignment
+from calitas_tpu.io.fasta import IndexedFasta
+from calitas_tpu.io.vcf import VcfReader, VcfVariant
+from calitas_tpu.search.windows import upper_bytes
+
+logger = logging.getLogger("calitas_tpu.variants")
+
+
+@dataclass(frozen=True)
+class VariantAllele:
+    """A variant allele inserted into the reference (1-based pos) —
+    SearchReference.scala:105-110."""
+
+    id: str
+    pos: int
+    ref: str
+    alt: str
+    af: float
+
+    @property
+    def display_string(self) -> str:
+        # 0-based pos for display; AF with 3 decimals.
+        return f"{self.id if self.id else '.'}:{self.pos - 1}:{self.ref}>{self.alt}:{self.af:.3f}"
+
+
+@dataclass
+class VariantWindow:
+    """A reference window modified by variant alleles; ``cigar`` maps
+    window bases (query) onto the reference (target)
+    (SearchReference.scala:112-157)."""
+
+    chrom: str
+    start: int  # 1-based
+    variants: tuple[VariantAllele, ...]
+    cigar: Cigar
+    bases: np.ndarray  # uint8
+
+    @property
+    def length(self) -> int:
+        return len(self.bases)
+
+    def ref_offset_at_base_offset(self, offset: int, preceding: bool) -> int:
+        """Map a window offset to a 0-based genome offset by walking the
+        CIGAR; bases inside insertions map to the preceding or succeeding
+        reference base (SearchReference.scala:133-156; pinned by test
+        SearchReferenceTest.scala:198-215)."""
+        if offset == len(self.bases):
+            return self.start - 1 + self.cigar.length_on_target
+        ref_offset = self.start - 1
+        base_offset = 0
+        elems = iter(self.cigar)
+        cur = next(elems)
+        while offset >= base_offset + cur.length_on_query:
+            ref_offset += cur.length_on_target
+            base_offset += cur.length_on_query
+            cur = next(elems)
+        if cur.op == "I":
+            return ref_offset - 1 if preceding else ref_offset
+        if cur.op == "M":
+            return ref_offset + (offset - base_offset)
+        raise AssertionError(f"Query bases can't be present at operator {cur.op}.")
+
+
+@dataclass(frozen=True)
+class VariantSet:
+    """A set of variants plus a chosen ALT allele index (>0) per variant
+    (SearchReference.scala:166-202)."""
+
+    variants: tuple[VcfVariant, ...]
+    alleles: tuple[int, ...]
+
+    def __post_init__(self) -> None:
+        assert len(self.variants) == len(self.alleles)
+        assert all(a > 0 for a in self.alleles)
+
+    @property
+    def start(self) -> int:
+        return self.variants[0].pos
+
+    @property
+    def end(self) -> int:
+        return self.variants[-1].end
+
+    def is_valid(self) -> bool:
+        """No two chosen alleles modify the same reference base
+        (SearchReference.scala:182-193)."""
+        if len(self.variants) == 1:
+            return True
+        spans = [
+            (v.pos, v.pos + len(v.ref) - 1) for v in self.variants
+        ]
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            if s2 <= e1 and s1 <= e2:  # interval overlap (1-based closed)
+                return False
+        return True
+
+    def variant_allele(self, i: int) -> VariantAllele:
+        v = self.variants[i]
+        a = self.alleles[i]
+        afs = v.af()
+        af = afs[a - 1] if afs is not None and len(afs) >= a else 0.0
+        return VariantAllele(
+            id=v.id or "", pos=v.pos, ref=v.ref, alt=v.alts[a - 1], af=float(af)
+        )
+
+
+def allele_combo_indices(allele_counts: Sequence[int]) -> list[list[int]]:
+    """All combinations of allele indices, e.g. [2, 2] ->
+    [[0,0],[0,1],[1,0],[1,1]] (SearchReference.scala:377-399)."""
+    total = 1
+    for n in allele_counts:
+        total *= n
+    results = [[0] * len(allele_counts) for _ in range(total)]
+    denom = 1
+    for i, n in enumerate(allele_counts):
+        denom *= n
+        group_size = total // denom
+        j = 0
+        allele = 0
+        while j < total:
+            for _ in range(group_size):
+                results[j][i] = allele
+                j += 1
+            allele = (allele + 1) % n
+    return results
+
+
+def allele_combos(vs: Sequence[VcfVariant], max_variants: int) -> list[VariantSet]:
+    """VariantSets for a chunk of variants; falls back to per-alt sets of
+    the *first* variant only when the cluster exceeds max_variants
+    (SearchReference.scala:351-369)."""
+    vs = list(vs)
+    if len(vs) > max_variants:
+        logger.warning(
+            "Not checking combos for %d variants at %s:%d-%d",
+            len(vs), vs[0].chrom, vs[0].pos, vs[-1].end,
+        )
+        v = vs[0]
+        return [
+            VariantSet((v,), (a + 1,)) for a in range(len(v.alts))
+        ]
+    out: list[VariantSet] = []
+    for alleles in allele_combo_indices([v.n_alleles for v in vs]):
+        chosen = [(v, a) for v, a in zip(vs, alleles) if a != 0]
+        if not chosen:
+            continue
+        vset = VariantSet(tuple(v for v, _ in chosen), tuple(a for _, a in chosen))
+        if vset.is_valid():
+            out.append(vset)
+    return out
+
+
+def build_variant_window(
+    vset: VariantSet, ref_name: str, ref_bases: np.ndarray, padding: int
+) -> VariantWindow:
+    """Substitute the chosen alt alleles into a padded reference slice and
+    build the window->reference CIGAR (SearchReference.scala:263-323)."""
+    ref_len = len(ref_bases)
+    window_start = max(1, vset.start - padding)
+    window_end = min(ref_len, vset.end + padding)
+    bases = bytearray(ref_bases[window_start - 1 : window_end].tobytes())
+    alleles = [vset.variant_allele(i) for i in range(len(vset.variants))]
+
+    # Substitute right-to-left to keep the math simple.
+    for allele in reversed(alleles):
+        start_index = allele.pos - window_start
+        alt_b = allele.alt.encode("ascii")
+        if len(allele.ref) == len(allele.alt):
+            bases[start_index : start_index + len(alt_b)] = alt_b
+        else:
+            bases[start_index : start_index + len(allele.ref)] = alt_b
+
+    # Build the window->reference CIGAR (I consumes window bases).
+    elems: list[CigarElem] = []
+    ref_pos = window_start
+    base_offset = 0
+    for allele in alleles:
+        preceding_match = allele.pos - ref_pos
+        if preceding_match > 0:
+            elems.append(CigarElem("M", preceding_match))
+            ref_pos += preceding_match
+            base_offset += preceding_match
+        rlen, alen = len(allele.ref), len(allele.alt)
+        if rlen == alen:  # substitution
+            elems.append(CigarElem("M", rlen))
+        elif rlen == 1 and alen > 1:  # simple insertion
+            elems.append(CigarElem("M", 1))
+            elems.append(CigarElem("I", alen - 1))
+        elif rlen > 1 and alen == 1:  # simple deletion
+            elems.append(CigarElem("M", 1))
+            elems.append(CigarElem("D", rlen - 1))
+        else:  # complicated substitution with length difference
+            elems.append(CigarElem("D", rlen))
+            elems.append(CigarElem("I", alen))
+        ref_pos += rlen
+        base_offset += alen
+    if len(bases) - base_offset > 0:
+        elems.append(CigarElem("M", len(bases) - base_offset))
+    cigar = Cigar(elems).coalesce()
+    assert cigar.length_on_query == len(bases), (
+        f"Cigar: {cigar}, LoQ: {cigar.length_on_query}, len(bases): {len(bases)}"
+    )
+    return VariantWindow(
+        chrom=ref_name,
+        start=window_start,
+        variants=tuple(alleles),
+        cigar=cigar,
+        bases=np.frombuffer(bytes(bases), dtype=np.uint8),
+    )
+
+
+def next_chunk(variants: "_Peekable", max_distance: int) -> list[VcfVariant]:
+    """The next chunk of variants that are close together
+    (SearchReference.scala:326-337)."""
+    last = variants.next()
+    out = [last]
+    while (
+        variants.has_next()
+        and variants.peek().chrom == last.chrom
+        and variants.peek().pos <= last.end + max_distance
+    ):
+        last = variants.next()
+        out.append(last)
+    return out
+
+
+def re_chunk(vs: list[VcfVariant], max_distance: int) -> list[list[VcfVariant]]:
+    """Re-chunk by tails so each sub-chunk's variants all start within
+    max_distance of the first's end (SearchReference.scala:343-347).
+    Every non-empty tail yields a chunk."""
+    out = []
+    for i in range(len(vs)):
+        sub = vs[i:]
+        head_end = sub[0].end
+        chunk = []
+        for v in sub:
+            if v.pos - head_end <= max_distance:
+                chunk.append(v)
+            else:
+                break
+        out.append(chunk)
+    return out
+
+
+class _Peekable:
+    def __init__(self, it: Iterator[VcfVariant]):
+        self._it = iter(it)
+        self._head: Optional[VcfVariant] = None
+        self._done = False
+        self._advance()
+
+    def _advance(self) -> None:
+        try:
+            self._head = next(self._it)
+        except StopIteration:
+            self._head = None
+            self._done = True
+
+    def has_next(self) -> bool:
+        return not self._done
+
+    def peek(self) -> VcfVariant:
+        assert self._head is not None
+        return self._head
+
+    def next(self) -> VcfVariant:
+        v = self._head
+        assert v is not None
+        self._advance()
+        return v
+
+
+def variant_window_iterator(
+    fasta: IndexedFasta,
+    vcf: str | Path,
+    chrom: Optional[str],
+    padding: int,
+    max_variants: int,
+) -> Iterator[VariantWindow]:
+    """Stream VariantWindows from a VCF (SearchReference.scala:217-256)."""
+    reader = VcfReader(vcf)
+    if chrom is not None:
+        contig_names = [chrom]
+        vcf_iter = _Peekable(reader.query(chrom, 1, 2**31 - 1))
+    else:
+        contig_names = fasta.names
+        vcf_iter = _Peekable(iter(reader))
+
+    contig_iter = iter(contig_names)
+    cur_name = next(contig_iter)
+    cur_bases = upper_bytes(fasta.get_bases(cur_name))
+
+    while vcf_iter.has_next():
+        vs = next_chunk(vcf_iter, padding)
+        chunks = re_chunk(vs, padding)
+        allele_sets = [s for c in chunks for s in allele_combos(c, max_variants)]
+        while vs[0].chrom != cur_name:  # advance the reference if needed
+            cur_name = next(contig_iter)
+            cur_bases = upper_bytes(fasta.get_bases(cur_name))
+        for vset in allele_sets:
+            yield build_variant_window(vset, cur_name, cur_bases, padding)
+
+
+def flank_and_absolutize(
+    alns: Sequence[GuideAlignment], window: VariantWindow
+) -> list[GuideAlignment]:
+    """Attach window-derived flanks (insertion-aware) and lift coordinates
+    back to the reference frame (SearchReference.scala:596-620)."""
+    out = []
+    for a in alns:
+        b = window.bases
+        gso, geo = a.guide_start_offset, a.guide_end_offset
+        so, eo = a.start_offset, a.end_offset
+        left10 = None if gso < 10 else b[gso - 10 : gso].tobytes().decode("ascii")
+        right10 = (
+            None
+            if window.length - geo < 10
+            else b[geo : geo + 10].tobytes().decode("ascii")
+        )
+        left8 = None if so < 8 else b[so - 8 : so].tobytes().decode("ascii")
+        right8 = (
+            None
+            if window.length - eo < 8
+            else b[eo : eo + 8].tobytes().decode("ascii")
+        )
+
+        if a.is_positive_strand:
+            flanked = a.copy(
+                left_of_guide_10bp=left10,
+                right_of_guide_10bp=right10,
+                left_of_full_aln_8bp=left8,
+                right_of_full_aln_8bp=right8,
+            )
+        else:
+            flanked = a.copy(
+                left_of_guide_10bp=revcomp(right10) if right10 is not None else None,
+                right_of_guide_10bp=revcomp(left10) if left10 is not None else None,
+                left_of_full_aln_8bp=revcomp(right8) if right8 is not None else None,
+                right_of_full_aln_8bp=revcomp(left8) if left8 is not None else None,
+            )
+
+        out.append(
+            flanked.copy(
+                start_offset=window.ref_offset_at_base_offset(so, preceding=True),
+                end_offset=window.ref_offset_at_base_offset(eo, preceding=False),
+                guide_start_offset=window.ref_offset_at_base_offset(gso, preceding=True),
+                guide_end_offset=window.ref_offset_at_base_offset(geo, preceding=False),
+            )
+        )
+    return out

@@ -1,0 +1,64 @@
+"""Genome windowing: fixed-size overlapping windows over FASTA contigs.
+
+Parity contract: SearchReference.scala:28-95 (SURVEY.md §2.5).  Windows
+start every ``step_size`` from ``range(0, len-1)``; ``end = min(len,
+start + window_size)``; leading/trailing ``N`` (uppercase byte only, as in
+the reference) are trimmed; fully-N windows yield a 1-byte placeholder;
+bases are uppercased after trimming.  Emitted coordinates are 1-based
+closed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from calitas_tpu.io.fasta import IndexedFasta
+
+_N = ord("N")
+_UPPER_OFFSET = ord("a") - ord("A")
+
+
+@dataclass
+class RefWindow:
+    chrom: str
+    start: int  # 1-based closed
+    end: int
+    bases: np.ndarray  # uint8, uppercased
+
+
+def upper_bytes(b: np.ndarray) -> np.ndarray:
+    out = b.copy()
+    lower = (out >= ord("a")) & (out <= ord("z"))
+    out[lower] -= _UPPER_OFFSET
+    return out
+
+
+def window_iterator(
+    fasta: IndexedFasta,
+    window_size: int,
+    step_size: int,
+    chrom: Optional[str] = None,
+) -> Iterator[RefWindow]:
+    empty = np.zeros(1, dtype=np.uint8)  # the reference's Array[Byte](0)
+    if chrom is not None:
+        contigs = [(chrom, fasta.get_bases(chrom))]
+    else:
+        contigs = fasta.iter_contigs()
+
+    for name, bases in contigs:
+        length = len(bases)
+        for start in range(0, length - 1, step_size):
+            end = min(length, start + window_size)
+            adj_start, adj_end = start, end
+            while adj_start < adj_end and bases[adj_start] == _N:
+                adj_start += 1
+            while adj_start < adj_end and bases[adj_end - 1] == _N:
+                adj_end -= 1
+            if adj_end - adj_start <= 0:
+                window_bases = empty
+            else:
+                window_bases = upper_bytes(bases[adj_start:adj_end])
+            yield RefWindow(name, adj_start + 1, adj_end, window_bases)

@@ -1,0 +1,156 @@
+"""AlignToReference: glocal alignment of queries to windows at known loci.
+
+Parity contract: AlignToReference.scala (SURVEY.md §3.3).  Input is a TSV
+with columns (id?, query, chrom, position); either all three of
+(max_guide_diffs, max_pam_mismatches, max_overlap) are given (all-hits
+mode) or none (best mode).  Results are sorted and written per 10k-row
+batch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+from calitas_tpu.core.guide import Guide
+from calitas_tpu.core.scoring import Defaults
+from calitas_tpu.align.engine import SequentialAligner
+from calitas_tpu.io.fasta import IndexedFasta
+from calitas_tpu.io.tsv import MetricWriter, open_output
+from calitas_tpu.search.hits import HitBuilder, ReferenceHit, sort_hits
+from calitas_tpu.utils import camel_to_gnu, scala_option_repr
+
+BATCH_SIZE = 10_000  # AlignToReference.scala:110
+
+
+def core_parameters_string(
+    max_guide_diffs,
+    max_pam_mismatches,
+    max_gaps_between_guide_and_pam,
+    max_overlap,
+    guide_mismatch_net_cost,
+    pam_mismatch_net_cost,
+    genome_gap_net_cost,
+    guide_gap_net_cost,
+) -> str:
+    """AlignToReference.scala:77-86 — note the three optional parameters
+    render as Scala Option strings (None / Some(x))."""
+    params = {
+        "maxGuideDiffs": scala_option_repr(max_guide_diffs),
+        "maxPamMismatches": scala_option_repr(max_pam_mismatches),
+        "maxGapsBetweenGuideAndPam": str(max_gaps_between_guide_and_pam),
+        "maxOverlap": scala_option_repr(max_overlap),
+        "guideMismatchNetCost": str(guide_mismatch_net_cost),
+        "pamMismatchNetCost": str(pam_mismatch_net_cost),
+        "genomeGapNetCost": str(genome_gap_net_cost),
+        "guideGapNetCost": str(guide_gap_net_cost),
+    }
+    return ";".join(sorted(f"{camel_to_gnu(k)}={v}" for k, v in params.items()))
+
+
+def run(
+    input: str | Path,
+    ref: str | Path,
+    output: Optional[str | Path] = None,
+    window_size: Optional[int] = None,
+    max_guide_diffs: Optional[int] = None,
+    max_pam_mismatches: Optional[int] = None,
+    max_gaps_between_guide_and_pam: int = Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM,
+    max_total_diffs: Optional[int] = None,
+    max_overlap: Optional[int] = None,
+    guide_mismatch_net_cost: int = Defaults.MISMATCH_NET_COST,
+    pam_mismatch_net_cost: int = Defaults.PAM_MISMATCH_NET_COST,
+    genome_gap_net_cost: int = Defaults.GENOME_GAP_NET_COST,
+    guide_gap_net_cost: int = Defaults.GUIDE_GAP_NET_COST,
+    threads: int = 8,
+) -> None:
+    ref_file = IndexedFasta(ref)
+    if ref_file.dictionary is None or len(ref_file.dictionary) == 0:
+        raise ValueError(f"Reference genome must have a sequence dictionary: {ref}")
+
+    given = (max_guide_diffs, max_pam_mismatches, max_overlap)
+    if all(v is not None for v in given):
+        all_hits = True
+    elif all(v is None for v in given):
+        all_hits = False
+    else:
+        raise ValueError(
+            "Must specify all or none of: --max-guide-diffs, "
+            "--max-pam-mismatches, --max-overlap"
+        )
+
+    aligner = SequentialAligner(
+        ref=ref_file,
+        mismatch_net_cost=guide_mismatch_net_cost,
+        pam_mismatch_net_cost=pam_mismatch_net_cost,
+        genome_gap_net_cost=genome_gap_net_cost,
+        guide_gap_net_cost=guide_gap_net_cost,
+    )
+
+    arguments = core_parameters_string(
+        max_guide_diffs, max_pam_mismatches, max_gaps_between_guide_and_pam,
+        max_overlap, guide_mismatch_net_cost, pam_mismatch_net_cost,
+        genome_gap_net_cost, guide_gap_net_cost,
+    )
+    # Dummy guide initializes the builder; replaced per task
+    # (AlignToReference.scala:73).
+    builder = HitBuilder(
+        guide_id="n/a",
+        guide=Guide.parse("AAAnnn"),
+        ref=ref_file,
+        vcf=None,
+        aligner_id="CALITAS:AlignToReference",
+        arguments=arguments,
+    )
+
+    # Parse the input TSV (headers: id [optional], query, chrom, position).
+    tasks: list[tuple[str, str, str, int]] = []
+    with open(input) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        col = {name: i for i, name in enumerate(header)}
+        for req in ("query", "chrom", "position"):
+            if req not in col:
+                raise ValueError(f"Input file missing required column: {req}")
+        for line in fh:
+            if not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            query = f[col["query"]]
+            task_id = f[col["id"]] if "id" in col else query
+            tasks.append((task_id, query, f[col["chrom"]], int(f[col["position"]])))
+
+    out_fh = open_output(output)
+    writer = MetricWriter(out_fh, ReferenceHit)
+    for batch_start in range(0, len(tasks), BATCH_SIZE):
+        batch = tasks[batch_start : batch_start + BATCH_SIZE]
+        results: list[ReferenceHit] = []
+        for task_id, query, chrom, pos in batch:
+            guide = Guide.parse(query)
+            if all_hits:
+                alns = aligner.align_to_ref(
+                    guide, chrom, pos, window_size,
+                    max_guide_diffs=max_guide_diffs,
+                    max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+                    max_pam_diffs=max_pam_mismatches,
+                    max_total_diffs=(
+                        max_total_diffs
+                        if max_total_diffs is not None
+                        else max_guide_diffs
+                        + max_gaps_between_guide_and_pam
+                        + max_pam_mismatches
+                    ),
+                    max_overlap=max_overlap,
+                )
+            else:
+                alns = [
+                    aligner.align_to_ref_best(
+                        guide, chrom, pos, window_size,
+                        max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+                    )
+                ]
+            b = builder.copy(guide_id=task_id, guide=guide)
+            results.extend(b.build(a) for a in alns)
+        writer.write_all(sort_hits(results, ref_file.dictionary))
+    writer.close()
+    if out_fh.name != "<stdout>":
+        out_fh.close()

@@ -1,0 +1,82 @@
+"""PairwiseAlignSequences: best glocal alignment per (query, target) pair.
+
+Parity contract: PairwiseAlignSequences.scala (SURVEY.md §3.4).  Input is
+a whitespace-delimited file of (query, target) pairs; output the 11-column
+table with query_start hardcoded to 1 and target_start = aln.startOffset.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+from calitas_tpu.core.guide import Guide
+from calitas_tpu.core.scoring import Defaults
+from calitas_tpu.align.engine import SequentialAligner
+from calitas_tpu.io.tsv import open_output
+
+COLUMNS = [
+    "query", "target", "score", "query_start", "target_start", "cigar",
+    "mismatches", "gap_bases", "padded_query", "alignment", "padded_target",
+]
+
+BATCH_SIZE = 10_000  # PairwiseAlignSequences.scala:63
+
+
+def run(
+    input: str | Path,
+    output: Optional[str | Path] = None,
+    threads: int = 8,
+    max_gaps_between_guide_and_pam: int = Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM,
+    max_overlap: int = Defaults.MAX_OVERLAP,
+    guide_mismatch_net_cost: int = Defaults.MISMATCH_NET_COST,
+    pam_mismatch_net_cost: int = Defaults.PAM_MISMATCH_NET_COST,
+    genome_gap_net_cost: int = Defaults.GENOME_GAP_NET_COST,
+    guide_gap_net_cost: int = Defaults.GUIDE_GAP_NET_COST,
+    use_device: bool = False,
+) -> None:
+    tasks = []
+    with open(input) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            fields = line.split()
+            if len(fields) != 2:
+                raise ValueError(
+                    f"Line found with {len(fields)} fields: {' '.join(fields)}"
+                )
+            tasks.append((fields[0], fields[1].upper()))
+
+    aligner = SequentialAligner(
+        mismatch_net_cost=guide_mismatch_net_cost,
+        pam_mismatch_net_cost=pam_mismatch_net_cost,
+        genome_gap_net_cost=genome_gap_net_cost,
+        guide_gap_net_cost=guide_gap_net_cost,
+    )
+
+    out = open_output(output)
+    out.write("\t".join(COLUMNS) + "\n")
+    for query, target in tasks:
+        aln = aligner.align_best(
+            Guide.parse(query), target,
+            max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+        )
+        fields = [
+            query,
+            target,
+            str(aln.score),
+            "1",
+            str(aln.start_offset),
+            str(aln.cigar),
+            str(aln.mismatches),
+            str(aln.gap_bases),
+            aln.padded_guide,
+            aln.padded_alignment,
+            aln.padded_target,
+        ]
+        out.write("\t".join(fields) + "\n")
+    if out.name != "<stdout>":
+        out.close()
+    else:
+        out.flush()
