@@ -1,0 +1,166 @@
+"""Pallas TPU kernel v2: register-resident column scan.
+
+Layout: each grid cell owns a block of 1024 windows arranged as one
+[8, 128] int32 vreg per DP row.  The DP column state is Q+1 vregs carried
+through a fori_loop over target columns; the in-column chain is a fully
+unrolled Python loop over the (static) query length — no sublane rolls,
+no scans, every op is a dense [8, 128] op where all 1024 lanes are
+distinct windows doing useful cells.
+
+Per column per row i (query base q_i):
+    diag_in   = S_prev[i-1]          (saved before overwrite)
+    pair      = (q_i & tcol) != 0 ? match : mismatch
+    new[i]    = max(diag_in + pair, S_prev[i] + qgap, new[i-1] + tgap)
+
+Targets are passed as [T, 8, 128] int32 so each column load is an aligned
+full-tile read.
+
+Exact int32; bit-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from calitas_tpu.core.scoring import Scorer
+
+LANES = 128
+SUBLANES = 8
+BLOCK_W = SUBLANES * LANES  # 1024 windows per grid cell
+NEG_INF = -(2**30)
+
+
+def _kernel(
+    qvals_ref,  # [1, Q_pad] int32 in SMEM: query masks
+    tcols_ref,  # [T, SUBLANES, LANES] int32 target masks for this block
+    lengths_ref,  # [SUBLANES, LANES] int32
+    best_ref,  # [SUBLANES, LANES] int32 out
+    *,
+    T: int,
+    Q: int,
+    match: int,
+    mismatch: int,
+    qgap: int,
+    tgap: int,
+):
+    lens = lengths_ref[:, :]
+    zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
+
+    # S[i] = i * tgap at column 0
+    init_state = tuple(
+        jnp.full((SUBLANES, LANES), i * tgap, jnp.int32) for i in range(Q + 1)
+    )
+    best0 = jnp.full((SUBLANES, LANES), NEG_INF, jnp.int32)
+
+    m = jnp.int32(match)
+    mm = jnp.int32(mismatch)
+    qg = jnp.int32(qgap)
+    tg = jnp.int32(tgap)
+
+    def body(j, carry):
+        state, best = carry
+        tcol = tcols_ref[j]  # [SUBLANES, LANES]
+        new = [zeros]  # row 0: free start
+        diag_in = state[0]
+        for i in range(1, Q + 1):
+            qi = qvals_ref[0, i - 1]
+            pair = jnp.where((tcol & qi) != 0, m, mm)
+            cand = jnp.maximum(diag_in + pair, state[i] + qg)
+            cand = jnp.maximum(cand, new[i - 1] + tg)
+            diag_in = state[i]
+            new.append(cand)
+        ok = (j + 1) <= lens
+        best = jnp.maximum(best, jnp.where(ok, new[Q], NEG_INF))
+        return tuple(new), best
+
+    _, best = jax.lax.fori_loop(0, T, body, (init_state, best0))
+    best_ref[:, :] = best
+
+
+@partial(
+    jax.jit,
+    static_argnames=("Q", "match", "mismatch", "qgap", "tgap", "interpret"),
+)
+def _pallas_screen2(
+    qvals, tcols, lengths, *, Q, match, mismatch, qgap, tgap, interpret=False
+):
+    T = tcols.shape[0]
+    n_blocks = tcols.shape[1] // SUBLANES
+    kernel = partial(
+        _kernel, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (T, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * SUBLANES, LANES), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * T * Q * n_blocks * BLOCK_W,
+            bytes_accessed=T * n_blocks * BLOCK_W * 4,
+            transcendentals=0,
+        ),
+    )(qvals, tcols, lengths)
+    return out
+
+
+class PallasScreenKernelV2:
+    """Drop-in ScreenKernel using the register-column-scan kernel."""
+
+    def __init__(self, scorer: Scorer, interpret: bool = False):
+        self.scorer = scorer
+        self.interpret = interpret
+
+    @staticmethod
+    def supports(q_len: int) -> bool:
+        return q_len <= 48  # unroll budget
+
+    def max_scores(
+        self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
+    ) -> np.ndarray:
+        Q = len(qmask)
+        B, T = tmasks.shape
+        pad_b = (-B) % BLOCK_W
+        if pad_b:
+            tmasks = np.concatenate(
+                [tmasks, np.zeros((pad_b, T), tmasks.dtype)], axis=0
+            )
+            lengths = np.concatenate([lengths, np.zeros(pad_b, lengths.dtype)])
+        Bp = B + pad_b
+
+        # [B, T] -> [T, Bp/128, 128] -> grid blocks of [T, 8, 128]
+        tcols = (
+            tmasks.T.astype(np.int32).reshape(T, Bp // LANES, LANES)
+        )
+        lengths2 = lengths.astype(np.int32).reshape(Bp // LANES, LANES)
+        qvals = np.zeros((1, max(Q, 1)), dtype=np.int32)
+        qvals[0, :Q] = qmask
+
+        s = self.scorer
+        out = _pallas_screen2(
+            jnp.asarray(qvals),
+            jnp.asarray(tcols),
+            jnp.asarray(lengths2),
+            Q=Q,
+            match=s.match_score,
+            mismatch=s.mismatch_score,
+            qgap=s.query_gap_score,
+            tgap=s.target_gap_score,
+            interpret=self.interpret,
+        )
+        return np.asarray(out).reshape(-1)[:B]

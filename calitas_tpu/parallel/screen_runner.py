@@ -1,107 +1,72 @@
-"""Batches genome windows onto the device DP screen and finishes hits on
-the host.
+"""TPU execution of the genome search: device-resident screen, host finish.
 
 The TPU-first execution strategy for SearchReference (SURVEY.md §2.10,
-§7): windows are packed into fixed-shape [B, T] uint8 mask batches (both
-strands), screened on device with the exact int32 DP, and only windows
-whose best end-column score reaches the guide-only minimum get the full
-host alignment (traceback, PAM extension, dedup).  Output is therefore
-bit-identical to the host-only path.
+§7): each contig's mask array is staged to device HBM once; the device
+extracts every search window, screens both strands with the exact int32
+DP kernel, and returns one flag per window.  Only flagged windows (hits
+are sparse — O(10^-3) of windows at default thresholds) are materialized
+with the reference's exact window semantics (N-trim, uppercase) and run
+through the host alignment engine.  Output is therefore bit-identical to
+the host-only path.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 
 from calitas_tpu.core.guide import Guide
-from calitas_tpu.core.sequence import TARGET_MASK_TABLE, revcomp_bytes
+from calitas_tpu.core.sequence import revcomp
 from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.align.guide_alignment import GuideAlignment
-from calitas_tpu.ops.dp_screen import ScreenKernel
-from calitas_tpu.search.windows import RefWindow
+from calitas_tpu.io.fasta import IndexedFasta
+from calitas_tpu.ops.genome_screen import GenomeScreen
+from calitas_tpu.search.windows import RefWindow, materialize_window
 
-DEFAULT_BATCH = 512
 
-
-def screened_window_results(
-    windows: Iterable[RefWindow],
+def screened_contig_search(
+    fasta: IndexedFasta,
+    chrom: Optional[str],
     guide: Guide,
     aligner: SequentialAligner,
     *,
-    batch_size: int = DEFAULT_BATCH,
-    pad_to: Optional[int] = None,
-    kernel: Optional[ScreenKernel] = None,
+    window_size: int,
+    step_size: int,
+    guide_length: int,
+    batch_windows: int = 8192,
     **align_kwargs,
 ) -> Iterator[tuple[RefWindow, list[GuideAlignment]]]:
-    """Yield (window, alignments) for every window that produces hits.
-
-    ``align_kwargs`` are the limits passed to ``SequentialAligner.align``.
-    """
-    kernel = kernel or ScreenKernel(aligner.scorer)
+    """Yield (window, alignments) for every window that produces hits,
+    in the same window order as the host path."""
+    screen = GenomeScreen(
+        aligner.scorer, window=window_size, batch_windows=batch_windows
+    )
     min_score = aligner.min_guide_score(guide, align_kwargs["max_guide_diffs"])
+    dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
+    dp_query_rc = revcomp(dp_query)
 
-    # The DP query per the reference's orientation trick (§2.3): for
-    # 5'-PAM guides align revcomp(guide); targets fw+rc either way.
-    query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
-    from calitas_tpu.core.sequence import encode_query
-
-    qmask = encode_query(query)
-
-    for batch in _batched(windows, batch_size):
-        # Fixed shapes (pad both T and B) so the jitted screen compiles once.
-        T = pad_to or max(len(w.bases) for w in batch)
-        B = batch_size
-        tmasks = np.zeros((2 * B, T), dtype=np.uint8)
-        lengths = np.zeros(2 * B, dtype=np.int32)
-        for i, w in enumerate(batch):
-            masks = TARGET_MASK_TABLE[w.bases]
-            L = len(masks)
-            tmasks[i, :L] = masks
-            # revcomp strand: mask of revcomp = reverse of complement masks;
-            # complement of a 4-bit mask swaps A<->T and C<->G bits
-            tmasks[B + i, :L] = _rc_masks(masks)
-            lengths[i] = lengths[B + i] = L
-        best = kernel.max_scores(qmask, tmasks, lengths)
-        hit_rows = best >= min_score
-        for i, w in enumerate(batch):
-            if hit_rows[i] or hit_rows[B + i]:
-                results = aligner.align(
-                    guide,
-                    w.bases,
-                    target_name=w.chrom,
-                    target_offset=w.start - 1,
-                    **align_kwargs,
-                )
-                if results:
-                    yield w, results
-
-
-_RC_MASK_TABLE = np.zeros(16, dtype=np.uint8)
-for _m in range(16):
-    _r = 0
-    if _m & 1:  # A -> T
-        _r |= 8
-    if _m & 2:  # C -> G
-        _r |= 4
-    if _m & 4:  # G -> C
-        _r |= 2
-    if _m & 8:  # T -> A
-        _r |= 1
-    _RC_MASK_TABLE[_m] = _r
-
-
-def _rc_masks(masks: np.ndarray) -> np.ndarray:
-    return _RC_MASK_TABLE[masks][::-1]
-
-
-def _batched(it: Iterable[RefWindow], n: int) -> Iterator[list[RefWindow]]:
-    buf: list[RefWindow] = []
-    for w in it:
-        buf.append(w)
-        if len(buf) == n:
-            yield buf
-            buf = []
-    if buf:
-        yield buf
+    contigs = (
+        [(chrom, fasta.get_bases(chrom))] if chrom is not None else fasta.iter_contigs()
+    )
+    for name, bases in contigs:
+        if len(bases) < 2:
+            continue
+        genome_dev = screen.stage(bases)
+        flags = screen.screen_contig(
+            genome_dev, len(bases), step_size, dp_query, dp_query_rc, min_score
+        )
+        starts = screen.window_starts(len(bases), step_size)
+        for i in np.nonzero(flags)[0]:
+            w = materialize_window(name, bases, int(starts[i]), window_size)
+            if len(w.bases) < guide_length:
+                continue
+            results = aligner.align(
+                guide,
+                w.bases,
+                target_name=w.chrom,
+                target_offset=w.start - 1,
+                **align_kwargs,
+            )
+            if results:
+                yield w, results

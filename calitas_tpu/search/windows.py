@@ -36,29 +36,37 @@ def upper_bytes(b: np.ndarray) -> np.ndarray:
     return out
 
 
+def materialize_window(
+    name: str, bases: np.ndarray, start: int, window_size: int
+) -> RefWindow:
+    """Build the reference-semantics window at ``start``: N-trim both ends
+    (uppercase N only), uppercase, 1-based closed coordinates
+    (SearchReference.scala:52-68)."""
+    length = len(bases)
+    end = min(length, start + window_size)
+    adj_start, adj_end = start, end
+    while adj_start < adj_end and bases[adj_start] == _N:
+        adj_start += 1
+    while adj_start < adj_end and bases[adj_end - 1] == _N:
+        adj_end -= 1
+    if adj_end - adj_start <= 0:
+        window_bases = np.zeros(1, dtype=np.uint8)  # the reference's Array[Byte](0)
+    else:
+        window_bases = upper_bytes(bases[adj_start:adj_end])
+    return RefWindow(name, adj_start + 1, adj_end, window_bases)
+
+
 def window_iterator(
     fasta: IndexedFasta,
     window_size: int,
     step_size: int,
     chrom: Optional[str] = None,
 ) -> Iterator[RefWindow]:
-    empty = np.zeros(1, dtype=np.uint8)  # the reference's Array[Byte](0)
     if chrom is not None:
         contigs = [(chrom, fasta.get_bases(chrom))]
     else:
         contigs = fasta.iter_contigs()
 
     for name, bases in contigs:
-        length = len(bases)
-        for start in range(0, length - 1, step_size):
-            end = min(length, start + window_size)
-            adj_start, adj_end = start, end
-            while adj_start < adj_end and bases[adj_start] == _N:
-                adj_start += 1
-            while adj_start < adj_end and bases[adj_end - 1] == _N:
-                adj_end -= 1
-            if adj_end - adj_start <= 0:
-                window_bases = empty
-            else:
-                window_bases = upper_bytes(bases[adj_start:adj_end])
-            yield RefWindow(name, adj_start + 1, adj_end, window_bases)
+        for start in range(0, len(bases) - 1, step_size):
+            yield materialize_window(name, bases, start, window_size)

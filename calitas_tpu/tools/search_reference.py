@@ -130,23 +130,21 @@ def run(
     step_size = window_size - window_overlap
     logger.info("Aligning to reference genome without variants.")
 
-    windows = (
-        w
-        for w in window_iterator(ref_file, window_size, step_size, chrom)
-        if len(w.bases) >= guide_length
-    )
-
     use_tpu = _resolve_engine(engine)
     if use_tpu:
-        from calitas_tpu.parallel.screen_runner import screened_window_results
+        from calitas_tpu.parallel.screen_runner import screened_contig_search
 
-        for window, results in screened_window_results(
-            windows, query, aligner, pad_to=window_size, **align_kwargs
+        for window, results in screened_contig_search(
+            ref_file, chrom, query, aligner,
+            window_size=window_size, step_size=step_size,
+            guide_length=guide_length, **align_kwargs,
         ):
             for a in results:
                 hits.append(hit_builder.build(a))
     else:
-        for window in windows:
+        for window in window_iterator(ref_file, window_size, step_size, chrom):
+            if len(window.bases) < guide_length:
+                continue
             results = aligner.align(
                 query,
                 window.bases,
