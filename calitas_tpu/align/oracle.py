@@ -127,9 +127,15 @@ def glocal_align_multi(
     min_score: int,
 ) -> list[Alignment]:
     """All alignments, one per end column with score >= min_score, in
-    ascending end-column order (fgbio ``align(query, target, minScore)``)."""
+    ascending end-column order (fgbio ``align(query, target, minScore)``).
+
+    Uses the native C++ engine when available (identical algorithm and
+    tie-breaks); falls back to the vectorized NumPy DP."""
     if len(qmask) == 0 or len(tmask) == 0:
         return []
+    native = _native_align_multi(query, target, qmask, tmask, scorer, min_score)
+    if native is not None:
+        return native
     S = dp_matrix(qmask, tmask, scorer)
     final = S[len(qmask)]
     out: list[Alignment] = []
@@ -144,6 +150,67 @@ def glocal_align_multi(
                 target_start=tstart,
                 cigar=cigar,
                 score=int(final[j]),
+            )
+        )
+    return out
+
+
+def _native_align_multi(
+    query: bytes,
+    target: bytes,
+    qmask: np.ndarray,
+    tmask: np.ndarray,
+    scorer: Scorer,
+    min_score: int,
+) -> list[Alignment] | None:
+    """C++ fast path; returns None when the native library is unavailable."""
+    import ctypes
+
+    from calitas_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    Q, T = len(qmask), len(tmask)
+    qm = np.ascontiguousarray(qmask, dtype=np.uint8)
+    tm = np.ascontiguousarray(tmask, dtype=np.uint8)
+    max_hits = 64
+    while True:
+        scores = np.empty(max_hits, np.int32)
+        ends = np.empty(max_hits, np.int32)
+        starts = np.empty(max_hits, np.int32)
+        ops_cap = max_hits * (Q + 64)
+        ops = ctypes.create_string_buffer(ops_cap)
+        ops_off = np.empty(max_hits, np.int32)
+        ops_len = np.empty(max_hits, np.int32)
+        n = lib.dp_align_multi(
+            qm, Q, tm, T,
+            scorer.match_score, scorer.mismatch_score,
+            scorer.query_gap_score, scorer.target_gap_score,
+            int(min_score), max_hits,
+            scores, ends, starts, ops, ops_cap, ops_off, ops_len,
+        )
+        if n == -1:  # not enough space; grow and retry
+            max_hits *= 4
+            continue
+        if n < 0:
+            raise AssertionError(f"native aligner error: {n}")
+        break
+    out: list[Alignment] = []
+    raw = ops.raw
+    for k in range(n):
+        op_str = raw[ops_off[k] : ops_off[k] + ops_len[k]].decode("ascii")
+        cigar = Cigar(
+            tuple(CigarElem(c, 1) for c in op_str)
+        ).coalesce()
+        out.append(
+            Alignment(
+                query=query,
+                target=target,
+                query_start=1,
+                target_start=int(starts[k]),
+                cigar=cigar,
+                score=int(scores[k]),
             )
         )
     return out

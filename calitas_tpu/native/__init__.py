@@ -1,0 +1,71 @@
+"""Native (C++) host engine: build-on-demand ctypes bindings.
+
+The shared library is compiled from ``aligner.cpp`` on first use and
+cached next to the source.  All callers fall back to the NumPy oracle
+when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_LIB_PATH = _HERE / "libcalitas.so"
+_SRC = _HERE / "aligner.cpp"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def build(force: bool = False) -> Path:
+    """Compile the shared library (g++ -O3)."""
+    if force or not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            str(_SRC), "-o", str(_LIB_PATH),
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, building if needed; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            path = build()
+            lib = ctypes.CDLL(str(path))
+        except Exception:
+            return None
+        i32 = ctypes.c_int32
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        charp = ctypes.c_char_p
+        lib.dp_final_row.restype = i32
+        lib.dp_final_row.argtypes = [u8p, i32, u8p, i32, i32, i32, i32, i32, i32p]
+        lib.dp_align_multi.restype = i32
+        lib.dp_align_multi.argtypes = [
+            u8p, i32, u8p, i32,  # qmask, Q, tmask, T
+            i32, i32, i32, i32,  # match, mismatch, qgap, tgap
+            i32, i32,  # min_score, max_hits
+            i32p, i32p, i32p,  # scores, ends, starts
+            ctypes.c_void_p, i32,  # ops buffer, cap
+            i32p, i32p,  # ops_off, ops_len
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
