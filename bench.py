@@ -75,11 +75,14 @@ def main() -> None:
         use_pallas=use_pallas,
     )
 
-    # Warmup / compile, then timed run (one dispatch; D2H fetch included).
+    # Warmup / compile, then timed runs.  Best-of-3 guards against the
+    # tunneled-device dispatch stalls seen in dev environments.
     np.asarray(_screen_genome(genome, qv_fw, qv_rc, **kw))
-    t0 = time.perf_counter()
-    best = np.asarray(_screen_genome(genome, qv_fw, qv_rc, **kw))
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        best = np.asarray(_screen_genome(genome, qv_fw, qv_rc, **kw))
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     device_bps = G / elapsed  # genome bases scanned (both strands) per second
 

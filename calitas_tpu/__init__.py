@@ -18,3 +18,22 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_jax_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations (kernel compiles
+    are tens of seconds; searches are often re-run with the same shapes)."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "CALITAS_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "calitas_tpu", "jax"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -28,6 +28,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from calitas_tpu import _enable_jax_compilation_cache
+
+_enable_jax_compilation_cache()
 from calitas_tpu.core.scoring import Scorer
 
 LANES = 128

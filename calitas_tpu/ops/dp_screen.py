@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from calitas_tpu import _enable_jax_compilation_cache
+
+_enable_jax_compilation_cache()
 from calitas_tpu.core.scoring import Scorer
 
 

@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from calitas_tpu import _enable_jax_compilation_cache
+
+_enable_jax_compilation_cache()
 from calitas_tpu.core.scoring import Scorer
 from calitas_tpu.core.sequence import TARGET_MASK_TABLE, encode_query
 from calitas_tpu.ops.dp_pallas2 import _pallas_screen2, LANES, SUBLANES, BLOCK_W

@@ -29,6 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from calitas_tpu import _enable_jax_compilation_cache
+
+_enable_jax_compilation_cache()
 from calitas_tpu.core.scoring import Scorer
 from calitas_tpu.ops.dp_screen import _screen_scores
 
