@@ -29,6 +29,15 @@ from calitas_tpu.core.sequence import TARGET_MASK_TABLE, encode_query
 from calitas_tpu.ops.dp_pallas2 import _pallas_screen2, LANES, SUBLANES, BLOCK_W
 
 
+def default_device_platform() -> str:
+    """Platform of the device computations will actually land on —
+    honors ``jax_default_device`` (tests pin it to CPU)."""
+    dev = jax.config.jax_default_device
+    if dev is None:
+        dev = jax.devices()[0]
+    return dev.platform
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -103,7 +112,7 @@ class GenomeScreen:
         self.window = window
         self.batch_windows = batch_windows
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = default_device_platform() == "tpu"
         self.use_pallas = use_pallas
 
     def stage(self, contig_bases: np.ndarray) -> jax.Array:
@@ -164,3 +173,112 @@ class GenomeScreen:
             use_pallas=self.use_pallas,
         )
         return np.asarray(best[:n]) >= min_score
+
+
+# ---------------------------------------------------------------------------
+# Multi-device sharding
+# ---------------------------------------------------------------------------
+
+def make_sharded_screen(mesh, *, window, step, batch_windows, Q,
+                        match, mismatch, qgap, tgap, use_pallas):
+    """Build a jitted, mesh-sharded batch screen: window starts sharded
+    over the mesh's window axis, genome replicated (SURVEY.md §2.10 — the
+    window axis is the data-parallel axis; halo correctness comes from
+    window overlap, so shards are independent and the merged flags are
+    identical to single-device execution)."""
+    from jax.sharding import PartitionSpec as P
+
+    kw = dict(Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
+    n_dev = mesh.devices.size
+    local_bw = batch_windows // n_dev
+    axis = mesh.axis_names[0]
+
+    def local(genome, starts, qv_fw, qv_rc):
+        wins = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(genome, (s,), (window,))
+        )(starts)  # [local_bw, T]
+        if use_pallas:
+            lens = jnp.full((local_bw // LANES, LANES), window, jnp.int32)
+            tcols = wins.T.astype(jnp.int32).reshape(
+                window, local_bw // LANES, LANES
+            )
+            best_fw = _pallas_screen2(qv_fw, tcols, lens, **kw)
+            best_rc = _pallas_screen2(qv_rc, tcols, lens, **kw)
+        else:
+            from calitas_tpu.ops.dp_screen import _screen_scores
+
+            lens_flat = jnp.full((local_bw,), window, jnp.int32)
+            skw = dict(match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
+            best_fw = _screen_scores(qv_fw[0].astype(jnp.uint8), wins, lens_flat, **skw)
+            best_rc = _screen_scores(qv_rc[0].astype(jnp.uint8), wins, lens_flat, **skw)
+        return jnp.maximum(best_fw, best_rc).reshape(local_bw)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+class ShardedGenomeScreen(GenomeScreen):
+    """GenomeScreen over a device mesh: each batch's windows are sharded
+    across devices; the genome is replicated to every device."""
+
+    def __init__(self, scorer: Scorer, mesh, window: int = 1024,
+                 batch_windows: int = 8192, use_pallas: bool | None = None):
+        super().__init__(scorer, window=window, batch_windows=batch_windows,
+                         use_pallas=use_pallas)
+        self.mesh = mesh
+        n = mesh.devices.size
+        unit = (BLOCK_W if self.use_pallas else LANES) * n
+        self.batch_windows = -(-batch_windows // unit) * unit
+        self._fn_cache = {}
+
+    def stage(self, contig_bases: np.ndarray):
+        """Upload the contig replicated to every mesh device."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        masks = TARGET_MASK_TABLE[contig_bases]
+        pad = self.window + (-len(masks)) % LANES
+        masks = np.concatenate([masks, np.zeros(pad, np.uint8)])
+        return jax.device_put(
+            jnp.asarray(masks), NamedSharding(self.mesh, P())
+        )
+
+    def screen_contig(self, genome_dev, contig_len, step, dp_query,
+                      dp_query_rc, min_score):
+        starts_np = self.window_starts(contig_len, step)
+        n = len(starts_np)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        bw = self.batch_windows
+        n_batches = -(-n // bw)
+        need = int(starts_np[-1]) + self.window
+        if need > genome_dev.shape[0]:
+            genome_dev = jnp.concatenate(
+                [genome_dev, jnp.zeros(need - genome_dev.shape[0], jnp.uint8)]
+            )
+        s = self.scorer
+        Q = len(dp_query)
+        key = (Q, step)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = make_sharded_screen(
+                self.mesh, window=self.window, step=step, batch_windows=bw,
+                Q=Q, match=s.match_score, mismatch=s.mismatch_score,
+                qgap=s.query_gap_score, tgap=s.target_gap_score,
+                use_pallas=self.use_pallas,
+            )
+        fn = self._fn_cache[key]
+        qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
+        qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
+        out = np.empty(n_batches * bw, dtype=np.int32)
+        all_starts = np.zeros(n_batches * bw, dtype=np.int32)
+        all_starts[:n] = starts_np
+        for b in range(n_batches):
+            batch_starts = jnp.asarray(all_starts[b * bw : (b + 1) * bw])
+            best = fn(genome_dev, batch_starts, qv_fw, qv_rc)
+            out[b * bw : (b + 1) * bw] = np.asarray(best)
+        return out[:n] >= min_score

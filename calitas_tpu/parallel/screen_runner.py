@@ -35,6 +35,7 @@ def screened_contig_search(
     step_size: int,
     guide_length: int,
     batch_windows: int = 8192,
+    threads: int = 1,
     **align_kwargs,
 ) -> Iterator[tuple[RefWindow, list[GuideAlignment]]]:
     """Yield (window, alignments) for every window that produces hits,
@@ -57,16 +58,23 @@ def screened_contig_search(
             genome_dev, len(bases), step_size, dp_query, dp_query_rc, min_score
         )
         starts = screen.window_starts(len(bases), step_size)
-        for i in np.nonzero(flags)[0]:
-            w = materialize_window(name, bases, int(starts[i]), window_size)
-            if len(w.bases) < guide_length:
-                continue
-            results = aligner.align(
+        candidates = (
+            materialize_window(name, bases, int(starts[i]), window_size)
+            for i in np.nonzero(flags)[0]
+        )
+        candidates = (w for w in candidates if len(w.bases) >= guide_length)
+
+        def task(w):
+            return aligner.align(
                 guide,
                 w.bases,
                 target_name=w.chrom,
                 target_offset=w.start - 1,
                 **align_kwargs,
             )
+
+        from calitas_tpu.parallel.host_pool import map_windows
+
+        for w, results in map_windows(candidates, task, threads):
             if results:
                 yield w, results

@@ -121,35 +121,41 @@ def run(
 
     out_fh = open_output(output)
     writer = MetricWriter(out_fh, ReferenceHit)
+    from calitas_tpu.parallel.host_pool import map_windows
+
+    def run_task(t):
+        task_id, query, chrom, pos = t
+        guide = Guide.parse(query)
+        if all_hits:
+            alns = aligner.align_to_ref(
+                guide, chrom, pos, window_size,
+                max_guide_diffs=max_guide_diffs,
+                max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+                max_pam_diffs=max_pam_mismatches,
+                max_total_diffs=(
+                    max_total_diffs
+                    if max_total_diffs is not None
+                    else max_guide_diffs
+                    + max_gaps_between_guide_and_pam
+                    + max_pam_mismatches
+                ),
+                max_overlap=max_overlap,
+            )
+        else:
+            alns = [
+                aligner.align_to_ref_best(
+                    guide, chrom, pos, window_size,
+                    max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+                )
+            ]
+        b = builder.copy(guide_id=task_id, guide=guide)
+        return [b.build(a) for a in alns]
+
     for batch_start in range(0, len(tasks), BATCH_SIZE):
         batch = tasks[batch_start : batch_start + BATCH_SIZE]
         results: list[ReferenceHit] = []
-        for task_id, query, chrom, pos in batch:
-            guide = Guide.parse(query)
-            if all_hits:
-                alns = aligner.align_to_ref(
-                    guide, chrom, pos, window_size,
-                    max_guide_diffs=max_guide_diffs,
-                    max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
-                    max_pam_diffs=max_pam_mismatches,
-                    max_total_diffs=(
-                        max_total_diffs
-                        if max_total_diffs is not None
-                        else max_guide_diffs
-                        + max_gaps_between_guide_and_pam
-                        + max_pam_mismatches
-                    ),
-                    max_overlap=max_overlap,
-                )
-            else:
-                alns = [
-                    aligner.align_to_ref_best(
-                        guide, chrom, pos, window_size,
-                        max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
-                    )
-                ]
-            b = builder.copy(guide_id=task_id, guide=guide)
-            results.extend(b.build(a) for a in alns)
+        for _, rows in map_windows(batch, run_task, threads):
+            results.extend(rows)
         writer.write_all(sort_hits(results, ref_file.dictionary))
     writer.close()
     if out_fh.name != "<stdout>":

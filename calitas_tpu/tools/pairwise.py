@@ -55,13 +55,18 @@ def run(
         guide_gap_net_cost=guide_gap_net_cost,
     )
 
-    out = open_output(output)
-    out.write("\t".join(COLUMNS) + "\n")
-    for query, target in tasks:
-        aln = aligner.align_best(
+    from calitas_tpu.parallel.host_pool import map_windows
+
+    def run_task(t):
+        query, target = t
+        return aligner.align_best(
             Guide.parse(query), target,
             max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
         )
+
+    out = open_output(output)
+    out.write("\t".join(COLUMNS) + "\n")
+    for (query, target), aln in map_windows(tasks, run_task, threads):
         fields = [
             query,
             target,

@@ -137,21 +137,29 @@ def run(
         for window, results in screened_contig_search(
             ref_file, chrom, query, aligner,
             window_size=window_size, step_size=step_size,
-            guide_length=guide_length, **align_kwargs,
+            guide_length=guide_length, threads=threads, **align_kwargs,
         ):
             for a in results:
                 hits.append(hit_builder.build(a))
     else:
-        for window in window_iterator(ref_file, window_size, step_size, chrom):
-            if len(window.bases) < guide_length:
-                continue
-            results = aligner.align(
+        from calitas_tpu.parallel.host_pool import map_windows
+
+        windows = (
+            w
+            for w in window_iterator(ref_file, window_size, step_size, chrom)
+            if len(w.bases) >= guide_length
+        )
+
+        def task(window):
+            return aligner.align(
                 query,
                 window.bases,
                 target_name=window.chrom,
                 target_offset=window.start - 1,
                 **align_kwargs,
             )
+
+        for window, results in map_windows(windows, task, threads):
             for a in results:
                 hits.append(hit_builder.build(a))
 
