@@ -130,6 +130,9 @@ def run(
     step_size = window_size - window_overlap
     logger.info("Aligning to reference genome without variants.")
 
+    from calitas_tpu.utils import ProgressLogger
+
+    progress = ProgressLogger(logger, noun="windows", verb="Processed", unit=25_000)
     use_tpu = _resolve_engine(engine)
     if use_tpu:
         from calitas_tpu.parallel.screen_runner import screened_contig_search
@@ -141,6 +144,7 @@ def run(
         ):
             for a in results:
                 hits.append(hit_builder.build(a))
+            progress.record(window.chrom, window.start)
     else:
         from calitas_tpu.parallel.host_pool import map_windows
 
@@ -162,6 +166,7 @@ def run(
         for window, results in map_windows(windows, task, threads):
             for a in results:
                 hits.append(hit_builder.build(a))
+            progress.record(window.chrom, window.start)
 
     logger.info("Reference windows processed.")
 
@@ -172,6 +177,9 @@ def run(
         from calitas_tpu.search.variants import variant_window_iterator, flank_and_absolutize
 
         padding = query.length - 1 + max_guide_diffs + max_gaps_between_guide_and_pam
+        vprogress = ProgressLogger(
+            logger, noun="variant windows", verb="Processed", unit=100_000
+        )
         for vwindow in variant_window_iterator(
             ref_file, variants, chrom, padding, max_variants
         ):
@@ -185,6 +193,7 @@ def run(
             absolute = flank_and_absolutize(relative, vwindow)
             for a in absolute:
                 hits.append(hit_builder.build(a, vwindow.variants))
+            vprogress.record(vwindow.chrom, vwindow.start)
         logger.info("Variant windows processed.")
 
     # ------------------------------------------------------------------
