@@ -6,7 +6,7 @@ model, contig-header rewriting, genotype stripping, and gzip support.
 from __future__ import annotations
 
 import gzip
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from pathlib import Path
 from typing import IO, Iterator, Optional, Sequence
 
