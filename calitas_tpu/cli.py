@@ -39,9 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
         "SearchReference",
         help="Searches a reference sequence for alignments of a guide+PAM.",
     )
-    sr.add_argument("-i", "--guide", required=True,
+    sr.add_argument("-i", "--guide", default=None,
                     help="Guide with PAM, PAM must be lower case.")
-    sr.add_argument("-I", "--guide-id", required=True, help="ID of the guide.")
+    sr.add_argument("-I", "--guide-id", default=None, help="ID of the guide.")
+    sr.add_argument("--guide-file", default=None,
+                    help="TSV of guides (columns: guide_id, guide, optional "
+                         "aux_pams comma-separated) searched in one pass with "
+                         "the genome staged on device once. Mutually "
+                         "exclusive with --guide/--guide-id.")
     sr.add_argument("-x", "--auxiliary-pams", nargs="*", default=[],
                     help="Additional PAM sequences. Must be lower case.")
     sr.add_argument("-r", "--ref", required=True, help="Reference genome fasta.")
@@ -113,6 +118,29 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _parse_guide_file(path: str) -> list[tuple[str, str, list[str]]]:
+    """Parse a guide TSV: columns guide_id, guide, optional aux_pams
+    (comma-separated)."""
+    specs = []
+    with open(path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        col = {name: i for i, name in enumerate(header)}
+        for req in ("guide_id", "guide"):
+            if req not in col:
+                raise SystemExit(f"--guide-file missing required column: {req}")
+        for line in fh:
+            if not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            aux: list[str] = []
+            if "aux_pams" in col and len(f) > col["aux_pams"] and f[col["aux_pams"]]:
+                aux = f[col["aux_pams"]].split(",")
+            specs.append((f[col["guide_id"]], f[col["guide"]], aux))
+    if not specs:
+        raise SystemExit(f"--guide-file contains no guides: {path}")
+    return specs
+
+
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(
         level=logging.INFO,
@@ -125,11 +153,20 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "SearchReference":
         from calitas_tpu.tools import search_reference
 
+        guide_specs = None
+        if args.guide_file is not None:
+            if args.guide is not None or args.guide_id is not None:
+                raise SystemExit("--guide-file is mutually exclusive with --guide/--guide-id")
+            guide_specs = _parse_guide_file(args.guide_file)
+        elif args.guide is None or args.guide_id is None:
+            raise SystemExit("Provide --guide and --guide-id, or --guide-file")
+
         search_reference.run(
             guide=args.guide,
             guide_id=args.guide_id,
             ref=args.ref,
             auxiliary_pams=args.auxiliary_pams,
+            guide_specs=guide_specs,
             variants=args.variants,
             max_variants=args.max_variants,
             output=args.output,

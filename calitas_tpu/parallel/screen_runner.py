@@ -4,15 +4,21 @@ The TPU-first execution strategy for SearchReference (SURVEY.md §2.10,
 §7): each contig's mask array is staged to device HBM once; the device
 extracts every search window, screens both strands with the exact int32
 DP kernel, and returns one flag per window.  Only flagged windows (hits
-are sparse — O(10^-3) of windows at default thresholds) are materialized
-with the reference's exact window semantics (N-trim, uppercase) and run
-through the host alignment engine.  Output is therefore bit-identical to
-the host-only path.
+are sparse at default thresholds) are materialized with the reference's
+exact window semantics (N-trim, uppercase) and run through the host
+alignment engine.  Output is therefore bit-identical to the host-only
+path.
+
+Multi-guide searches reuse the staged genome: the contig loop is outer,
+the guide loop inner, so the genome is uploaded once per contig no matter
+how many guides are searched (the reference JVM re-scans the genome per
+guide invocation).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -22,7 +28,96 @@ from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.align.guide_alignment import GuideAlignment
 from calitas_tpu.io.fasta import IndexedFasta
 from calitas_tpu.ops.genome_screen import GenomeScreen
+from calitas_tpu.parallel.host_pool import map_windows
 from calitas_tpu.search.windows import RefWindow, materialize_window
+
+
+@dataclass(frozen=True)
+class GuideTask:
+    """One guide's search parameters within a (possibly multi-guide) run."""
+
+    guide_id: str
+    guide: Guide
+    guide_length: int  # raw guide-string length (window length filter)
+    step_size: int  # window step for this guide's overlap math
+
+
+def screened_search(
+    fasta: IndexedFasta,
+    chrom: Optional[str],
+    tasks: Sequence[GuideTask],
+    aligner: SequentialAligner,
+    *,
+    window_size: int,
+    batch_windows: int = 8192,
+    threads: int = 1,
+    mesh=None,
+    swallow_errors: bool = False,
+    **align_kwargs,
+) -> Iterator[tuple[GuideTask, RefWindow, list[GuideAlignment]]]:
+    """Yield (task, window, alignments) for every window with hits;
+    contigs outer (staged once), guides inner."""
+    if mesh is not None and mesh.devices.size > 1:
+        from calitas_tpu.ops.genome_screen import ShardedGenomeScreen
+
+        screen: GenomeScreen = ShardedGenomeScreen(
+            aligner.scorer, mesh, window=window_size, batch_windows=batch_windows
+        )
+    else:
+        screen = GenomeScreen(
+            aligner.scorer, window=window_size, batch_windows=batch_windows
+        )
+
+    contigs = (
+        [(chrom, fasta.get_bases(chrom))] if chrom is not None else fasta.iter_contigs()
+    )
+    for name, bases in contigs:
+        if len(bases) < 2:
+            continue
+        genome_dev = screen.stage(bases)
+        for task in tasks:
+            guide = task.guide
+            min_score = aligner.min_guide_score(
+                guide, align_kwargs["max_guide_diffs"]
+            )
+            dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
+            flags = screen.screen_contig(
+                genome_dev, len(bases), task.step_size,
+                dp_query, revcomp(dp_query), min_score,
+            )
+            starts = screen.window_starts(len(bases), task.step_size)
+            candidates = (
+                materialize_window(name, bases, int(starts[i]), window_size)
+                for i in np.nonzero(flags)[0]
+            )
+            candidates = (
+                w for w in candidates if len(w.bases) >= task.guide_length
+            )
+
+            def align_window(w, _guide=guide):
+                try:
+                    return aligner.align(
+                        _guide,
+                        w.bases,
+                        target_name=w.chrom,
+                        target_offset=w.start - 1,
+                        **align_kwargs,
+                    )
+                except Exception as ex:
+                    # per-window exceptions are logged and swallowed, as in
+                    # the reference (SearchReference.scala:555-559)
+                    if not swallow_errors:
+                        raise
+                    import logging
+
+                    logging.getLogger("calitas_tpu.SearchReference").error(
+                        "Encountered an exception: %r", ex
+                    )
+                    return []
+
+            for w, results in map_windows(candidates, align_window, threads):
+                if results:
+                    yield task, w, results
 
 
 def screened_contig_search(
@@ -38,43 +133,13 @@ def screened_contig_search(
     threads: int = 1,
     **align_kwargs,
 ) -> Iterator[tuple[RefWindow, list[GuideAlignment]]]:
-    """Yield (window, alignments) for every window that produces hits,
-    in the same window order as the host path."""
-    screen = GenomeScreen(
-        aligner.scorer, window=window_size, batch_windows=batch_windows
+    """Single-guide convenience wrapper around :func:`screened_search`."""
+    task = GuideTask(
+        guide_id="", guide=guide, guide_length=guide_length, step_size=step_size
     )
-    min_score = aligner.min_guide_score(guide, align_kwargs["max_guide_diffs"])
-    dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
-    dp_query_rc = revcomp(dp_query)
-
-    contigs = (
-        [(chrom, fasta.get_bases(chrom))] if chrom is not None else fasta.iter_contigs()
-    )
-    for name, bases in contigs:
-        if len(bases) < 2:
-            continue
-        genome_dev = screen.stage(bases)
-        flags = screen.screen_contig(
-            genome_dev, len(bases), step_size, dp_query, dp_query_rc, min_score
-        )
-        starts = screen.window_starts(len(bases), step_size)
-        candidates = (
-            materialize_window(name, bases, int(starts[i]), window_size)
-            for i in np.nonzero(flags)[0]
-        )
-        candidates = (w for w in candidates if len(w.bases) >= guide_length)
-
-        def task(w):
-            return aligner.align(
-                guide,
-                w.bases,
-                target_name=w.chrom,
-                target_offset=w.start - 1,
-                **align_kwargs,
-            )
-
-        from calitas_tpu.parallel.host_pool import map_windows
-
-        for w, results in map_windows(candidates, task, threads):
-            if results:
-                yield w, results
+    for _, w, results in screened_search(
+        fasta, chrom, [task], aligner,
+        window_size=window_size, batch_windows=batch_windows, threads=threads,
+        **align_kwargs,
+    ):
+        yield w, results

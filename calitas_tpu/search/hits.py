@@ -258,7 +258,10 @@ def remove_overlaps(
     keepers: list[ReferenceHit] = []
     groups: dict[tuple, list[ReferenceHit]] = {}
     for h in hits:
-        key = (h.chromosome, h.strand, h.variant_description or "")
+        # guide_id is part of the key so multi-guide runs never dedup one
+        # guide's hits against another's (constant — hence identical to the
+        # reference's key — in single-guide runs).
+        key = (h.guide_id, h.chromosome, h.strand, h.variant_description or "")
         groups.setdefault(key, []).append(h)
 
     for hs in groups.values():

@@ -58,10 +58,11 @@ def core_parameters_string(
 
 
 def run(
-    guide: str,
-    guide_id: str,
-    ref: str | Path,
+    guide: Optional[str] = None,
+    guide_id: Optional[str] = None,
+    ref: str | Path = None,
     auxiliary_pams: Sequence[str] = (),
+    guide_specs: Optional[Sequence[tuple[str, str, Sequence[str]]]] = None,
     variants: Optional[str | Path] = None,
     max_variants: int = Defaults.MAX_VARIANTS_IN_CLUSTER,
     output: Optional[str | Path] = None,
@@ -100,17 +101,29 @@ def run(
         guide_mismatch_net_cost, pam_mismatch_net_cost, genome_gap_net_cost,
         guide_gap_net_cost,
     )
-    query = Guide.parse(guide, auxiliary_pams)
+    # One or many guides: a multi-guide run reuses the staged genome on
+    # device (extension over the reference, which is one guide per run).
+    if guide_specs is None:
+        if guide is None or guide_id is None:
+            raise ValueError("Provide either guide+guide_id or guide_specs")
+        guide_specs = [(guide_id, guide, tuple(auxiliary_pams))]
+    specs = [
+        (gid, gstr, Guide.parse(gstr, aux)) for gid, gstr, aux in guide_specs
+    ]
 
     hits: list[ReferenceHit] = []
-    hit_builder = HitBuilder(
-        guide_id=guide_id,
-        guide=query,
+    base_builder = HitBuilder(
+        guide_id=specs[0][0],
+        guide=specs[0][2],
         ref=ref_file,
         vcf=variants,
         aligner_id="CALITAS:SearchReference",
         arguments=arguments,
     )
+    builders = {specs[0][0]: base_builder}
+    for gid, _, g in specs[1:]:
+        b = base_builder.copy(guide_id=gid, guide=g)
+        builders[gid] = b
 
     align_kwargs = dict(
         max_guide_diffs=max_guide_diffs,
@@ -123,50 +136,69 @@ def run(
     # ------------------------------------------------------------------
     # Pass 1: the unaltered reference (SearchReference.scala:527-564)
     # ------------------------------------------------------------------
-    guide_length = len(guide)
-    window_overlap = (
-        guide_length + max_guide_diffs + max_gaps_between_guide_and_pam - 1
-    )
-    step_size = window_size - window_overlap
     logger.info("Aligning to reference genome without variants.")
 
     from calitas_tpu.utils import ProgressLogger
 
+    def step_for(guide_str: str) -> int:
+        window_overlap = (
+            len(guide_str) + max_guide_diffs + max_gaps_between_guide_and_pam - 1
+        )
+        return window_size - window_overlap
+
     progress = ProgressLogger(logger, noun="windows", verb="Processed", unit=25_000)
     use_tpu = _resolve_engine(engine)
     if use_tpu:
-        from calitas_tpu.parallel.screen_runner import screened_contig_search
+        from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
 
-        for window, results in screened_contig_search(
-            ref_file, chrom, query, aligner,
-            window_size=window_size, step_size=step_size,
-            guide_length=guide_length, threads=threads, **align_kwargs,
+        gtasks = [
+            GuideTask(
+                guide_id=gid, guide=g, guide_length=len(gstr),
+                step_size=step_for(gstr),
+            )
+            for gid, gstr, g in specs
+        ]
+        for gtask, window, results in screened_search(
+            ref_file, chrom, gtasks, aligner,
+            window_size=window_size, threads=threads, swallow_errors=True,
+            **align_kwargs,
         ):
+            b = builders[gtask.guide_id]
             for a in results:
-                hits.append(hit_builder.build(a))
+                hits.append(b.build(a))
             progress.record(window.chrom, window.start)
     else:
         from calitas_tpu.parallel.host_pool import map_windows
 
-        windows = (
-            w
-            for w in window_iterator(ref_file, window_size, step_size, chrom)
-            if len(w.bases) >= guide_length
-        )
-
-        def task(window):
-            return aligner.align(
-                query,
-                window.bases,
-                target_name=window.chrom,
-                target_offset=window.start - 1,
-                **align_kwargs,
+        for gid, gstr, g in specs:
+            guide_length = len(gstr)
+            windows = (
+                w
+                for w in window_iterator(
+                    ref_file, window_size, step_for(gstr), chrom
+                )
+                if len(w.bases) >= guide_length
             )
 
-        for window, results in map_windows(windows, task, threads):
-            for a in results:
-                hits.append(hit_builder.build(a))
-            progress.record(window.chrom, window.start)
+            def task(window, _g=g):
+                try:
+                    return aligner.align(
+                        _g,
+                        window.bases,
+                        target_name=window.chrom,
+                        target_offset=window.start - 1,
+                        **align_kwargs,
+                    )
+                except Exception as ex:
+                    # logged and swallowed (SearchReference.scala:555-559)
+                    logger.error("Encountered an exception: %r", ex)
+                    return []
+
+            b = builders[gid]
+            for window, results in map_windows(windows, task, threads):
+                for a in results:
+                    hits.append(b.build(a))
+                progress.record(window.chrom, window.start)
 
     logger.info("Reference windows processed.")
 
@@ -176,24 +208,28 @@ def run(
     if variants is not None:
         from calitas_tpu.search.variants import variant_window_iterator, flank_and_absolutize
 
-        padding = query.length - 1 + max_guide_diffs + max_gaps_between_guide_and_pam
         vprogress = ProgressLogger(
             logger, noun="variant windows", verb="Processed", unit=100_000
         )
-        for vwindow in variant_window_iterator(
-            ref_file, variants, chrom, padding, max_variants
-        ):
-            relative = aligner.align(
-                query,
-                vwindow.bases,
-                target_name=vwindow.chrom,
-                target_offset=0,
-                **align_kwargs,
+        for gid, gstr, g in specs:
+            padding = (
+                g.length - 1 + max_guide_diffs + max_gaps_between_guide_and_pam
             )
-            absolute = flank_and_absolutize(relative, vwindow)
-            for a in absolute:
-                hits.append(hit_builder.build(a, vwindow.variants))
-            vprogress.record(vwindow.chrom, vwindow.start)
+            b = builders[gid]
+            for vwindow in variant_window_iterator(
+                ref_file, variants, chrom, padding, max_variants
+            ):
+                relative = aligner.align(
+                    g,
+                    vwindow.bases,
+                    target_name=vwindow.chrom,
+                    target_offset=0,
+                    **align_kwargs,
+                )
+                absolute = flank_and_absolutize(relative, vwindow)
+                for a in absolute:
+                    hits.append(b.build(a, vwindow.variants))
+                vprogress.record(vwindow.chrom, vwindow.start)
         logger.info("Variant windows processed.")
 
     # ------------------------------------------------------------------

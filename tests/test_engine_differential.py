@@ -1,0 +1,58 @@
+"""Randomized end-to-end differential: the TPU-screened engine must emit
+tables identical (modulo time_stamp) to the host-only engine."""
+
+import numpy as np
+import pytest
+
+from calitas_tpu.core.sequence import revcomp
+from calitas_tpu.io.fasta import ReferenceSetBuilder
+from calitas_tpu.tools import search_reference
+
+
+def table_without_timestamp(path):
+    rows = []
+    with open(path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        ts = header.index("time_stamp")
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            f[ts] = ""
+            rows.append(tuple(f))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engines_identical_on_random_genomes(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    proto = "".join(rng.choice(list("ACGT"), 20))
+    guide = proto + "nrg"
+
+    genome = list("".join(rng.choice(list("ACGT"), 120_000)))
+    # plant several mutated copies on both strands
+    for _ in range(8):
+        pos = int(rng.integers(100, 118_000))
+        site = list(proto)
+        for _ in range(int(rng.integers(0, 5))):
+            i = int(rng.integers(0, len(site)))
+            site[i] = rng.choice([c for c in "ACGT" if c != site[i]])
+        seq = "".join(site) + rng.choice(["TGG", "GAG", "CGG"])
+        if rng.random() < 0.5:
+            seq = revcomp(seq)
+        genome[pos : pos + len(seq)] = list(seq)
+
+    b = ReferenceSetBuilder(assembly=f"fuzz{seed}")
+    b.add("chr1").add("".join(genome))
+    ref = b.to_file(tmp_path / "ref.fa")
+
+    out_host = tmp_path / "host.txt"
+    out_tpu = tmp_path / "tpu.txt"
+    search_reference.run(
+        guide=guide, guide_id="g", ref=ref, output=out_host, engine="host"
+    )
+    search_reference.run(
+        guide=guide, guide_id="g", ref=ref, output=out_tpu, engine="tpu"
+    )
+    host_rows = table_without_timestamp(out_host)
+    tpu_rows = table_without_timestamp(out_tpu)
+    assert host_rows == tpu_rows
+    assert len(host_rows) > 0  # planted sites must be found
