@@ -46,7 +46,7 @@ def main() -> None:
 
     n_windows = max((G - 1) // step, 1)
     n_batches = -(-n_windows // batch_windows)
-    need = (n_batches * batch_windows - 1) * step + window
+    need = (n_batches * batch_windows - 1) * step + window + step
 
     # Generate the genome's mask array directly on device: pure arithmetic
     # (1 << hash2bits) — table gathers are pathological on TPU.
