@@ -13,15 +13,15 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Sequence
 
-from calitas_tpu import __version__
+from calitas_tpu.version import aligner_version
 from calitas_tpu.core.cigar import Cigar
 from calitas_tpu.core.guide import Guide
 from calitas_tpu.core.sequence import revcomp
 from calitas_tpu.align.guide_alignment import GuideAlignment
 from calitas_tpu.io.fasta import IndexedFasta, SequenceDictionary
 
-#: aligner_version fallback format mirrors EditasMetric.scala:13
-ALIGNER_VERSION = __version__
+#: version string in the reference's yyyyMMdd-sha format (EditasMetric.scala:13)
+ALIGNER_VERSION = aligner_version()
 
 
 @dataclass(frozen=True)

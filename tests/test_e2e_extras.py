@@ -1,0 +1,104 @@
+"""Extra end-to-end coverage: 5'-PAM guides, auxiliary PAMs, chromosome
+restriction, custom scoring, custom window size."""
+
+import pytest
+
+from calitas_tpu.core.sequence import revcomp
+from calitas_tpu.io.fasta import ReferenceSetBuilder
+from calitas_tpu.io.tsv import read_metrics
+from calitas_tpu.search.hits import ReferenceHit
+from calitas_tpu.tools import search_reference
+
+FIVE_PRIME_GUIDE = "tttvGACCAACATGATGAAACTCT"  # 5' PAM tttv
+SITE_5P = "TTTG" + "GACCAACATGATGAAACTCT"
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    b = ReferenceSetBuilder(assembly="x")
+    c = b.add("chr1")
+    c.add("GCAT" * 100)
+    c.add(SITE_5P)  # + strand 5'-PAM site
+    c.add("TGCA" * 100)
+    c.add(revcomp(SITE_5P))  # - strand site
+    c.add("GGTA" * 100)
+    c2 = b.add("chr2")
+    c2.add("ATCG" * 100)
+    c2.add(SITE_5P)
+    c2.add("CGAT" * 100)
+    return b.to_file(tmp_path_factory.mktemp("e2e") / "ref.fa")
+
+
+@pytest.mark.parametrize("engine", ["host", "tpu"])
+def test_five_prime_pam_search(ref, tmp_path, engine):
+    out = tmp_path / f"5p.{engine}.txt"
+    search_reference.run(
+        guide=FIVE_PRIME_GUIDE, guide_id="g5", ref=ref, output=out,
+        engine=engine,
+    )
+    hits = read_metrics(out, ReferenceHit)
+    by_chrom_strand = {(h.chromosome, h.strand) for h in hits}
+    assert ("chr1", "+") in by_chrom_strand
+    assert ("chr1", "-") in by_chrom_strand
+    assert ("chr2", "+") in by_chrom_strand
+    for h in hits:
+        if h.total_mm_plus_gaps == 0 and h.pam_mm == 0:
+            assert h.pam_used == "tttv"
+            assert h.aligner_search_pam == "tttv"
+
+
+def test_chrom_restriction(ref, tmp_path):
+    out = tmp_path / "chr2.txt"
+    search_reference.run(
+        guide=FIVE_PRIME_GUIDE, guide_id="g5", ref=ref, output=out,
+        chrom="chr2", engine="host",
+    )
+    hits = read_metrics(out, ReferenceHit)
+    assert hits and all(h.chromosome == "chr2" for h in hits)
+
+
+def test_aux_pams_search(tmp_path):
+    b = ReferenceSetBuilder()
+    c = b.add("c")
+    c.add("TTTT" * 50)
+    c.add("CTTGCCCCACAGGGCAGTAA" + "TTG")  # only matches aux pam ntg
+    c.add("AAAC" * 50)
+    ref = b.to_file(tmp_path / "ref.fa")
+    out = tmp_path / "out.txt"
+    search_reference.run(
+        guide="CTTGCCCCACAGGGCAGTAAnrg", guide_id="g", ref=ref, output=out,
+        auxiliary_pams=["ntg"], engine="host", max_pam_mismatches=0,
+    )
+    hits = read_metrics(out, ReferenceHit)
+    perfect = [h for h in hits if h.total_mm_plus_gaps == 0]
+    assert perfect and perfect[0].pam_used == "ntg"
+    assert perfect[0].aligner_search_pam == "nrg,ntg"
+
+
+def test_custom_scoring_and_window(tmp_path):
+    b = ReferenceSetBuilder()
+    c = b.add("c")
+    c.add("GGCC" * 200)
+    c.add("CTTGCCCCACAGGGCAGTAATGG")
+    c.add("CCGG" * 200)
+    ref = b.to_file(tmp_path / "ref.fa")
+    out = tmp_path / "out.txt"
+    search_reference.run(
+        guide="CTTGCCCCACAGGGCAGTAAnrg", guide_id="g", ref=ref, output=out,
+        window_size=500, guide_mismatch_net_cost=-100,
+        pam_mismatch_net_cost=-200, engine="host",
+    )
+    hits = read_metrics(out, ReferenceHit)
+    assert len(hits) == 1
+    # perfect score under custom costs: 20*(100//2) + 3*(200//2)
+    assert hits[0].score == 20 * 50 + 3 * 100
+    assert "guide-mismatch-net-cost=-100" in hits[0].aligner_other_parameters
+    assert "window-size=500" in hits[0].aligner_other_parameters
+
+
+def test_version_format():
+    from calitas_tpu.version import aligner_version
+
+    v = aligner_version()
+    # yyyyMMdd-sha[-dirty] or fallback
+    assert len(v) >= 8
