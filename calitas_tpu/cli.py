@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Examine only the named chromosome.")
     sr.add_argument("--engine", choices=["auto", "host", "tpu"], default="auto",
                     help="Execution engine (auto: TPU screen when available).")
+    sr.add_argument("--profile-dir", default=None,
+                    help="Write a JAX profiler trace of the run to this directory.")
 
     # --------------------------------------------------------- AlignToReference
     ar = sub.add_parser(
@@ -183,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
             guide_gap_net_cost=args.guide_gap_net_cost,
             chrom=args.chrom,
             engine=args.engine,
+            profile_dir=args.profile_dir,
         )
     elif cmd == "AlignToReference":
         from calitas_tpu.tools import align_to_reference

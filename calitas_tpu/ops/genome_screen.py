@@ -191,6 +191,9 @@ class GenomeScreen:
             )
         s = self.scorer
         Q = len(dp_query)
+        # Long guides exceed the pallas unroll budget; the XLA screen
+        # handles any Q.
+        use_pallas = self.use_pallas and Q <= 48
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
         qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
         best = _screen_genome(
@@ -198,7 +201,7 @@ class GenomeScreen:
             window=self.window, step=step, batch_windows=bw, n_batches=n_batches,
             Q=Q, match=s.match_score, mismatch=s.mismatch_score,
             qgap=s.query_gap_score, tgap=s.target_gap_score,
-            use_pallas=self.use_pallas,
+            use_pallas=use_pallas,
         )
         return np.asarray(best[:n]) >= min_score
 

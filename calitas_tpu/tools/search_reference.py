@@ -79,7 +79,15 @@ def run(
     guide_gap_net_cost: int = Defaults.GUIDE_GAP_NET_COST,
     chrom: Optional[str] = None,
     engine: str = "auto",  # 'auto' | 'host' | 'tpu'
+    profile_dir: Optional[str] = None,
 ) -> None:
+    import time as _time
+
+    run_start = _time.perf_counter()
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     ref = Path(ref)
     dictionary = extract_dictionary(ref)  # required (SearchReference.scala:478-484)
     ref_file = IndexedFasta(ref)
@@ -252,6 +260,18 @@ def run(
     writer.close()
     if out_fh is not sys.stdout:
         out_fh.close()
+
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+    elapsed = _time.perf_counter() - run_start
+    total_bases = sum(e.length for e in dictionary) if dictionary else 0
+    logger.info(
+        "Done: %d guides, %s genome bases, %d raw hits, %d kept, %.1fs (%.2g bases/s).",
+        len(specs), f"{total_bases:,}", len(hits), len(keepers), elapsed,
+        (total_bases * len(specs)) / elapsed if elapsed > 0 else 0.0,
+    )
 
 
 def _resolve_engine(engine: str) -> bool:
