@@ -167,3 +167,90 @@ class PallasScreenKernelV2:
             interpret=self.interpret,
         )
         return np.asarray(out).reshape(-1)[:B]
+
+
+# ---------------------------------------------------------------------------
+# Dual-query fused kernel: both search strands in one pass over the block
+# ---------------------------------------------------------------------------
+
+def _kernel2(
+    qvals_ref,  # [2, Q] int32 in SMEM: fw and rc query masks
+    tcols_ref,  # [T, SUBLANES, LANES] uint8 or int32 target masks
+    best_ref,  # [SUBLANES, LANES] int32 out: max over both queries
+    *,
+    T: int,
+    Q: int,
+    match: int,
+    mismatch: int,
+    qgap: int,
+    tgap: int,
+):
+    zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
+    init = tuple(
+        jnp.full((SUBLANES, LANES), i * tgap, jnp.int32) for i in range(Q + 1)
+    )
+    best0 = jnp.full((SUBLANES, LANES), NEG_INF, jnp.int32)
+    m = jnp.int32(match)
+    mm = jnp.int32(mismatch)
+    qg = jnp.int32(qgap)
+    tg = jnp.int32(tgap)
+
+    def chain(state, tcol, q):
+        new = [zeros]
+        diag_in = state[0]
+        for i in range(1, Q + 1):
+            qi = qvals_ref[q, i - 1]
+            pair = jnp.where((tcol & qi) != 0, m, mm)
+            cand = jnp.maximum(diag_in + pair, state[i] + qg)
+            cand = jnp.maximum(cand, new[i - 1] + tg)
+            diag_in = state[i]
+            new.append(cand)
+        return tuple(new)
+
+    def body(j, carry):
+        s_fw, s_rc, best = carry
+        tcol = tcols_ref[j].astype(jnp.int32)
+        n_fw = chain(s_fw, tcol, 0)
+        n_rc = chain(s_rc, tcol, 1)
+        best = jnp.maximum(best, jnp.maximum(n_fw[Q], n_rc[Q]))
+        return n_fw, n_rc, best
+
+    # all columns are valid (the caller always packs full-length windows)
+    _, _, best = jax.lax.fori_loop(0, T, body, (init, init, best0))
+    best_ref[:, :] = best
+
+
+@partial(
+    jax.jit,
+    static_argnames=("Q", "match", "mismatch", "qgap", "tgap", "interpret"),
+)
+def _pallas_screen_dual(
+    qvals, tcols, *, Q, match, mismatch, qgap, tgap, interpret=False
+):
+    """Fused both-strand screen: returns [n_blocks*8, 128] int32 of
+    max(best_fw, best_rc) per window.  All windows are full length."""
+    T = tcols.shape[0]
+    n_blocks = tcols.shape[1] // SUBLANES
+    kernel = partial(
+        _kernel2, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (T, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * SUBLANES, LANES), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * T * Q * n_blocks * BLOCK_W,
+            bytes_accessed=T * n_blocks * BLOCK_W * 4,
+            transcendentals=0,
+        ),
+    )(qvals, tcols)

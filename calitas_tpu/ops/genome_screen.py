@@ -100,13 +100,18 @@ def _screen_genome(
             genome, b * batch_windows * step, batch_windows, step, window
         )  # [bw, T] uint8
         if use_pallas:
+            from calitas_tpu.ops.dp_pallas2 import _pallas_screen_dual
+
             tcols = (
                 wins.T.astype(jnp.int32).reshape(
                     window, batch_windows // LANES, LANES
                 )
             )
-            best_fw = _pallas_screen2(qv_fw, tcols, lens, **kw)
-            best_rc = _pallas_screen2(qv_rc, tcols, lens, **kw)
+            qv2 = jnp.concatenate([qv_fw, qv_rc], axis=0)
+            best = _pallas_screen_dual(qv2, tcols, **kw)
+            return jax.lax.dynamic_update_slice(
+                out, best.reshape(batch_windows), (b * batch_windows,)
+            )
         else:
             from calitas_tpu.ops.dp_screen import _screen_scores
 
@@ -229,12 +234,13 @@ def make_sharded_screen(mesh, *, window, step, batch_windows, Q,
         # so windows come from contiguous reshapes, not a gather
         wins = extract_window_grid(genome, starts[0], local_bw, step, window)
         if use_pallas:
-            lens = jnp.full((local_bw // LANES, LANES), window, jnp.int32)
+            from calitas_tpu.ops.dp_pallas2 import _pallas_screen_dual
+
             tcols = wins.T.astype(jnp.int32).reshape(
                 window, local_bw // LANES, LANES
             )
-            best_fw = _pallas_screen2(qv_fw, tcols, lens, **kw)
-            best_rc = _pallas_screen2(qv_rc, tcols, lens, **kw)
+            qv2 = jnp.concatenate([qv_fw, qv_rc], axis=0)
+            return _pallas_screen_dual(qv2, tcols, **kw).reshape(local_bw)
         else:
             from calitas_tpu.ops.dp_screen import _screen_scores
 
