@@ -29,7 +29,7 @@ OUT = Path(__file__).resolve().parent / "out"
 
 def synth_genome(n: int, seed: int, plant: int = 40) -> str:
     rng = np.random.default_rng(seed)
-    genome = list("".join(rng.choice(list("ACGT"), n)))
+    arr = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, n)]
     for _ in range(plant):
         pos = int(rng.integers(100, n - 100))
         site = list(PROTO)
@@ -39,8 +39,8 @@ def synth_genome(n: int, seed: int, plant: int = 40) -> str:
         seq = "".join(site) + rng.choice(["TGG", "AAG", "CGG"])
         if rng.random() < 0.5:
             seq = revcomp(seq)
-        genome[pos : pos + len(seq)] = list(seq)
-    return "".join(genome)
+        arr[pos : pos + len(seq)] = np.frombuffer(seq.encode(), dtype=np.uint8)
+    return arr.tobytes().decode("ascii")
 
 
 def build_ref(n: int, seed: int, name: str) -> Path:

@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Execution engine (auto: TPU screen when available).")
     sr.add_argument("--profile-dir", default=None,
                     help="Write a JAX profiler trace of the run to this directory.")
+    sr.add_argument("--checkpoint", default=None,
+                    help="Checkpoint state file: completed contigs are recorded "
+                         "durably and skipped on resume.")
 
     # --------------------------------------------------------- AlignToReference
     ar = sub.add_parser(
@@ -186,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
             chrom=args.chrom,
             engine=args.engine,
             profile_dir=args.profile_dir,
+            checkpoint=args.checkpoint,
         )
     elif cmd == "AlignToReference":
         from calitas_tpu.tools import align_to_reference

@@ -1,0 +1,79 @@
+"""Checkpoint/resume for long genome searches.
+
+An extension over the reference (which is single-shot, SURVEY.md §5):
+after each contig completes (both passes, all guides), its raw hits are
+appended durably to a JSONL state file.  A resumed run skips completed
+contigs, reuses the original run-start timestamp, and produces a final
+table identical to an uninterrupted run (the global dedup+sort happen at
+the end over loaded + new hits).
+
+File format (JSON lines):
+  {"meta": {"fingerprint": ..., "timestamp": ...}}
+  {"chrom": "chr1", "hits": [{...ReferenceHit fields...}, ...]}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+from calitas_tpu.search.hits import ReferenceHit
+
+
+class CheckpointState:
+    def __init__(self, path: Path, fingerprint: str):
+        self.path = path
+        self.fingerprint = fingerprint
+        self.done: set[str] = set()
+        self.hits: list[ReferenceHit] = []
+        self.timestamp: Optional[str] = None
+        self._fh = None
+
+    @classmethod
+    def open(cls, path: str | Path, fingerprint: str) -> "CheckpointState":
+        state = cls(Path(path), fingerprint)
+        if state.path.exists():
+            with open(state.path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    if "meta" in rec:
+                        meta = rec["meta"]
+                        if meta.get("fingerprint") != fingerprint:
+                            raise ValueError(
+                                f"Checkpoint {path} was created with different "
+                                "search parameters; refusing to resume."
+                            )
+                        state.timestamp = meta.get("timestamp")
+                    else:
+                        state.done.add(rec["chrom"])
+                        state.hits.extend(
+                            ReferenceHit(**h) for h in rec["hits"]
+                        )
+        state._fh = open(state.path, "a")
+        if not state.done and state.timestamp is None and state._fh.tell() == 0:
+            pass  # meta written via set_timestamp
+        return state
+
+    def set_timestamp(self, timestamp: str) -> None:
+        self.timestamp = timestamp
+        self._write({"meta": {"fingerprint": self.fingerprint, "timestamp": timestamp}})
+
+    def is_done(self, chrom: str) -> bool:
+        return chrom in self.done
+
+    def record(self, chrom: str, hits: list[ReferenceHit]) -> None:
+        self._write(
+            {"chrom": chrom, "hits": [dataclasses.asdict(h) for h in hits]}
+        )
+        self.done.add(chrom)
+
+    def _write(self, rec: dict) -> None:
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        os.fsync(self._fh.fileno())

@@ -80,6 +80,7 @@ def run(
     chrom: Optional[str] = None,
     engine: str = "auto",  # 'auto' | 'host' | 'tpu'
     profile_dir: Optional[str] = None,
+    checkpoint: Optional[str | Path] = None,
 ) -> None:
     import time as _time
 
@@ -156,6 +157,59 @@ def run(
 
     progress = ProgressLogger(logger, noun="windows", verb="Processed", unit=25_000)
     use_tpu = _resolve_engine(engine)
+
+    if checkpoint is not None:
+        from calitas_tpu.search.checkpoint import CheckpointState
+
+        fingerprint = "|".join(
+            [arguments, str(ref)] + sorted(gid + ":" + gstr for gid, gstr, _ in specs)
+        )
+        state = CheckpointState.open(checkpoint, fingerprint)
+        if state.timestamp is not None:
+            # Resumed rows keep the original run-start timestamp.
+            for b in builders.values():
+                b.timestamp = state.timestamp
+        else:
+            state.set_timestamp(base_builder.timestamp)
+        hits.extend(state.hits)
+        contig_list = [chrom] if chrom is not None else ref_file.names
+        for name in contig_list:
+            if state.is_done(name):
+                logger.info("Checkpoint: skipping completed contig %s.", name)
+                continue
+            contig_hits: list[ReferenceHit] = []
+            _run_both_passes(
+                name, contig_hits, specs, builders, aligner, ref_file,
+                variants, max_variants, window_size, step_for, use_tpu,
+                threads, align_kwargs, progress, logger,
+            )
+            state.record(name, contig_hits)
+            hits.extend(contig_hits)
+        _finalize(
+            hits, max_overlap, dictionary, output, profile_dir, run_start,
+            specs, logger,
+        )
+        return
+    _run_both_passes(
+        chrom, hits, specs, builders, aligner, ref_file, variants,
+        max_variants, window_size, step_for, use_tpu, threads,
+        align_kwargs, progress, logger,
+    )
+    _finalize(
+        hits, max_overlap, dictionary, output, profile_dir, run_start,
+        specs, logger,
+    )
+
+
+def _run_both_passes(
+    chrom, hits, specs, builders, aligner, ref_file, variants, max_variants,
+    window_size, step_for, use_tpu, threads, align_kwargs, progress, logger,
+):
+    """Both search passes (reference windows + variant windows) for one
+    chromosome restriction (or the whole genome when chrom is None),
+    appending ReferenceHits to ``hits``."""
+    from calitas_tpu.utils import ProgressLogger
+
     if use_tpu:
         from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
 
@@ -177,6 +231,7 @@ def run(
             progress.record(window.chrom, window.start)
     else:
         from calitas_tpu.parallel.host_pool import map_windows
+        from calitas_tpu.search.windows import window_iterator
 
         for gid, gstr, g in specs:
             guide_length = len(gstr)
@@ -219,10 +274,10 @@ def run(
         vprogress = ProgressLogger(
             logger, noun="variant windows", verb="Processed", unit=100_000
         )
+        max_guide_diffs = align_kwargs["max_guide_diffs"]
+        max_gaps = align_kwargs["max_gaps_between_guide_and_pam"]
         for gid, gstr, g in specs:
-            padding = (
-                g.length - 1 + max_guide_diffs + max_gaps_between_guide_and_pam
-            )
+            padding = g.length - 1 + max_guide_diffs + max_gaps
             b = builders[gid]
             for vwindow in variant_window_iterator(
                 ref_file, variants, chrom, padding, max_variants
@@ -240,9 +295,13 @@ def run(
                 vprogress.record(vwindow.chrom, vwindow.start)
         logger.info("Variant windows processed.")
 
-    # ------------------------------------------------------------------
-    # Sort, filter, output (SearchReference.scala:637-648)
-    # ------------------------------------------------------------------
+
+def _finalize(
+    hits, max_overlap, dictionary, output, profile_dir, run_start, specs, logger
+):
+    """Global dedup, sort, write, stats (SearchReference.scala:637-648)."""
+    import time as _time
+
     logger.info("Sorting and Outputting.")
     keepers = remove_overlaps(hits, max_overlap, dictionary)
 

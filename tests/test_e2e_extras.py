@@ -102,3 +102,67 @@ def test_version_format():
     v = aligner_version()
     # yyyyMMdd-sha[-dirty] or fallback
     assert len(v) >= 8
+
+
+class TestCheckpoint:
+    def test_resume_produces_identical_table(self, tmp_path):
+        from calitas_tpu.io.fasta import ReferenceSetBuilder
+        from calitas_tpu.io.tsv import read_metrics
+        from calitas_tpu.search.hits import ReferenceHit
+        from calitas_tpu.tools import search_reference
+
+        b = ReferenceSetBuilder(assembly="ck")
+        b.add("c1").add("AAGG" * 100).add("CTTGCCCCACAGGGCAGTAATGG").add("GGTT" * 100)
+        b.add("c2").add("CCAA" * 100).add("CTTGCCCCACAGGGCAGTAACGG").add("TTGG" * 100)
+        ref = b.to_file(tmp_path / "ref.fa")
+        guide = "CTTGCCCCACAGGGCAGTAAnrg"
+
+        # plain run
+        plain = tmp_path / "plain.txt"
+        search_reference.run(guide=guide, guide_id="g", ref=ref, output=plain,
+                             engine="host")
+
+        # checkpointed run interrupted after first contig: simulate by
+        # monkeypatching record to raise after c1
+        ck = tmp_path / "state.jsonl"
+        from calitas_tpu.search.checkpoint import CheckpointState
+
+        orig_record = CheckpointState.record
+
+        def bomb(self, chrom, hits):
+            orig_record(self, chrom, hits)
+            if chrom == "c1":
+                raise RuntimeError("simulated crash")
+
+        CheckpointState.record = bomb
+        out1 = tmp_path / "part.txt"
+        try:
+            search_reference.run(guide=guide, guide_id="g", ref=ref,
+                                 output=out1, engine="host", checkpoint=ck)
+        except RuntimeError:
+            pass
+        finally:
+            CheckpointState.record = orig_record
+
+        # resume
+        out2 = tmp_path / "resumed.txt"
+        search_reference.run(guide=guide, guide_id="g", ref=ref, output=out2,
+                             engine="host", checkpoint=ck)
+
+        resumed = read_metrics(out2, ReferenceHit)
+        plain_hits = read_metrics(plain, ReferenceHit)
+        key = lambda h: (h.chromosome, h.coordinate_start, h.strand, h.score, h.cigar)
+        assert sorted(map(key, resumed)) == sorted(map(key, plain_hits))
+        assert len(resumed) >= 2
+
+    def test_fingerprint_mismatch_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from calitas_tpu.search.checkpoint import CheckpointState
+
+        ck = tmp_path / "s.jsonl"
+        s = CheckpointState.open(ck, "fp1")
+        s.set_timestamp("t")
+        s.record("c1", [])
+        with _pytest.raises(ValueError):
+            CheckpointState.open(ck, "fp2")
