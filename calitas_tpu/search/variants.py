@@ -367,3 +367,72 @@ def flank_and_absolutize(
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Device screening of variant windows
+# ---------------------------------------------------------------------------
+
+def screened_variant_windows(
+    window_iter,
+    aligner,
+    guide,
+    min_score: int,
+    *,
+    slot: int = 512,
+    batch_slots: int = 2048,
+):
+    """Yield only variant windows that can contain a hit.
+
+    Variant windows are packed into fixed ``slot``-byte device rows
+    (zero-padded; windows longer than the slot pass through unscreened)
+    and screened with the exact batched DP on both strands.  Flags are a
+    conservative superset — zero padding only adds candidate end columns —
+    so yielding flagged windows preserves output exactly.
+    """
+    import numpy as np
+
+    from calitas_tpu.core.sequence import TARGET_MASK_TABLE, revcomp
+    from calitas_tpu.ops.dp_screen import ScreenKernel
+    from calitas_tpu.ops.dp_pallas2 import PallasScreenKernelV2
+    from calitas_tpu.ops.genome_screen import default_device_platform
+
+    dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
+    from calitas_tpu.core.sequence import encode_query
+
+    qmask_fw = encode_query(dp_query)
+    qmask_rc = encode_query(revcomp(dp_query))
+
+    if default_device_platform() == "tpu" and PallasScreenKernelV2.supports(
+        len(qmask_fw)
+    ):
+        kernel = PallasScreenKernelV2(aligner.scorer)
+    else:
+        kernel = ScreenKernel(aligner.scorer)
+
+    batch: list = []
+
+    def flush():
+        if not batch:
+            return
+        tmasks = np.zeros((batch_slots, slot), dtype=np.uint8)
+        lengths = np.zeros(batch_slots, dtype=np.int32)
+        for i, w in enumerate(batch):
+            masks = TARGET_MASK_TABLE[w.bases]
+            tmasks[i, : len(masks)] = masks
+            lengths[i] = len(masks)
+        best_fw = kernel.max_scores(qmask_fw, tmasks, lengths)
+        best_rc = kernel.max_scores(qmask_rc, tmasks, lengths)
+        for i, w in enumerate(batch):
+            if best_fw[i] >= min_score or best_rc[i] >= min_score:
+                yield w
+        batch.clear()
+
+    for w in window_iter:
+        if w.length > slot:
+            yield w  # too long for a slot; align unscreened
+            continue
+        batch.append(w)
+        if len(batch) == batch_slots:
+            yield from flush()
+    yield from flush()

@@ -279,9 +279,17 @@ def _run_both_passes(
         for gid, gstr, g in specs:
             padding = g.length - 1 + max_guide_diffs + max_gaps
             b = builders[gid]
-            for vwindow in variant_window_iterator(
+            vwindows = variant_window_iterator(
                 ref_file, variants, chrom, padding, max_variants
-            ):
+            )
+            if use_tpu:
+                from calitas_tpu.search.variants import screened_variant_windows
+
+                vwindows = screened_variant_windows(
+                    vwindows, aligner, g,
+                    aligner.min_guide_score(g, max_guide_diffs),
+                )
+            for vwindow in vwindows:
                 relative = aligner.align(
                     g,
                     vwindow.bases,

@@ -109,7 +109,7 @@ class TestSearchReference:
         assert hits[1].coordinate_start == 4
         assert hits[1].padded_alignment == "||||||||||||||||||||."
 
-    @pytest.mark.parametrize("engine", ["host"])
+    @pytest.mark.parametrize("engine", ["host", "tpu"])
     def test_flanks_ref_and_variant_windows(self, tmp_path, engine):  # :94-147
         query = "GCGTCACGGTCGAGCGATTGnrg"
         b = ReferenceSetBuilder()
