@@ -1,0 +1,126 @@
+"""IO-layer tests: indexed FASTA, dictionaries, metric TSV, VCF."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from calitas_tpu.io.fasta import (
+    IndexedFasta,
+    ReferenceSetBuilder,
+    SequenceDictionary,
+    extract_dictionary,
+)
+from calitas_tpu.io.vcf import VcfReader, VcfWriter, VcfHeader, PASSING_FILTERS
+from calitas_tpu.io.tsv import MetricWriter, read_metrics, format_value
+
+
+class TestIndexedFasta:
+    @pytest.fixture()
+    def fa(self, tmp_path):
+        b = ReferenceSetBuilder(assembly="asm1", line_length=10)
+        b.add("c1").add("ACGTACGTACGTACGTACGTAC")  # 22bp over 3 lines
+        b.add("c2").add("TTTTGGGG")
+        return IndexedFasta(b.to_file(tmp_path / "r.fa"))
+
+    def test_subsequence_across_lines(self, fa):
+        assert fa.get_subsequence("c1", 1, 22) == b"ACGTACGTACGTACGTACGTAC"
+        assert fa.get_subsequence("c1", 7, 14) == b"GTACGTAC"  # spans a newline
+        assert fa.get_subsequence("c2", 4, 5) == b"TG"
+
+    def test_bounds(self, fa):
+        with pytest.raises(ValueError):
+            fa.get_subsequence("c1", 0, 5)
+        with pytest.raises(ValueError):
+            fa.get_subsequence("c1", 1, 23)
+        with pytest.raises(KeyError):
+            fa.get_subsequence("nope", 1, 2)
+
+    def test_dictionary(self, fa):
+        d = fa.dictionary
+        assert d is not None
+        assert d.index("c1") == 0 and d.index("c2") == 1
+        assert d.index("unknown") == -1
+        assert d.assembly == "asm1"
+        assert d.get("c1").length == 22
+
+    def test_iter_contigs(self, fa):
+        names = [n for n, _ in fa.iter_contigs()]
+        assert names == ["c1", "c2"]
+
+    def test_extract_dictionary_requires_dict(self, tmp_path):
+        (tmp_path / "x.fa").write_text(">a\nACGT\n")
+        with pytest.raises(FileNotFoundError):
+            extract_dictionary(tmp_path / "x.fa")
+
+
+class TestMetricTsv:
+    def test_format_value(self):
+        assert format_value(None) == ""
+        assert format_value(0.5) == "0.5"
+        assert format_value(3) == "3"
+        assert format_value("x") == "x"
+
+    def test_roundtrip(self, tmp_path):
+        from dataclasses import dataclass
+        from typing import Optional
+
+        @dataclass
+        class Row:
+            a: str
+            b: int
+            c: Optional[float]
+
+        p = tmp_path / "m.tsv"
+        with open(p, "w") as fh:
+            w = MetricWriter(fh, Row)
+            w.write(Row("x", 1, 0.25))
+            w.write(Row("y", 2, None))
+        rows = read_metrics(p, Row)
+        assert rows == [Row("x", 1, 0.25), Row("y", 2, None)]
+
+
+class TestVcf:
+    def test_gzip_roundtrip(self, tmp_path):
+        header = VcfHeader(lines=["##fileformat=VCFv4.2"], samples=[])
+        p = tmp_path / "x.vcf.gz"
+        w = VcfWriter(p, header)
+        from calitas_tpu.io.vcf import VcfVariant
+
+        w.write(
+            VcfVariant(
+                chrom="1", pos=5, id="rs1", ref="A", alts=("C",), qual="50",
+                filters=frozenset({"PASS"}), info=(("AF", "0.5"),),
+            )
+        )
+        w.close()
+        with gzip.open(p, "rt") as fh:
+            assert fh.read().count("rs1") == 1
+        vs = list(VcfReader(p))
+        assert vs[0].filters == PASSING_FILTERS
+        assert vs[0].af() == [0.5]
+
+    def test_multiallelic_and_missing(self, tmp_path):
+        p = tmp_path / "x.vcf"
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "1\t10\t.\tA\tC,G\t.\t.\tAF=0.1,0.2\n"
+        )
+        v = list(VcfReader(p))[0]
+        assert v.id is None
+        assert v.alts == ("C", "G")
+        assert v.n_alleles == 3
+        assert v.filters == frozenset()
+        assert v.af() == [0.1, 0.2]
+        assert v.end == 10
+
+    def test_symbolic_not_simple(self, tmp_path):
+        p = tmp_path / "x.vcf"
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "1\t10\t.\tA\t<DEL>\t.\tPASS\tAF=0.1\n"
+        )
+        v = list(VcfReader(p))[0]
+        assert not v.alleles_are_simple()
