@@ -31,8 +31,6 @@ never reported.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from calitas_tpu.core.cigar import Cigar, CigarElem
@@ -108,14 +106,6 @@ def traceback(
     ops.reverse()
     cigar = Cigar(tuple(CigarElem(op, 1) for op in ops)).coalesce()
     return j + 1, cigar
-
-
-@dataclass(frozen=True)
-class RawHit:
-    """One DP result before PAM extension: end column + score."""
-
-    end_col: int  # 1-based inclusive target end
-    score: int
 
 
 def glocal_align_multi(

@@ -118,28 +118,3 @@ def screened_search(
             for w, results in map_windows(candidates, align_window, threads):
                 if results:
                     yield task, w, results
-
-
-def screened_contig_search(
-    fasta: IndexedFasta,
-    chrom: Optional[str],
-    guide: Guide,
-    aligner: SequentialAligner,
-    *,
-    window_size: int,
-    step_size: int,
-    guide_length: int,
-    batch_windows: int = 8192,
-    threads: int = 1,
-    **align_kwargs,
-) -> Iterator[tuple[RefWindow, list[GuideAlignment]]]:
-    """Single-guide convenience wrapper around :func:`screened_search`."""
-    task = GuideTask(
-        guide_id="", guide=guide, guide_length=guide_length, step_size=step_size
-    )
-    for _, w, results in screened_search(
-        fasta, chrom, [task], aligner,
-        window_size=window_size, batch_windows=batch_windows, threads=threads,
-        **align_kwargs,
-    ):
-        yield w, results
