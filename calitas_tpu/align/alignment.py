@@ -68,30 +68,35 @@ def padded_strings(
     qi = query_start - 1
     ti = target_start - 1
     for elem in cigar:
-        for _ in range(elem.length):
-            if elem.op in "=XM":
-                qc = chr(query[qi])
-                tc = chr(target[ti])
-                q.append(qc)
-                t.append(tc)
-                if elem.op == "=":
-                    a.append("|")
-                elif elem.op == "X":
-                    a.append(".")
-                else:  # M: decide by compatibility
-                    a.append("|" if MASK_TABLE[query[qi]] & MASK_TABLE[target[ti]] else ".")
-                qi += 1
-                ti += 1
-            elif elem.op == "I":  # consumes query; gap in target
-                q.append(chr(query[qi]))
-                a.append(gap_char)
-                t.append("-")
-                qi += 1
-            elif elem.op == "D":  # consumes target; gap in query
-                q.append("-")
-                a.append(gap_char)
-                t.append(chr(target[ti]))
-                ti += 1
-            else:
-                raise ValueError(f"Unsupported op in padded rendering: {elem.op}")
+        n = elem.length
+        if elem.op in "=XM":
+            qs = query[qi : qi + n].decode("ascii")
+            ts = target[ti : ti + n].decode("ascii")
+            q.append(qs)
+            t.append(ts)
+            if elem.op == "=":
+                a.append("|" * n)
+            elif elem.op == "X":
+                a.append("." * n)
+            else:  # M: decide per base by compatibility
+                a.append(
+                    "".join(
+                        "|" if MASK_TABLE[query[qi + i]] & MASK_TABLE[target[ti + i]] else "."
+                        for i in range(n)
+                    )
+                )
+            qi += n
+            ti += n
+        elif elem.op == "I":  # consumes query; gap in target
+            q.append(query[qi : qi + n].decode("ascii"))
+            a.append(gap_char * n)
+            t.append("-" * n)
+            qi += n
+        elif elem.op == "D":  # consumes target; gap in query
+            q.append("-" * n)
+            a.append(gap_char * n)
+            t.append(target[ti : ti + n].decode("ascii"))
+            ti += n
+        else:
+            raise ValueError(f"Unsupported op in padded rendering: {elem.op}")
     return "".join(q), "".join(a), "".join(t)

@@ -304,7 +304,11 @@ class SequentialAligner:
             )
             for pam in pams:
                 pam_len = len(pam)
-                best: Optional[Alignment] = None
+                # Find the best-scoring extension offset first (earliest
+                # offset wins ties, as in maxBy); build the cigar only once.
+                best_offset = -1
+                best_score = None
+                best_ops: str = ""
                 for offset in range(0, max_extra_gap + 1):
                     # target_end is 1-based so it is the 0-based offset of
                     # the base after the alignment.
@@ -329,20 +333,29 @@ class SequentialAligner:
                             n_mm += 1
                     if n_mm > pam_mm_limit:
                         continue
+                    total = score + offset * self.scorer.query_gap_score
+                    if best_score is None or total > best_score:
+                        best_score = total
+                        best_offset = offset
+                        best_ops = "".join(ops)
+                if best_score is not None:
+                    from itertools import groupby
+
                     elems = list(aln.cigar.elems)
-                    if offset > 0:
-                        elems.append(CigarElem("D", offset))
-                    elems.extend(CigarElem(o, 1) for o in ops)
-                    cand = aln.copy(
-                        query=aln.query + pam,
-                        query_start=1,
-                        cigar=Cigar(elems).coalesce(),
-                        score=aln.score + score + offset * self.scorer.query_gap_score,
+                    if best_offset > 0:
+                        elems.append(CigarElem("D", best_offset))
+                    elems.extend(
+                        CigarElem(op, sum(1 for _ in grp))
+                        for op, grp in groupby(best_ops)
                     )
-                    if best is None or cand.score > best.score:
-                        best = cand  # earliest offset wins ties (maxBy)
-                if best is not None:
-                    out.append(best)
+                    out.append(
+                        aln.copy(
+                            query=aln.query + pam,
+                            query_start=1,
+                            cigar=Cigar(elems).coalesce(),
+                            score=aln.score + best_score,
+                        )
+                    )
         return out
 
 

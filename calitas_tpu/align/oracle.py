@@ -186,13 +186,18 @@ def _native_align_multi(
         if n < 0:
             raise AssertionError(f"native aligner error: {n}")
         break
+    from itertools import groupby
+
     out: list[Alignment] = []
     raw = ops.raw
     for k in range(n):
         op_str = raw[ops_off[k] : ops_off[k] + ops_len[k]].decode("ascii")
         cigar = Cigar(
-            tuple(CigarElem(c, 1) for c in op_str)
-        ).coalesce()
+            tuple(
+                CigarElem(op, sum(1 for _ in grp))
+                for op, grp in groupby(op_str)
+            )
+        )
         out.append(
             Alignment(
                 query=query,
