@@ -115,6 +115,16 @@ class SequentialAligner:
             if precomputed is not None and key in precomputed:
                 alns = precomputed[key]
             else:
+                native = self._native_search_pass(
+                    qb, pams, tgt,
+                    min_score=min_score,
+                    max_guide_diffs=max_guide_diffs,
+                    max_pam_mismatches=max_pam_diffs,
+                    max_gap_before_extending=max_gaps_between_guide_and_pam,
+                    max_total_diffs=max_diffs_filtering,
+                )
+                if native is not None:
+                    return native
                 alns = self._dp(qb, tgt, min_score)
             return self._extend_and_filter_right(
                 alns,
@@ -380,3 +390,106 @@ def _to_guide_alignment(
         padded_alignment=align_string,
         padded_target=padded_target,
     )
+
+
+def _native_search_pass_impl(
+    aligner: "SequentialAligner",
+    query: bytes,
+    pams: "Sequence[str]",
+    target: bytes,
+    *,
+    min_score: int,
+    max_guide_diffs: int,
+    max_pam_mismatches: int,
+    max_gap_before_extending: int,
+    max_total_diffs: int,
+) -> "Optional[list[Alignment]]":
+    """C++ full-pass fast path: DP + PAM extension in native code; returns
+    extended Alignments identical to the Python path, or None when the
+    native library is unavailable."""
+    import ctypes
+    from itertools import groupby
+
+    from calitas_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    s = aligner.scorer
+    qmask = encode_query(query)
+    tmask = encode_target(target)
+    Q, T = len(qmask), len(tmask)
+    if Q == 0 or T == 0:
+        return []
+
+    pam_bytes = [p.encode("ascii") for p in pams]
+    pam_masks = (
+        np.concatenate([encode_query(p) for p in pam_bytes])
+        if pam_bytes
+        else np.zeros(0, np.uint8)
+    )
+    pam_off = np.zeros(max(len(pam_bytes), 1), np.int32)
+    pam_len = np.zeros(max(len(pam_bytes), 1), np.int32)
+    off = 0
+    for k, p in enumerate(pam_bytes):
+        pam_off[k] = off
+        pam_len[k] = len(p)
+        off += len(p)
+
+    max_out = 128
+    while True:
+        tstart = np.empty(max_out, np.int32)
+        tend = np.empty(max_out, np.int32)
+        score = np.empty(max_out, np.int32)
+        pam_idx = np.empty(max_out, np.int32)
+        gaps = np.empty(max_out, np.int32)
+        edits = np.empty(max_out, np.int32)
+        ops_cap = max_out * (Q + 64)
+        ops_buf = ctypes.create_string_buffer(ops_cap)
+        ops_off = np.empty(max_out, np.int32)
+        ops_len = np.empty(max_out, np.int32)
+        n = lib.search_pass(
+            np.ascontiguousarray(qmask), Q,
+            np.ascontiguousarray(tmask), T,
+            np.ascontiguousarray(pam_masks), pam_off, pam_len, len(pam_bytes),
+            s.match_score, s.mismatch_score, s.query_gap_score, s.target_gap_score,
+            s.pam_match_score, s.pam_mismatch_score,
+            int(min_score),
+            max_guide_diffs, max_pam_mismatches,
+            max_gap_before_extending, max_total_diffs,
+            max_out,
+            tstart, tend, score, pam_idx, gaps, edits,
+            ops_buf, ops_cap, ops_off, ops_len,
+        )
+        if n == -1:
+            max_out *= 4
+            continue
+        if n < 0:
+            raise AssertionError(f"native search_pass error: {n}")
+        break
+
+    raw = ops_buf.raw
+    out: list[Alignment] = []
+    for k in range(n):
+        op_str = raw[ops_off[k] : ops_off[k] + ops_len[k]].decode("ascii")
+        cigar = Cigar(
+            tuple(
+                CigarElem(op, sum(1 for _ in grp)) for op, grp in groupby(op_str)
+            )
+        )
+        pidx = int(pam_idx[k])
+        q = query if pidx < 0 else query + pam_bytes[pidx]
+        out.append(
+            Alignment(
+                query=q,
+                target=target,
+                query_start=1,
+                target_start=int(tstart[k]),
+                cigar=cigar,
+                score=int(score[k]),
+            )
+        )
+    return out
+
+
+SequentialAligner._native_search_pass = _native_search_pass_impl
