@@ -107,6 +107,18 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("-O", "--max-overlap", type=int, default=Defaults.MAX_OVERLAP)
     _add_scoring_args(pw)
 
+    # ----------------------------------------------------------- MergeHitTables
+    mh = sub.add_parser(
+        "MergeHitTables",
+        help="Merge per-host SearchReference outputs (whole-contig shards) "
+             "into the canonical global table.",
+    )
+    mh.add_argument("-i", "--input", nargs="+", required=True,
+                    help="Per-host hit tables to merge.")
+    mh.add_argument("-o", "--output", required=True)
+    mh.add_argument("-r", "--ref", default=None,
+                    help="Reference fasta (for dictionary sort order).")
+
     # ----------------------------------------------------------------- PrepareVcf
     pv = sub.add_parser("PrepareVcf",
                         help="Prepares a VCF for optimal use by SearchReference.")
@@ -224,6 +236,13 @@ def main(argv: list[str] | None = None) -> int:
             genome_gap_net_cost=args.genome_gap_net_cost,
             guide_gap_net_cost=args.guide_gap_net_cost,
         )
+    elif cmd == "MergeHitTables":
+        from calitas_tpu.io.fasta import extract_dictionary
+        from calitas_tpu.parallel.multihost import merge_host_outputs
+
+        dictionary = extract_dictionary(args.ref) if args.ref else None
+        n = merge_host_outputs(args.input, dictionary, args.output)
+        print(f"Wrote {n} rows to {args.output}", file=sys.stderr)
     elif cmd == "PrepareVcf":
         from calitas_tpu.tools import prepare_vcf
 

@@ -1,0 +1,73 @@
+"""Multi-host partition/merge: per-host contig-subset runs must merge to
+a table identical to a single run over the whole genome."""
+
+import numpy as np
+
+from calitas_tpu.io.fasta import IndexedFasta, ReferenceSetBuilder
+from calitas_tpu.parallel.multihost import host_contig_partition, merge_host_outputs
+from calitas_tpu.tools import search_reference
+
+GUIDE = "CTTGCCCCACAGGGCAGTAAnrg"
+
+
+def test_partition_covers_all_contigs():
+    contigs = [("c1", 100), ("c2", 500), ("c3", 300), ("c4", 300)]
+    parts = [host_contig_partition(contigs, i, 3) for i in range(3)]
+    allc = sorted(c for p in parts for c in p)
+    assert allc == ["c1", "c2", "c3", "c4"]
+    # deterministic
+    assert parts == [host_contig_partition(contigs, i, 3) for i in range(3)]
+
+
+def test_merged_equals_single_host(tmp_path):
+    rng = np.random.default_rng(3)
+    b = ReferenceSetBuilder(assembly="mh")
+    names = []
+    for i in range(4):
+        n = f"chr{i+1}"
+        names.append(n)
+        seq = "".join(rng.choice(list("ACGT"), 4000))
+        # plant one site per contig
+        seq = seq[:977] + "CTTGCCCCACAGGGCAGTAATGG" + seq[1000:]
+        b.add(n).add(seq)
+    ref = b.to_file(tmp_path / "ref.fa")
+    fa = IndexedFasta(ref)
+
+    # single-host run
+    single = tmp_path / "single.txt"
+    search_reference.run(guide=GUIDE, guide_id="g", ref=ref, output=single,
+                         engine="host")
+
+    # two "hosts", each running its contig subset with the normal tool
+    contigs = [(e.name, e.length) for e in fa.dictionary]
+    host_files = []
+    for h in range(2):
+        mine = host_contig_partition(contigs, h, 2)
+        parts = []
+        for c in mine:
+            out = tmp_path / f"h{h}.{c}.txt"
+            search_reference.run(guide=GUIDE, guide_id="g", ref=ref,
+                                 output=out, chrom=c, engine="host")
+            parts.append(out)
+        merged_h = tmp_path / f"host{h}.txt"
+        merge_host_outputs(parts, fa.dictionary, merged_h)
+        host_files.append(merged_h)
+
+    final = tmp_path / "merged.txt"
+    n = merge_host_outputs(host_files, fa.dictionary, final)
+    assert n > 0
+
+    def rows(p):
+        lines = open(p).read().split("\n")
+        hdr = lines[0].split("\t")
+        ts = hdr.index("time_stamp")
+        out = []
+        for l in lines[1:]:
+            if not l:
+                continue
+            f = l.split("\t")
+            f[ts] = ""
+            out.append(tuple(f))
+        return out
+
+    assert rows(final) == rows(single)
