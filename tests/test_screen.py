@@ -79,3 +79,67 @@ class TestScreenEquivalence:
             padded[0, :T] = tmask
             best = kernel.max_scores(qmask, padded, np.array([T], np.int32))
             assert best[0] == S[Q, 1:].max()
+
+
+class TestPallasKernelsInterpret:
+    """Pallas kernels in interpreter mode (CPU CI coverage)."""
+
+    def test_v2_matches_oracle(self, scorer):
+        from calitas_tpu.ops.dp_pallas2 import PallasScreenKernelV2
+
+        Q, T, B = 12, 64, 1024  # one grid cell
+        query = random_seq(Q)
+        qmask = encode_query(query)
+        tmasks = RNG.integers(0, 15, size=(B, T), dtype=np.uint8)
+        tmasks[5, 10 : 10 + Q] = qmask
+        lengths = np.full(B, T, np.int32)
+        k = PallasScreenKernelV2(scorer, interpret=True)
+        best = k.max_scores(qmask, tmasks, lengths)
+        for b in [0, 5, 1023]:
+            S = dp_matrix(qmask, tmasks[b], scorer)
+            assert best[b] == S[Q, 1:].max()
+
+    def test_dual_matches_two_singles(self, scorer):
+        import jax.numpy as jnp
+
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.ops.dp_pallas2 import (
+            LANES,
+            PallasScreenKernelV2,
+            _pallas_screen_dual,
+        )
+
+        Q, T, B = 10, 48, 1024
+        query = random_seq(Q)
+        qmask = encode_query(query)
+        qmask_rc = encode_query(revcomp(query))
+        tmasks = RNG.integers(0, 15, size=(B, T), dtype=np.uint8)
+        lengths = np.full(B, T, np.int32)
+        k = PallasScreenKernelV2(scorer, interpret=True)
+        s_fw = k.max_scores(qmask, tmasks, lengths)
+        s_rc = k.max_scores(qmask_rc, tmasks, lengths)
+        qv2 = np.stack([qmask, qmask_rc]).astype(np.int32)
+        tcols = tmasks.T.astype(np.int32).reshape(T, B // LANES, LANES)
+        dual = np.asarray(
+            _pallas_screen_dual(
+                jnp.asarray(qv2), jnp.asarray(tcols),
+                Q=Q, match=scorer.match_score, mismatch=scorer.mismatch_score,
+                qgap=scorer.query_gap_score, tgap=scorer.target_gap_score,
+                interpret=True,
+            )
+        ).reshape(-1)
+        np.testing.assert_array_equal(dual, np.maximum(s_fw, s_rc))
+
+    def test_v1_wavefront_matches_oracle(self, scorer):
+        from calitas_tpu.ops.dp_pallas import PallasScreenKernel
+
+        Q, T, B = 14, 40, 128
+        query = random_seq(Q)
+        qmask = encode_query(query)
+        tmasks = RNG.integers(0, 15, size=(B, T), dtype=np.uint8)
+        lengths = np.full(B, T, np.int32)
+        k = PallasScreenKernel(scorer, interpret=True)
+        best = k.max_scores(qmask, tmasks, lengths)
+        for b in [0, 64, 127]:
+            S = dp_matrix(qmask, tmasks[b], scorer)
+            assert best[b] == S[Q, 1:].max()
