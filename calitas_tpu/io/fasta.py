@@ -140,7 +140,8 @@ class IndexedFasta:
         fai = Path(str(path) + ".fai")
         if not fai.exists():
             raise FileNotFoundError(
-                f"FASTA index not found: {fai}. Index with 'samtools faidx'."
+                f"FASTA index not found: {fai}. Index with 'samtools faidx' "
+                "(or calitas_tpu.io.fasta.build_fai)."
             )
         self.entries: list[FaiEntry] = []
         with open(fai) as fh:
