@@ -42,3 +42,147 @@ def map_windows(
                 yield w0, f0.result()
         for w0, f0 in pending:
             yield w0, f0.result()
+
+
+# ---------------------------------------------------------------------------
+# Process-based window alignment (sidesteps the GIL: the per-window work is
+# a mix of short native calls and Python object construction, which thread
+# pools serialize — measured slower than serial on small hosts)
+# ---------------------------------------------------------------------------
+
+_MP_CACHE: dict = {}
+
+
+def _mp_aligner_for(spec: dict):
+    key = spec["key"]
+    if key not in _MP_CACHE:
+        from calitas_tpu.core.guide import Guide
+        from calitas_tpu.align.engine import SequentialAligner
+
+        guide = Guide.of(
+            spec["guide"],
+            pams_3prime=spec["pams_3prime"],
+            pams_5prime=spec["pams_5prime"],
+        )
+        aligner = SequentialAligner(
+            mismatch_net_cost=spec["mismatch_net_cost"],
+            genome_gap_net_cost=spec["genome_gap_net_cost"],
+            guide_gap_net_cost=spec["guide_gap_net_cost"],
+            pam_mismatch_net_cost=spec["pam_mismatch_net_cost"],
+        )
+        _MP_CACHE[key] = (aligner, guide)
+    return _MP_CACHE[key]
+
+
+def _mp_align_chunk(spec: dict, chunk: list):
+    """Worker: align a chunk of (chrom, start, bases) windows."""
+    aligner, guide = _mp_aligner_for(spec)
+    out = []
+    for chrom, start, bases in chunk:
+        try:
+            res = aligner.align(
+                guide, bases, target_name=chrom, target_offset=start - 1,
+                **spec["align_kwargs"],
+            )
+        except Exception as ex:  # mirrored log-and-swallow happens in parent
+            res = ("__error__", repr(ex))
+        out.append(res)
+    return out
+
+
+def make_align_spec(guide, aligner, align_kwargs) -> dict:
+    """A picklable description of an alignment task for worker processes
+    (guide: a core.guide.Guide)."""
+    s = aligner.scorer
+    # Recover net costs from the scorer derivation (exact inverse).
+    return {
+        "key": (guide.guide, guide.pams_3prime, guide.pams_5prime,
+                 s.match_score, s.mismatch_score,
+                 s.pam_match_score, s.pam_mismatch_score, s.query_gap_score,
+                 s.target_gap_score, tuple(sorted(align_kwargs.items()))),
+        "guide": guide.guide,
+        "pams_3prime": guide.pams_3prime,
+        "pams_5prime": guide.pams_5prime,
+        "mismatch_net_cost": -(s.match_score - s.mismatch_score),
+        "genome_gap_net_cost": -(s.match_score - s.target_gap_score),
+        "guide_gap_net_cost": s.query_gap_score,
+        "pam_mismatch_net_cost": -(s.pam_match_score - s.pam_mismatch_score),
+        "align_kwargs": dict(align_kwargs),
+    }
+
+
+def map_windows_mp(
+    windows: Iterable,
+    spec: dict,
+    processes: int,
+    *,
+    chunk: int = 64,
+    swallow_errors: bool = False,
+    logger=None,
+) -> Iterator[tuple]:
+    """Align windows across worker processes; yields (window, results) in
+    submission order.  Falls back to in-process execution for
+    processes <= 1."""
+    import itertools
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+    import multiprocessing as mp
+
+    processes = min(processes, os.cpu_count() or 1)
+    if processes > 1:
+        # Worker startup costs ~1s each; only fan out when the stream is
+        # long enough to amortize it.
+        windows = iter(windows)
+        head = list(itertools.islice(windows, 4 * chunk))
+        if len(head) < 4 * chunk:
+            windows, processes = iter(head), 1
+        else:
+            windows = itertools.chain(head, windows)
+    if processes <= 1:
+        aligner, guide = _mp_aligner_for(spec)
+        for w in windows:
+            try:
+                res = aligner.align(
+                    guide, w.bases, target_name=w.chrom,
+                    target_offset=w.start - 1, **spec["align_kwargs"],
+                )
+            except Exception as ex:
+                res = ("__error__", repr(ex))
+            yield w, _unwrap(res, swallow_errors, logger)
+        return
+
+    ctx = mp.get_context("spawn")
+    max_inflight = processes * 4
+    with ProcessPoolExecutor(max_workers=processes, mp_context=ctx) as pool:
+        pending: list = []
+        buf: list = []
+
+        def submit():
+            nonlocal buf
+            if buf:
+                payload = [(w.chrom, w.start, w.bases) for w in buf]
+                pending.append((buf, pool.submit(_mp_align_chunk, spec, payload)))
+                buf = []
+
+        for w in windows:
+            buf.append(w)
+            if len(buf) >= chunk:
+                submit()
+            if len(pending) >= max_inflight:
+                ws, fut = pending.pop(0)
+                for w0, res in zip(ws, fut.result()):
+                    yield w0, _unwrap(res, swallow_errors, logger)
+        submit()
+        for ws, fut in pending:
+            for w0, res in zip(ws, fut.result()):
+                yield w0, _unwrap(res, swallow_errors, logger)
+
+
+def _unwrap(res, swallow_errors, logger):
+    if isinstance(res, tuple) and len(res) == 2 and res[0] == "__error__":
+        if not swallow_errors:
+            raise RuntimeError(res[1])
+        if logger is not None:
+            logger.error("Encountered an exception: %s", res[1])
+        return []
+    return res

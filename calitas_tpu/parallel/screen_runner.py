@@ -28,7 +28,6 @@ from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.align.guide_alignment import GuideAlignment
 from calitas_tpu.io.fasta import IndexedFasta
 from calitas_tpu.ops.genome_screen import GenomeScreen
-from calitas_tpu.parallel.host_pool import map_windows
 from calitas_tpu.search.windows import RefWindow, materialize_window
 
 
@@ -94,27 +93,18 @@ def screened_search(
                 w for w in candidates if len(w.bases) >= task.guide_length
             )
 
-            def align_window(w, _guide=guide):
-                try:
-                    return aligner.align(
-                        _guide,
-                        w.bases,
-                        target_name=w.chrom,
-                        target_offset=w.start - 1,
-                        **align_kwargs,
-                    )
-                except Exception as ex:
-                    # per-window exceptions are logged and swallowed, as in
-                    # the reference (SearchReference.scala:555-559)
-                    if not swallow_errors:
-                        raise
-                    import logging
+            import logging
 
-                    logging.getLogger("calitas_tpu.SearchReference").error(
-                        "Encountered an exception: %r", ex
-                    )
-                    return []
+            from calitas_tpu.parallel.host_pool import (
+                make_align_spec,
+                map_windows_mp,
+            )
 
-            for w, results in map_windows(candidates, align_window, threads):
+            spec = make_align_spec(guide, aligner, align_kwargs)
+            for w, results in map_windows_mp(
+                candidates, spec, threads,
+                swallow_errors=swallow_errors,
+                logger=logging.getLogger("calitas_tpu.SearchReference"),
+            ):
                 if results:
                     yield task, w, results

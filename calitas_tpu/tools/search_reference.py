@@ -230,7 +230,7 @@ def _run_both_passes(
                 hits.append(b.build(a))
             progress.record(window.chrom, window.start)
     else:
-        from calitas_tpu.parallel.host_pool import map_windows
+        from calitas_tpu.parallel.host_pool import make_align_spec, map_windows_mp
         from calitas_tpu.search.windows import window_iterator
 
         for gid, gstr, g in specs:
@@ -243,22 +243,11 @@ def _run_both_passes(
                 if len(w.bases) >= guide_length
             )
 
-            def task(window, _g=g):
-                try:
-                    return aligner.align(
-                        _g,
-                        window.bases,
-                        target_name=window.chrom,
-                        target_offset=window.start - 1,
-                        **align_kwargs,
-                    )
-                except Exception as ex:
-                    # logged and swallowed (SearchReference.scala:555-559)
-                    logger.error("Encountered an exception: %r", ex)
-                    return []
-
+            spec = make_align_spec(g, aligner, align_kwargs)
             b = builders[gid]
-            for window, results in map_windows(windows, task, threads):
+            for window, results in map_windows_mp(
+                windows, spec, threads, swallow_errors=True, logger=logger
+            ):
                 for a in results:
                     hits.append(b.build(a))
                 progress.record(window.chrom, window.start)
