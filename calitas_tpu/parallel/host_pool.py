@@ -1,11 +1,15 @@
-"""Host-side window thread pool.
+"""Host-side parallel window execution.
 
 The TPU-native analogue of the reference's bounded-queue thread pool
-(SearchReference.scala:75-94): the native C++ DP releases the GIL, so a
-thread pool parallelizes the per-window host work.  Results are yielded
-in submission order (determinism in the final table comes from the
-global sort, exactly as in the reference, but ordered yielding keeps the
-intermediate hit list reproducible too).
+(SearchReference.scala:75-94).  Measured on this workload (short native
+calls interleaved with Python object construction) Python *threads* run
+slower than serial due to GIL contention, so the production path uses
+worker *processes* (``map_windows_mp``); ``map_windows`` is the simple
+in-process fallback used by the list-driven tools whose tasks capture
+unpicklable state (mmap'd references).  Results are always yielded in
+submission order (final-table determinism comes from the global sort,
+exactly as in the reference, but ordered yielding keeps intermediate hit
+lists reproducible too).
 """
 
 from __future__ import annotations
