@@ -129,10 +129,18 @@ def map_windows_mp(
     processes <= 1."""
     import itertools
     import os
+    import sys
     from concurrent.futures import ProcessPoolExecutor
     import multiprocessing as mp
 
     processes = min(processes, os.cpu_count() or 1)
+    if processes > 1:
+        # The spawn context re-imports __main__ in workers; interactive /
+        # stdin scripts have no importable __main__, so fall back serial.
+        main_mod = sys.modules.get("__main__")
+        main_file = getattr(main_mod, "__file__", None)
+        if main_file is None or not os.path.exists(main_file):
+            processes = 1
     if processes > 1:
         # Worker startup costs ~1s each; only fan out when the stream is
         # long enough to amortize it.
@@ -155,31 +163,58 @@ def map_windows_mp(
             yield w, _unwrap(res, swallow_errors, logger)
         return
 
+    from concurrent.futures.process import BrokenProcessPool
+
     ctx = mp.get_context("spawn")
     max_inflight = processes * 4
+    pool_broken = False
     with ProcessPoolExecutor(max_workers=processes, mp_context=ctx) as pool:
         pending: list = []
         buf: list = []
 
         def submit():
-            nonlocal buf
-            if buf:
-                payload = [(w.chrom, w.start, w.bases) for w in buf]
-                pending.append((buf, pool.submit(_mp_align_chunk, spec, payload)))
-                buf = []
+            nonlocal buf, pool_broken
+            if not buf:
+                return
+            payload = [(w.chrom, w.start, w.bases) for w in buf]
+            if pool_broken:
+                pending.append((buf, None, payload))
+            else:
+                try:
+                    pending.append(
+                        (buf, pool.submit(_mp_align_chunk, spec, payload), None)
+                    )
+                except BrokenProcessPool:
+                    pool_broken = True
+                    pending.append((buf, None, payload))
+            buf = []
+
+        def drain(ws, fut, payload):
+            nonlocal pool_broken
+            if fut is not None:
+                try:
+                    results = fut.result()
+                except BrokenProcessPool:
+                    # Worker died (e.g. environment forbids subprocesses);
+                    # recompute this chunk in-process and stop fanning out.
+                    pool_broken = True
+                    results = _mp_align_chunk(
+                        spec, [(w.chrom, w.start, w.bases) for w in ws]
+                    )
+            else:
+                results = _mp_align_chunk(spec, payload)
+            for w0, res in zip(ws, results):
+                yield w0, _unwrap(res, swallow_errors, logger)
 
         for w in windows:
             buf.append(w)
             if len(buf) >= chunk:
                 submit()
             if len(pending) >= max_inflight:
-                ws, fut = pending.pop(0)
-                for w0, res in zip(ws, fut.result()):
-                    yield w0, _unwrap(res, swallow_errors, logger)
+                yield from drain(*pending.pop(0))
         submit()
-        for ws, fut in pending:
-            for w0, res in zip(ws, fut.result()):
-                yield w0, _unwrap(res, swallow_errors, logger)
+        for item in pending:
+            yield from drain(*item)
 
 
 def _unwrap(res, swallow_errors, logger):
