@@ -130,8 +130,6 @@ def map_windows_mp(
     import itertools
     import os
     import sys
-    from concurrent.futures import ProcessPoolExecutor
-    import multiprocessing as mp
 
     processes = min(processes, os.cpu_count() or 1)
     if processes > 1:
@@ -165,56 +163,78 @@ def map_windows_mp(
 
     from concurrent.futures.process import BrokenProcessPool
 
-    ctx = mp.get_context("spawn")
     max_inflight = processes * 4
     pool_broken = False
-    with ProcessPoolExecutor(max_workers=processes, mp_context=ctx) as pool:
-        pending: list = []
-        buf: list = []
+    pool = _shared_pool(processes)
+    pending: list = []
+    buf: list = []
 
-        def submit():
-            nonlocal buf, pool_broken
-            if not buf:
-                return
-            payload = [(w.chrom, w.start, w.bases) for w in buf]
-            if pool_broken:
+    def submit():
+        nonlocal buf, pool_broken
+        if not buf:
+            return
+        payload = [(w.chrom, w.start, w.bases) for w in buf]
+        if pool_broken:
+            pending.append((buf, None, payload))
+        else:
+            try:
+                pending.append(
+                    (buf, pool.submit(_mp_align_chunk, spec, payload), None)
+                )
+            except BrokenProcessPool:
+                pool_broken = True
                 pending.append((buf, None, payload))
-            else:
-                try:
-                    pending.append(
-                        (buf, pool.submit(_mp_align_chunk, spec, payload), None)
-                    )
-                except BrokenProcessPool:
-                    pool_broken = True
-                    pending.append((buf, None, payload))
-            buf = []
+        buf = []
 
-        def drain(ws, fut, payload):
-            nonlocal pool_broken
-            if fut is not None:
-                try:
-                    results = fut.result()
-                except BrokenProcessPool:
-                    # Worker died (e.g. environment forbids subprocesses);
-                    # recompute this chunk in-process and stop fanning out.
-                    pool_broken = True
-                    results = _mp_align_chunk(
-                        spec, [(w.chrom, w.start, w.bases) for w in ws]
-                    )
-            else:
-                results = _mp_align_chunk(spec, payload)
-            for w0, res in zip(ws, results):
-                yield w0, _unwrap(res, swallow_errors, logger)
+    def drain(ws, fut, payload):
+        nonlocal pool_broken
+        if fut is not None:
+            try:
+                results = fut.result()
+            except BrokenProcessPool:
+                # Worker died (e.g. environment forbids subprocesses);
+                # recompute this chunk in-process and stop fanning out.
+                pool_broken = True
+                results = _mp_align_chunk(
+                    spec, [(w.chrom, w.start, w.bases) for w in ws]
+                )
+        else:
+            results = _mp_align_chunk(spec, payload)
+        for w0, res in zip(ws, results):
+            yield w0, _unwrap(res, swallow_errors, logger)
 
-        for w in windows:
-            buf.append(w)
-            if len(buf) >= chunk:
-                submit()
-            if len(pending) >= max_inflight:
-                yield from drain(*pending.pop(0))
-        submit()
-        for item in pending:
-            yield from drain(*item)
+    for w in windows:
+        buf.append(w)
+        if len(buf) >= chunk:
+            submit()
+        if len(pending) >= max_inflight:
+            yield from drain(*pending.pop(0))
+    submit()
+    for item in pending:
+        yield from drain(*item)
+
+
+_SHARED_POOL = None
+_SHARED_POOL_SIZE = 0
+
+
+def _shared_pool(processes: int):
+    """A lazily-created, process-wide worker pool (spawning workers costs
+    ~1s each; searches call the pool once per contig x guide)."""
+    global _SHARED_POOL, _SHARED_POOL_SIZE
+    import atexit
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    if _SHARED_POOL is None or _SHARED_POOL_SIZE < processes:
+        if _SHARED_POOL is not None:
+            _SHARED_POOL.shutdown(wait=False, cancel_futures=True)
+        _SHARED_POOL = ProcessPoolExecutor(
+            max_workers=processes, mp_context=mp.get_context("spawn")
+        )
+        _SHARED_POOL_SIZE = processes
+        atexit.register(lambda: _SHARED_POOL and _SHARED_POOL.shutdown(wait=False))
+    return _SHARED_POOL
 
 
 def _unwrap(res, swallow_errors, logger):
