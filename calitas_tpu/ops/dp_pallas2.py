@@ -173,9 +173,16 @@ class PallasScreenKernelV2:
 # Dual-query fused kernel: both search strands in one pass over the block
 # ---------------------------------------------------------------------------
 
+#: gate sentinel for PAM-less starts; far below any reachable DP value but
+#: far above int32 overflow when path costs accumulate
+NEG_GATE = -(2**26)
+
+
 def _kernel2(
     qvals_ref,  # [2, Q] int32 in SMEM: fw and rc query masks
-    tcols_ref,  # [T, SUBLANES, LANES] uint8 or int32 target masks
+    tcols_ref,  # [T, SUBLANES, LANES] int32: low 4 bits = target mask;
+    #             bit 4 = PAM-ok for a chain-A alignment END at this column;
+    #             bit 5 = PAM-ok for a chain-B alignment START after it
     best_ref,  # [SUBLANES, LANES] int32 out: max over both queries
     *,
     T: int,
@@ -184,6 +191,7 @@ def _kernel2(
     mismatch: int,
     qgap: int,
     tgap: int,
+    pam_gate: bool,
 ):
     zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
     init = tuple(
@@ -195,8 +203,8 @@ def _kernel2(
     qg = jnp.int32(qgap)
     tg = jnp.int32(tgap)
 
-    def chain(state, tcol, q):
-        new = [zeros]
+    def chain(state, tcol, q, row0):
+        new = [row0]
         diag_in = state[0]
         for i in range(1, Q + 1):
             qi = qvals_ref[q, i - 1]
@@ -209,10 +217,25 @@ def _kernel2(
 
     def body(j, carry):
         s_fw, s_rc, best = carry
-        tcol = tcols_ref[j].astype(jnp.int32)
-        n_fw = chain(s_fw, tcol, 0)
-        n_rc = chain(s_rc, tcol, 1)
-        best = jnp.maximum(best, jnp.maximum(n_fw[Q], n_rc[Q]))
+        tcol_raw = tcols_ref[j].astype(jnp.int32)
+        tcol = tcol_raw & 15
+        if pam_gate:
+            # chain A (DP-orientation query): its PAM sits to the right of
+            # the alignment, so only PAM-ok END columns may contribute.
+            end_ok = (tcol_raw & 16) != 0
+            # chain B (revcomp query): its PAM precedes the alignment, so
+            # gate the glocal free start instead.
+            start_ok = (tcol_raw & 32) != 0
+            row0_rc = jnp.where(start_ok, 0, NEG_GATE)
+        else:
+            end_ok = None
+            row0_rc = zeros
+        n_fw = chain(s_fw, tcol, 0, zeros)
+        n_rc = chain(s_rc, tcol, 1, row0_rc)
+        end_fw = (
+            jnp.where(end_ok, n_fw[Q], NEG_INF) if pam_gate else n_fw[Q]
+        )
+        best = jnp.maximum(best, jnp.maximum(end_fw, n_rc[Q]))
         return n_fw, n_rc, best
 
     # all columns are valid (the caller always packs full-length windows)
@@ -222,17 +245,21 @@ def _kernel2(
 
 @partial(
     jax.jit,
-    static_argnames=("Q", "match", "mismatch", "qgap", "tgap", "interpret"),
+    static_argnames=(
+        "Q", "match", "mismatch", "qgap", "tgap", "pam_gate", "interpret"
+    ),
 )
 def _pallas_screen_dual(
-    qvals, tcols, *, Q, match, mismatch, qgap, tgap, interpret=False
+    qvals, tcols, *, Q, match, mismatch, qgap, tgap, pam_gate=False,
+    interpret=False,
 ):
     """Fused both-strand screen: returns [n_blocks*8, 128] int32 of
     max(best_fw, best_rc) per window.  All windows are full length."""
     T = tcols.shape[0]
     n_blocks = tcols.shape[1] // SUBLANES
     kernel = partial(
-        _kernel2, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap
+        _kernel2, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
+        tgap=tgap, pam_gate=pam_gate,
     )
     return pl.pallas_call(
         kernel,

@@ -67,11 +67,63 @@ def extract_window_grid(genome, base, n_windows: int, step: int, window: int):
     )(starts)
 
 
+def _pam_bit_planes(wins, pam_spec):
+    """Per-column PAM-compatibility bits for a window batch.
+
+    pam_spec = (pams, max_pam_mm, max_gap) with pams a tuple of
+    DP-orientation PAM mask tuples.  Returns (end_ok, start_ok) uint8
+    planes: end_ok[:, j] - some PAM fits (<= max_pam_mm mismatches) at one
+    of the gap offsets right after an alignment ending at column j;
+    start_ok[:, j] - some revcomp'd PAM fits right before an alignment
+    starting at column j+1.  Out-of-window bases count as mismatches,
+    which matches the reference (its windows end where ours do).
+    """
+    pams, max_mm, max_gap = pam_spec
+    bw, T = wins.shape
+    max_plen = max(len(p) for p in pams)
+    pad = max_gap + max_plen + 2
+    w = jnp.pad(wins, ((0, 0), (pad, pad)))
+    end_ok = jnp.zeros((bw, T), jnp.bool_)
+    start_ok = jnp.zeros((bw, T), jnp.bool_)
+    for pam in pams:
+        plen = len(pam)
+        rc_pam = tuple(_rc_mask(m) for m in reversed(pam))
+        for o in range(max_gap + 1):
+            mm_e = jnp.zeros((bw, T), jnp.int32)
+            mm_s = jnp.zeros((bw, T), jnp.int32)
+            for k in range(plen):
+                # end gate: PAM base k at 0-based window index j+1+o+k
+                sl_e = jax.lax.dynamic_slice_in_dim(w, pad + 1 + o + k, T, 1)
+                mm_e = mm_e + ((sl_e & np.uint8(pam[k])) == 0)
+                # start gate: rc(PAM) base k at index j - o - plen + 1 + k
+                sl_s = jax.lax.dynamic_slice_in_dim(
+                    w, pad - o - plen + 1 + k, T, 1
+                )
+                mm_s = mm_s + ((sl_s & np.uint8(rc_pam[k])) == 0)
+            end_ok = end_ok | (mm_e <= max_mm)
+            start_ok = start_ok | (mm_s <= max_mm)
+    return end_ok.astype(jnp.uint8), start_ok.astype(jnp.uint8)
+
+
+def _rc_mask(m: int) -> int:
+    r = 0
+    if m & 1:
+        r |= 8
+    if m & 2:
+        r |= 4
+    if m & 4:
+        r |= 2
+    if m & 8:
+        r |= 1
+    return r
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "window", "step", "batch_windows", "n_batches",
-        "Q", "match", "mismatch", "qgap", "tgap", "use_pallas",
+        "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
+        "interpret",
     ),
 )
 def _screen_genome(
@@ -89,6 +141,8 @@ def _screen_genome(
     qgap: int,
     tgap: int,
     use_pallas: bool,
+    pam_spec=None,  # (pams: tuple[tuple[int,...]], max_pam_mm, max_gap)
+    interpret: bool = False,
 ):
     kw = dict(Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
     lens = jnp.full((batch_windows // LANES, LANES), window, jnp.int32)
@@ -102,13 +156,21 @@ def _screen_genome(
         if use_pallas:
             from calitas_tpu.ops.dp_pallas2 import _pallas_screen_dual
 
+            if pam_spec is not None:
+                end_ok, start_ok = _pam_bit_planes(wins, pam_spec)
+                packed = wins | (end_ok << 4) | (start_ok << 5)
+            else:
+                packed = wins
             tcols = (
-                wins.T.astype(jnp.int32).reshape(
+                packed.T.astype(jnp.int32).reshape(
                     window, batch_windows // LANES, LANES
                 )
             )
             qv2 = jnp.concatenate([qv_fw, qv_rc], axis=0)
-            best = _pallas_screen_dual(qv2, tcols, **kw)
+            best = _pallas_screen_dual(
+                qv2, tcols, pam_gate=pam_spec is not None,
+                interpret=interpret, **kw
+            )
             return jax.lax.dynamic_update_slice(
                 out, best.reshape(batch_windows), (b * batch_windows,)
             )
@@ -138,6 +200,7 @@ class GenomeScreen:
         window: int = 1024,
         batch_windows: int = 8192,
         use_pallas: bool | None = None,
+        interpret: bool = False,
     ):
         assert batch_windows % LANES == 0
         self.scorer = scorer
@@ -146,6 +209,7 @@ class GenomeScreen:
         if use_pallas is None:
             use_pallas = default_device_platform() == "tpu"
         self.use_pallas = use_pallas
+        self.interpret = interpret
 
     def stage(self, contig_bases: np.ndarray) -> jax.Array:
         """Upload a contig (raw bytes) as a zero-padded device mask array."""
@@ -167,6 +231,7 @@ class GenomeScreen:
         dp_query: str,
         dp_query_rc: str,
         min_score: int,
+        pam_spec=None,  # (dp-orientation pam strings, max_pam_mm, max_gap)
     ) -> np.ndarray:
         """Returns the boolean hit flags for every reference window start.
 
@@ -201,12 +266,22 @@ class GenomeScreen:
         use_pallas = self.use_pallas and Q <= 48
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
         qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
+        static_pam_spec = None
+        if pam_spec is not None and use_pallas:
+            pams, max_pam_mm, max_gap = pam_spec
+            if pams and all(len(p) > 0 for p in pams):
+                static_pam_spec = (
+                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
+                    int(max_pam_mm),
+                    int(max_gap),
+                )
         best = _screen_genome(
             genome_dev, qv_fw, qv_rc,
             window=self.window, step=step, batch_windows=bw, n_batches=n_batches,
             Q=Q, match=s.match_score, mismatch=s.mismatch_score,
             qgap=s.query_gap_score, tgap=s.target_gap_score,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, pam_spec=static_pam_spec,
+            interpret=self.interpret,
         )
         return np.asarray(best[:n]) >= min_score
 

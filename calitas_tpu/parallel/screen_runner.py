@@ -80,9 +80,22 @@ def screened_search(
                 guide, align_kwargs["max_guide_diffs"]
             )
             dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
+            # DP-orientation PAMs enable the kernel's PAM prefilter: for
+            # 5'-PAM guides the DP query is the revcomp'd guide, whose
+            # PAMs in DP space are the revcomp'd PAMs.
+            dp_pams = guide.pams_rc if guide.pam_is_5prime else guide.pams_fw
+            pam_spec = (
+                (
+                    tuple(dp_pams),
+                    align_kwargs["max_pam_diffs"],
+                    align_kwargs["max_gaps_between_guide_and_pam"],
+                )
+                if dp_pams
+                else None
+            )
             flags = screen.screen_contig(
                 genome_dev, len(bases), task.step_size,
-                dp_query, revcomp(dp_query), min_score,
+                dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
             )
             starts = screen.window_starts(len(bases), task.step_size)
             candidates = (

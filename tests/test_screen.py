@@ -143,3 +143,74 @@ class TestPallasKernelsInterpret:
         for b in [0, 64, 127]:
             S = dp_matrix(qmask, tmasks[b], scorer)
             assert best[b] == S[Q, 1:].max()
+
+
+class TestPamGate:
+    """The PAM prefilter must be a conservative superset of true hit
+    windows, and strictly reduce candidates for strict PAMs."""
+
+    def _flags(self, contig, guide_obj, scorer, pam_spec, interpret=True):
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        bases = np.frombuffer(contig.encode(), dtype=np.uint8)
+        screen = GenomeScreen(
+            scorer, window=256, batch_windows=1024, use_pallas=True,
+            interpret=interpret,
+        )
+        g = screen.stage(bases)
+        dp_query = (
+            guide_obj.guide_rc if guide_obj.pam_is_5prime else guide_obj.guide_fw
+        )
+        return screen.screen_contig(
+            g, len(bases), 230, dp_query, revcomp(dp_query),
+            60 * len(dp_query) - 5 * 122, pam_spec=pam_spec,
+        )
+
+    def test_gated_flags_cover_all_hit_windows(self):
+        from calitas_tpu.core.guide import Guide
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.align.engine import SequentialAligner
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+        from calitas_tpu.search.windows import materialize_window
+
+        rng = np.random.default_rng(31)
+        al = SequentialAligner()
+        guide = Guide.parse("CTTGCCCCACAGGGCAGTAAngg")
+        contig = list("".join(rng.choice(list("ACGT"), 30_000)))
+        # plant sites with varying PAMs / strands / mismatches
+        for i in range(12):
+            pos = 500 + i * 2300
+            site = list("CTTGCCCCACAGGGCAGTAA")
+            for _ in range(i % 4):
+                site[int(rng.integers(0, 20))] = rng.choice(list("ACGT"))
+            seq = "".join(site) + ["TGG", "AGG", "TAG", "CGG"][i % 4]
+            if i % 2:
+                seq = revcomp(seq)
+            contig[pos : pos + len(seq)] = list(seq)
+        contig = "".join(contig)
+
+        pam_spec = (("ngg",), 1, 3)
+        gated = self._flags(contig, guide, al.scorer, pam_spec)
+        ungated = self._flags(contig, guide, al.scorer, None)
+
+        # conservative: gated never flags what ungated doesn't
+        assert not np.any(gated & ~ungated)
+        # and it must cover every window that actually produces output
+        bases = np.frombuffer(contig.encode(), dtype=np.uint8)
+        starts = np.arange(0, len(bases) - 1, 230)
+        kw = dict(max_guide_diffs=5, max_gaps_between_guide_and_pam=3,
+                  max_pam_diffs=1, max_total_diffs=9, max_overlap=10)
+        n_hit_windows = 0
+        for i, st in enumerate(starts):
+            w = materialize_window("c", bases, int(st), 256)
+            if len(w.bases) < len("CTTGCCCCACAGGGCAGTAAngg"):
+                continue
+            res = al.align(guide, w.bases, target_name="c",
+                           target_offset=w.start - 1, **kw)
+            if res:
+                n_hit_windows += 1
+                assert gated[i], f"window {i} has hits but was gated out"
+        assert n_hit_windows >= 6
+        # the gate should prune some candidates on random sequence
+        assert gated.sum() <= ungated.sum()
