@@ -67,12 +67,17 @@ def main() -> None:
     qv_rc = jnp.asarray(encode_query(revcomp(dp_query)).astype(np.int32)[None, :])
 
     use_pallas = jax.default_backend() == "tpu"
+    pam_spec = (
+        ((tuple(int(m) for m in encode_query("nrg")),), 1, 3)
+        if use_pallas
+        else None
+    )
     kw = dict(
         window=window, step=step, batch_windows=batch_windows,
         n_batches=n_batches, Q=Q,
         match=scorer.match_score, mismatch=scorer.mismatch_score,
         qgap=scorer.query_gap_score, tgap=scorer.target_gap_score,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, pam_spec=pam_spec,
     )
 
     # Warmup / compile, then timed runs.  Best-of-3 guards against the

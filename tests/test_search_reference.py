@@ -283,3 +283,18 @@ class TestAlleleCombos:
         ]
         assert len(allele_combos(vs, 2)) == 1
         assert len(allele_combos(vs, 3)) == 7
+
+
+class TestParametersColumn:
+    def test_core_parameters_format(self):
+        # SearchReference.scala:496-508: sorted, ';'-joined, GNU-cased
+        from calitas_tpu.tools.search_reference import core_parameters_string
+
+        s = core_parameters_string(16, 1000, 5, 1, 3, 9, 10, -120, -260, -122, -121)
+        assert s == (
+            "genome-gap-net-cost=-122;guide-gap-net-cost=-121;"
+            "guide-mismatch-net-cost=-120;max-gaps-between-guide-and-pam=3;"
+            "max-guide-diffs=5;max-overlap=10;max-pam-mismatches=1;"
+            "max-total-diffs=9;max-variants=16;pam-mismatch-net-cost=-260;"
+            "window-size=1000"
+        )
