@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="calitas-tpu",
         description="TPU-native CRISPR off-target search (CALITAS-compatible).",
     )
+    from calitas_tpu.version import aligner_version
+
+    parser.add_argument(
+        "--version", action="version", version=f"calitas-tpu {aligner_version()}"
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     # ---------------------------------------------------------- SearchReference
@@ -166,6 +171,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = build_parser().parse_args(argv)
     cmd = args.command
+    try:
+        return _dispatch(cmd, args)
+    except (FileNotFoundError, ValueError, KeyError) as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(cmd, args) -> int:
 
     if cmd == "SearchReference":
         from calitas_tpu.tools import search_reference

@@ -125,8 +125,29 @@ def map_windows_mp(
     logger=None,
 ) -> Iterator[tuple]:
     """Align windows across worker processes; yields (window, results) in
-    submission order.  Falls back to in-process execution for
-    processes <= 1."""
+    submission order."""
+    yield from map_items_mp(
+        windows, spec, processes,
+        worker_fn=_mp_align_chunk,
+        to_payload=lambda w: (w.chrom, w.start, w.bases),
+        chunk=chunk, swallow_errors=swallow_errors, logger=logger,
+    )
+
+
+def map_items_mp(
+    windows: Iterable,
+    spec: dict,
+    processes: int,
+    *,
+    worker_fn,
+    to_payload,
+    chunk: int = 64,
+    swallow_errors: bool = False,
+    logger=None,
+) -> Iterator[tuple]:
+    """Run ``worker_fn(spec, [to_payload(item), ...])`` chunks across
+    worker processes; yields (item, result) in submission order.  Falls
+    back to in-process execution for processes <= 1 or short streams."""
     import itertools
     import os
     import sys
@@ -149,15 +170,8 @@ def map_windows_mp(
         else:
             windows = itertools.chain(head, windows)
     if processes <= 1:
-        aligner, guide = _mp_aligner_for(spec)
         for w in windows:
-            try:
-                res = aligner.align(
-                    guide, w.bases, target_name=w.chrom,
-                    target_offset=w.start - 1, **spec["align_kwargs"],
-                )
-            except Exception as ex:
-                res = ("__error__", repr(ex))
+            res = worker_fn(spec, [to_payload(w)])[0]
             yield w, _unwrap(res, swallow_errors, logger)
         return
 
@@ -173,13 +187,13 @@ def map_windows_mp(
         nonlocal buf, pool_broken
         if not buf:
             return
-        payload = [(w.chrom, w.start, w.bases) for w in buf]
+        payload = [to_payload(w) for w in buf]
         if pool_broken:
             pending.append((buf, None, payload))
         else:
             try:
                 pending.append(
-                    (buf, pool.submit(_mp_align_chunk, spec, payload), None)
+                    (buf, pool.submit(worker_fn, spec, payload), None)
                 )
             except BrokenProcessPool:
                 pool_broken = True
@@ -195,11 +209,9 @@ def map_windows_mp(
                 # Worker died (e.g. environment forbids subprocesses);
                 # recompute this chunk in-process and stop fanning out.
                 pool_broken = True
-                results = _mp_align_chunk(
-                    spec, [(w.chrom, w.start, w.bases) for w in ws]
-                )
+                results = worker_fn(spec, [to_payload(w) for w in ws])
         else:
-            results = _mp_align_chunk(spec, payload)
+            results = worker_fn(spec, payload)
         for w0, res in zip(ws, results):
             yield w0, _unwrap(res, swallow_errors, logger)
 
@@ -245,3 +257,79 @@ def _unwrap(res, swallow_errors, logger):
             logger.error("Encountered an exception: %s", res[1])
         return []
     return res
+
+
+# ---------------------------------------------------------------------------
+# Workers for the list-driven tools
+# ---------------------------------------------------------------------------
+
+_MP_REF_CACHE: dict = {}
+
+
+def _mp_ref_aligner_for(spec: dict):
+    key = spec["key"]
+    if key not in _MP_REF_CACHE:
+        from calitas_tpu.align.engine import SequentialAligner
+        from calitas_tpu.io.fasta import IndexedFasta
+
+        ref = IndexedFasta(spec["ref_path"])
+        aligner = SequentialAligner(
+            ref=ref,
+            mismatch_net_cost=spec["mismatch_net_cost"],
+            genome_gap_net_cost=spec["genome_gap_net_cost"],
+            guide_gap_net_cost=spec["guide_gap_net_cost"],
+            pam_mismatch_net_cost=spec["pam_mismatch_net_cost"],
+        )
+        _MP_REF_CACHE[key] = aligner
+    return _MP_REF_CACHE[key]
+
+
+def _mp_a2r_chunk(spec: dict, chunk: list):
+    """AlignToReference worker: chunk of (id, query, chrom, pos) ->
+    list of (Guide, [GuideAlignment, ...])."""
+    from calitas_tpu.core.guide import Guide
+
+    aligner = _mp_ref_aligner_for(spec)
+    out = []
+    for task_id, query, chrom, pos in chunk:
+        try:
+            guide = Guide.parse(query)
+            if spec["all_hits"]:
+                alns = aligner.align_to_ref(
+                    guide, chrom, pos, spec["window_size"],
+                    **spec["align_kwargs"],
+                )
+            else:
+                alns = [
+                    aligner.align_to_ref_best(
+                        guide, chrom, pos, spec["window_size"],
+                        max_gaps_between_guide_and_pam=spec["align_kwargs"][
+                            "max_gaps_between_guide_and_pam"
+                        ],
+                    )
+                ]
+            out.append((guide, alns))
+        except Exception as ex:
+            out.append(("__error__", repr(ex)))
+    return out
+
+
+def _mp_pairwise_chunk(spec: dict, chunk: list):
+    """PairwiseAlignSequences worker: chunk of (query, target) ->
+    GuideAlignments."""
+    from calitas_tpu.core.guide import Guide
+
+    aligner, _ = _mp_aligner_for({**spec, "guide": "A",
+                                  "pams_3prime": (), "pams_5prime": ()})
+    out = []
+    for query, target in chunk:
+        try:
+            out.append(
+                aligner.align_best(
+                    Guide.parse(query), target,
+                    max_gaps_between_guide_and_pam=spec["max_gaps"],
+                )
+            )
+        except Exception as ex:
+            out.append(("__error__", repr(ex)))
+    return out

@@ -121,41 +121,50 @@ def run(
 
     out_fh = open_output(output)
     writer = MetricWriter(out_fh, ReferenceHit)
-    from calitas_tpu.parallel.host_pool import map_windows
+    from calitas_tpu.parallel.host_pool import _mp_a2r_chunk, map_items_mp
 
-    def run_task(t):
-        task_id, query, chrom, pos = t
-        guide = Guide.parse(query)
-        if all_hits:
-            alns = aligner.align_to_ref(
-                guide, chrom, pos, window_size,
-                max_guide_diffs=max_guide_diffs,
-                max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
-                max_pam_diffs=max_pam_mismatches,
-                max_total_diffs=(
-                    max_total_diffs
-                    if max_total_diffs is not None
-                    else max_guide_diffs
-                    + max_gaps_between_guide_and_pam
-                    + max_pam_mismatches
-                ),
-                max_overlap=max_overlap,
-            )
-        else:
-            alns = [
-                aligner.align_to_ref_best(
-                    guide, chrom, pos, window_size,
-                    max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
-                )
-            ]
-        b = builder.copy(guide_id=task_id, guide=guide)
-        return [b.build(a) for a in alns]
+    s = aligner.scorer
+    align_kwargs = (
+        dict(
+            max_guide_diffs=max_guide_diffs,
+            max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
+            max_pam_diffs=max_pam_mismatches,
+            max_total_diffs=(
+                max_total_diffs
+                if max_total_diffs is not None
+                else max_guide_diffs
+                + max_gaps_between_guide_and_pam
+                + max_pam_mismatches
+            ),
+            max_overlap=max_overlap,
+        )
+        if all_hits
+        else dict(max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam)
+    )
+    spec = {
+        "key": ("a2r", str(ref), all_hits, window_size,
+                 s.match_score, s.mismatch_score, s.pam_match_score,
+                 s.pam_mismatch_score, s.query_gap_score, s.target_gap_score,
+                 tuple(sorted(align_kwargs.items()))),
+        "ref_path": str(ref),
+        "all_hits": all_hits,
+        "window_size": window_size,
+        "align_kwargs": align_kwargs,
+        "mismatch_net_cost": guide_mismatch_net_cost,
+        "genome_gap_net_cost": genome_gap_net_cost,
+        "guide_gap_net_cost": guide_gap_net_cost,
+        "pam_mismatch_net_cost": pam_mismatch_net_cost,
+    }
 
     for batch_start in range(0, len(tasks), BATCH_SIZE):
         batch = tasks[batch_start : batch_start + BATCH_SIZE]
         results: list[ReferenceHit] = []
-        for _, rows in map_windows(batch, run_task, threads):
-            results.extend(rows)
+        for (task_id, _q, _c, _p), (guide, alns) in map_items_mp(
+            batch, spec, threads,
+            worker_fn=_mp_a2r_chunk, to_payload=lambda t: t,
+        ):
+            b = builder.copy(guide_id=task_id, guide=guide)
+            results.extend(b.build(a) for a in alns)
         writer.write_all(sort_hits(results, ref_file.dictionary))
     writer.close()
     if out_fh.name != "<stdout>":

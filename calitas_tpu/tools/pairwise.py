@@ -55,18 +55,26 @@ def run(
         guide_gap_net_cost=guide_gap_net_cost,
     )
 
-    from calitas_tpu.parallel.host_pool import map_windows
+    from calitas_tpu.parallel.host_pool import _mp_pairwise_chunk, map_items_mp
 
-    def run_task(t):
-        query, target = t
-        return aligner.align_best(
-            Guide.parse(query), target,
-            max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
-        )
+    s = aligner.scorer
+    spec = {
+        "key": ("pw", s.match_score, s.mismatch_score, s.pam_match_score,
+                 s.pam_mismatch_score, s.query_gap_score, s.target_gap_score,
+                 max_gaps_between_guide_and_pam),
+        "max_gaps": max_gaps_between_guide_and_pam,
+        "mismatch_net_cost": guide_mismatch_net_cost,
+        "genome_gap_net_cost": genome_gap_net_cost,
+        "guide_gap_net_cost": guide_gap_net_cost,
+        "pam_mismatch_net_cost": pam_mismatch_net_cost,
+    }
 
     out = open_output(output)
     out.write("\t".join(COLUMNS) + "\n")
-    for (query, target), aln in map_windows(tasks, run_task, threads):
+    for (query, target), aln in map_items_mp(
+        tasks, spec, threads,
+        worker_fn=_mp_pairwise_chunk, to_payload=lambda t: t,
+    ):
         fields = [
             query,
             target,
