@@ -361,7 +361,9 @@ class ShardedGenomeScreen(GenomeScreen):
         )
 
     def screen_contig(self, genome_dev, contig_len, step, dp_query,
-                      dp_query_rc, min_score):
+                      dp_query_rc, min_score, pam_spec=None):
+        # pam_spec accepted for interface parity; the sharded path runs
+        # ungated (a conservative superset — the host finish is exact).
         starts_np = self.window_starts(contig_len, step)
         n = len(starts_np)
         if n == 0:
