@@ -166,3 +166,49 @@ class TestCheckpoint:
         s.record("c1", [])
         with _pytest.raises(ValueError):
             CheckpointState.open(ck, "fp2")
+
+
+def test_checkpoint_multi_guide_with_variants(tmp_path):
+    """Checkpoint/resume combined with multi-guide + VCF pass."""
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.io.tsv import read_metrics
+    from calitas_tpu.search.hits import ReferenceHit
+    from calitas_tpu.tools import search_reference
+    from tests.vcf_util import VcfBuilder
+
+    b = ReferenceSetBuilder(assembly="ckmg")
+    b.add("c1").add("AT" * 200).add("CTTGCCCCACAGGGCAGTAATGG").add("GC" * 200)
+    b.add("c2").add("TA" * 200).add("GGCCTTAAGGCCTTAAGGCCAGG").add("CG" * 200)
+    ref = b.to_file(tmp_path / "ref.fa")
+
+    vcf = VcfBuilder()
+    vcf.add("c1", 410, "snp1", ["T", "G"], info={"AF": "0.4"})
+    vcf_path = vcf.to_file(tmp_path / "v.vcf")
+
+    specs = [
+        ("g1", "CTTGCCCCACAGGGCAGTAAnrg", ()),
+        ("g2", "GGCCTTAAGGCCTTAAGGCCnrg", ()),
+    ]
+    plain = tmp_path / "plain.txt"
+    search_reference.run(ref=ref, output=plain, guide_specs=specs,
+                         variants=vcf_path, engine="host")
+
+    ck = tmp_path / "state.jsonl"
+    out1 = tmp_path / "ck1.txt"
+    search_reference.run(ref=ref, output=out1, guide_specs=specs,
+                         variants=vcf_path, engine="host", checkpoint=ck)
+    # resume over a completed state must also produce the same table
+    out2 = tmp_path / "ck2.txt"
+    search_reference.run(ref=ref, output=out2, guide_specs=specs,
+                         variants=vcf_path, engine="host", checkpoint=ck)
+
+    def key_rows(p):
+        hits = read_metrics(p, ReferenceHit)
+        return sorted(
+            (h.guide_id, h.chromosome, h.coordinate_start, h.strand, h.score,
+             h.cigar, h.variant_description or "")
+            for h in hits
+        )
+
+    assert key_rows(out1) == key_rows(plain)
+    assert key_rows(out2) == key_rows(plain)
