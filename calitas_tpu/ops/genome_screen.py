@@ -211,12 +211,27 @@ class GenomeScreen:
         self.use_pallas = use_pallas
         self.interpret = interpret
 
+    #: H2D staging chunk (large single transfers stall on tunneled links)
+    STAGE_CHUNK = 64 * 1024 * 1024
+
     def stage(self, contig_bases: np.ndarray) -> jax.Array:
-        """Upload a contig (raw bytes) as a zero-padded device mask array."""
+        """Upload a contig (raw bytes) as a zero-padded device mask array.
+        Chunked with progress logging so long transfers are observable."""
+        import logging
+
+        log = logging.getLogger("calitas_tpu.stage")
         masks = TARGET_MASK_TABLE[contig_bases]
         pad = self.window + (-len(masks)) % LANES
         masks = np.concatenate([masks, np.zeros(pad, np.uint8)])
-        return jax.device_put(jnp.asarray(masks))
+        n = len(masks)
+        if n <= self.STAGE_CHUNK:
+            return jax.device_put(jnp.asarray(masks))
+        parts = []
+        for off in range(0, n, self.STAGE_CHUNK):
+            parts.append(jax.device_put(jnp.asarray(masks[off : off + self.STAGE_CHUNK])))
+            parts[-1].block_until_ready()
+            log.info("staged %d/%d MB", min(off + self.STAGE_CHUNK, n) >> 20, n >> 20)
+        return jnp.concatenate(parts)
 
     def window_starts(self, contig_len: int, step: int) -> np.ndarray:
         """The reference's window starts: range(0, len-1, step)
