@@ -43,6 +43,28 @@ def build_parser() -> argparse.ArgumentParser:
     sr = sub.add_parser(
         "SearchReference",
         help="Searches a reference sequence for alignments of a guide+PAM.",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="""\
+The search finds all candidate alignments of the guide without the PAM,
+then extends them with an optional PAM (PAM-less, single- or multi-PAM via
+--auxiliary-pams; best extension wins, earlier PAMs preferred on ties).
+Protospacer sequence must be upper case, PAM sequence lower case, e.g.:
+
+    --guide ATCGATCGATAGACTGCATnrg --auxiliary-pams nnrg kgg
+
+Scoring uses NET costs (the lost match is folded into each difference).
+Defaults guarantee that all alignments within --max-guide-diffs /
+--max-pam-mismatches / --max-gaps-between-guide-and-pam are found for
+common 20-40bp guides.  When changing costs keep:
+
+    (max_guide_diffs + 1) * min_cost > max_guide_diffs * max_cost
+
+where min/max_cost range over the three guide-region net costs; otherwise
+valid alignments may be silently lost.  Note that --max-total-diffs is
+enforced as a post-filter: running with loose limits plus the filter can
+prefer e.g. a 4+0 alignment over a competing 3+1 alignment that tighter
+limits would emit; set --max-overlap large (e.g. 100) to emit all
+overlapping alignments instead.""",
     )
     sr.add_argument("-i", "--guide", default=None,
                     help="Guide with PAM, PAM must be lower case.")
