@@ -74,7 +74,7 @@ def main() -> None:
     )
     kw = dict(
         window=window, step=step, batch_windows=batch_windows,
-        n_batches=n_batches, Q=Q,
+        max_batches=n_batches, Q=Q,
         match=scorer.match_score, mismatch=scorer.mismatch_score,
         qgap=scorer.query_gap_score, tgap=scorer.target_gap_score,
         use_pallas=use_pallas, pam_spec=pam_spec,
@@ -82,11 +82,12 @@ def main() -> None:
 
     # Warmup / compile, then timed runs.  Best-of-3 guards against the
     # tunneled-device dispatch stalls seen in dev environments.
-    np.asarray(_screen_genome(genome, qv_fw, qv_rc, **kw))
+    nb = jnp.int32(n_batches)
+    np.asarray(_screen_genome(genome, qv_fw, qv_rc, nb, **kw))
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        best = np.asarray(_screen_genome(genome, qv_fw, qv_rc, **kw))
+        best = np.asarray(_screen_genome(genome, qv_fw, qv_rc, nb, **kw))
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     device_bps = G / elapsed  # genome bases scanned (both strands) per second

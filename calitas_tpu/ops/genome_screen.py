@@ -121,7 +121,7 @@ def _rc_mask(m: int) -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "window", "step", "batch_windows", "n_batches",
+        "window", "step", "batch_windows", "max_batches",
         "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
         "interpret",
     ),
@@ -130,11 +130,12 @@ def _screen_genome(
     genome,  # [G] uint8 masks, padded with >= window zeros at the end
     qv_fw,  # [1, Q] int32
     qv_rc,  # [1, Q] int32
+    n_batches,  # traced scalar: actual batches to run (<= max_batches)
     *,
     window: int,
     step: int,
     batch_windows: int,
-    n_batches: int,
+    max_batches: int,
     Q: int,
     match: int,
     mismatch: int,
@@ -145,9 +146,8 @@ def _screen_genome(
     interpret: bool = False,
 ):
     kw = dict(Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
-    lens = jnp.full((batch_windows // LANES, LANES), window, jnp.int32)
     lens_flat = jnp.full((batch_windows,), window, jnp.int32)
-    n_total = n_batches * batch_windows
+    n_total = max_batches * batch_windows
 
     def body(b, out):
         wins = extract_window_grid(
@@ -221,8 +221,10 @@ class GenomeScreen:
 
         log = logging.getLogger("calitas_tpu.stage")
         masks = TARGET_MASK_TABLE[contig_bases]
-        pad = self.window + (-len(masks)) % LANES
-        masks = np.concatenate([masks, np.zeros(pad, np.uint8)])
+        padded_len = 1 << (len(masks) + self.window - 1).bit_length()
+        masks = np.concatenate(
+            [masks, np.zeros(padded_len - len(masks), np.uint8)]
+        )
         n = len(masks)
         if n <= self.STAGE_CHUNK:
             return jax.device_put(jnp.asarray(masks))
@@ -266,10 +268,13 @@ class GenomeScreen:
             -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
         )
         n_batches = -(-n // bw)
-        # Guard: padded batch indices must stay within the genome buffer
-        # (+step because reshape-based extraction reads one extra step).
-        need = (n_batches * bw - 1) * step + self.window + step
+        # Bucket the static shapes (batch count and genome length) to
+        # powers of two so multi-contig genomes reuse one compilation
+        # instead of recompiling per contig.
+        max_batches = 1 << (n_batches - 1).bit_length()
+        need = (max_batches * bw - 1) * step + self.window + step
         if need > genome_dev.shape[0]:
+            need = 1 << (need - 1).bit_length()
             extra = need - genome_dev.shape[0]
             genome_dev = jnp.concatenate(
                 [genome_dev, jnp.zeros(extra, jnp.uint8)]
@@ -291,8 +296,9 @@ class GenomeScreen:
                     int(max_gap),
                 )
         best = _screen_genome(
-            genome_dev, qv_fw, qv_rc,
-            window=self.window, step=step, batch_windows=bw, n_batches=n_batches,
+            genome_dev, qv_fw, qv_rc, jnp.int32(n_batches),
+            window=self.window, step=step, batch_windows=bw,
+            max_batches=max_batches,
             Q=Q, match=s.match_score, mismatch=s.mismatch_score,
             qgap=s.query_gap_score, tgap=s.target_gap_score,
             use_pallas=use_pallas, pam_spec=static_pam_spec,
