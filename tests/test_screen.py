@@ -214,3 +214,39 @@ class TestPamGate:
         assert n_hit_windows >= 6
         # the gate should prune some candidates on random sequence
         assert gated.sum() <= ungated.sum()
+
+    def test_gate_covers_five_prime_pam_hits(self):
+        from calitas_tpu.core.guide import Guide
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.align.engine import SequentialAligner
+        from calitas_tpu.search.windows import materialize_window
+
+        rng = np.random.default_rng(5)
+        al = SequentialAligner()
+        proto = "GACCAACATGATGAAACTCT"
+        guide = Guide.parse("tttv" + proto)
+        contig = list("".join(rng.choice(list("ACGT"), 12_000)))
+        for i in range(6):
+            pos = 400 + i * 1800
+            seq = "TTTG" + proto
+            if i % 2:
+                seq = revcomp(seq)
+            contig[pos : pos + len(seq)] = list(seq)
+        contig = "".join(contig)
+        bases = np.frombuffer(contig.encode(), dtype=np.uint8)
+
+        pam_spec = (tuple(guide.pams_rc), 1, 3)
+        gated = self._flags(contig, guide, al.scorer, pam_spec)
+        starts = np.arange(0, len(bases) - 1, 230)
+        kw = dict(max_guide_diffs=5, max_gaps_between_guide_and_pam=3,
+                  max_pam_diffs=1, max_total_diffs=9, max_overlap=10)
+        n_hits = 0
+        for i, st in enumerate(starts):
+            w = materialize_window("c", bases, int(st), 256)
+            if len(w.bases) < guide.length:
+                continue
+            if al.align(guide, w.bases, target_name="c",
+                        target_offset=w.start - 1, **kw):
+                n_hits += 1
+                assert gated[i]
+        assert n_hits >= 4
