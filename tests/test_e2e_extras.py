@@ -212,3 +212,37 @@ def test_checkpoint_multi_guide_with_variants(tmp_path):
 
     assert key_rows(out1) == key_rows(plain)
     assert key_rows(out2) == key_rows(plain)
+
+
+def test_long_guide_falls_back_to_xla_screen(tmp_path):
+    """Guides beyond the pallas unroll budget (48nt) use the XLA screen."""
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.io.tsv import read_metrics
+    from calitas_tpu.search.hits import ReferenceHit
+    from calitas_tpu.tools import search_reference
+
+    rng = np.random.default_rng(8)
+    proto = "".join(rng.choice(list("ACGT"), 60))
+    b = ReferenceSetBuilder()
+    b.add("c").add("GT" * 300).add(proto + "TGG").add("CA" * 300)
+    ref = b.to_file(tmp_path / "r.fa")
+    for engine in ("host", "tpu"):
+        out = tmp_path / f"{engine}.txt"
+        search_reference.run(guide=proto + "nrg", guide_id="g", ref=ref,
+                             output=out, engine=engine)
+        hits = read_metrics(out, ReferenceHit)
+        assert any(h.total_mm_plus_gaps == 0 for h in hits)
+
+
+def test_no_hits_produces_header_only(tmp_path):
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.tools import search_reference
+
+    b = ReferenceSetBuilder()
+    b.add("c").add("AT" * 2000)
+    ref = b.to_file(tmp_path / "r.fa")
+    out = tmp_path / "out.txt"
+    search_reference.run(guide="GGGGGGGGGGCCCCCCCCCCnrg", guide_id="g",
+                         ref=ref, output=out, engine="host")
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 1 and lines[0].startswith("guide_id\t")
