@@ -1,6 +1,7 @@
 """Extra end-to-end coverage: 5'-PAM guides, auxiliary PAMs, chromosome
 restriction, custom scoring, custom window size."""
 
+import numpy as np
 import pytest
 
 from calitas_tpu.core.sequence import revcomp
