@@ -51,6 +51,9 @@ def run(
     header.samples = []  # drop samples
 
     out = VcfWriter(output, header)
+    from calitas_tpu.utils import ProgressLogger
+
+    progress = ProgressLogger(logger, noun="variants", verb="wrote", unit=100_000)
     n = 0
     for vcf_in in input:
         logger.info("Processing file %s", vcf_in)
@@ -74,6 +77,7 @@ def run(
                 genotypes=(),
             )
             out.write(fixed)
+            progress.record(v.chrom, v.pos)
             n += 1
     out.close()
     logger.info("Wrote %d variants.", n)
