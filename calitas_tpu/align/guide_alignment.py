@@ -99,15 +99,31 @@ class GuideAlignment:
     def is_negative_strand(self) -> bool:
         return not self.is_positive_strand
 
-    # -- global counters ----------------------------------------------------
+    # -- global counters (computed once, cached on the frozen instance) -----
+
+    def _cached_counts(self) -> dict:
+        try:
+            return object.__getattribute__(self, "_counts")
+        except AttributeError:
+            pass
+        counts = {
+            "mismatches": self.padded_alignment.count("."),
+            "gap_bases": self.padded_alignment.count(GAP_CHAR),
+            "guide_mm": self._count(lower=False, both_sides=False, mms=True, gaps=False),
+            "guide_gaps": self._count(lower=False, both_sides=False, mms=False, gaps=True),
+            "pam_mm": self._count(lower=True, both_sides=True, mms=True, gaps=False),
+            "pam_gaps": self._count(lower=True, both_sides=True, mms=False, gaps=True),
+        }
+        object.__setattr__(self, "_counts", counts)
+        return counts
 
     @property
     def mismatches(self) -> int:
-        return self.padded_alignment.count(".")
+        return self._cached_counts()["mismatches"]
 
     @property
     def gap_bases(self) -> int:
-        return self.padded_alignment.count(GAP_CHAR)
+        return self._cached_counts()["gap_bases"]
 
     @property
     def edits(self) -> int:
@@ -117,27 +133,30 @@ class GuideAlignment:
 
     @property
     def guide_mismatches(self) -> int:
-        return self._count(lower=False, both_sides=False, mms=True, gaps=False)
+        return self._cached_counts()["guide_mm"]
 
     @property
     def guide_gap_bases(self) -> int:
-        return self._count(lower=False, both_sides=False, mms=False, gaps=True)
+        return self._cached_counts()["guide_gaps"]
 
     @property
     def guide_mms_plus_gaps(self) -> int:
-        return self._count(lower=False, both_sides=False, mms=True, gaps=True)
+        # mm+gaps == mm count + gap count for the same region (the two
+        # column conditions are disjoint), matching the reference's
+        # combined count() call
+        return self.guide_mismatches + self.guide_gap_bases
 
     @property
     def pam_mismatches(self) -> int:
-        return self._count(lower=True, both_sides=True, mms=True, gaps=False)
+        return self._cached_counts()["pam_mm"]
 
     @property
     def pam_gap_bases(self) -> int:
-        return self._count(lower=True, both_sides=True, mms=False, gaps=True)
+        return self._cached_counts()["pam_gaps"]
 
     @property
     def pam_mms_plus_gaps(self) -> int:
-        return self._count(lower=True, both_sides=True, mms=True, gaps=True)
+        return self.pam_mismatches + self.pam_gap_bases
 
     def _count(self, lower: bool, both_sides: bool, mms: bool, gaps: bool) -> int:
         """Count gaps/mismatches in regions of lower- or upper-case guide.
