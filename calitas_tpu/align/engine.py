@@ -37,6 +37,10 @@ from calitas_tpu.align.alignment import Alignment
 from calitas_tpu.align.guide_alignment import GuideAlignment, SORT_KEY
 from calitas_tpu.align.oracle import glocal_align_multi
 
+import threading
+
+_TLS = threading.local()
+
 
 class SequentialAligner:
     def __init__(
@@ -438,16 +442,20 @@ def _native_search_pass_impl(
 
     max_out = 128
     while True:
-        tstart = np.empty(max_out, np.int32)
-        tend = np.empty(max_out, np.int32)
-        score = np.empty(max_out, np.int32)
-        pam_idx = np.empty(max_out, np.int32)
-        gaps = np.empty(max_out, np.int32)
-        edits = np.empty(max_out, np.int32)
-        ops_cap = max_out * (Q + 64)
-        ops_buf = ctypes.create_string_buffer(ops_cap)
-        ops_off = np.empty(max_out, np.int32)
-        ops_len = np.empty(max_out, np.int32)
+        # Reusable per-thread output buffers (allocation + ctypes setup was
+        # a measurable fraction of the per-candidate cost).
+        key = (max_out, Q + 64)
+        bufs = getattr(_TLS, "bufs", None)
+        if bufs is None:
+            bufs = _TLS.bufs = {}
+        if key not in bufs:
+            ops_cap = max_out * (Q + 64)
+            bufs[key] = (
+                tuple(np.empty(max_out, np.int32) for _ in range(8)),
+                ctypes.create_string_buffer(ops_cap),
+                ops_cap,
+            )
+        (tstart, tend, score, pam_idx, gaps, edits, ops_off, ops_len), ops_buf, ops_cap = bufs[key]
         n = lib.search_pass(
             np.ascontiguousarray(qmask), Q,
             np.ascontiguousarray(tmask), T,
