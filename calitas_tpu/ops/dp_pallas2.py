@@ -281,3 +281,99 @@ def _pallas_screen_dual(
             transcendentals=0,
         ),
     )(qvals, tcols)
+
+
+# ---------------------------------------------------------------------------
+# Multi-guide fused kernel: a set of same-length guides share one pass over
+# each window block (the block is re-used across the guide grid dimension,
+# so windows are fetched from HBM once per block instead of once per guide)
+# ---------------------------------------------------------------------------
+
+def _kernel_multi(
+    qvals_ref,  # [G, 2, Q] int32 in SMEM: fw and rc masks per guide
+    tcols_ref,  # [T, SUBLANES, LANES] int32 target masks (low 4 bits)
+    best_ref,  # [SUBLANES, LANES] int32 out for this (block, guide)
+    *,
+    T: int,
+    Q: int,
+    match: int,
+    mismatch: int,
+    qgap: int,
+    tgap: int,
+):
+    g = pl.program_id(1)
+    zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
+    init = tuple(
+        jnp.full((SUBLANES, LANES), i * tgap, jnp.int32) for i in range(Q + 1)
+    )
+    best0 = jnp.full((SUBLANES, LANES), NEG_INF, jnp.int32)
+    m = jnp.int32(match)
+    mm = jnp.int32(mismatch)
+    qg = jnp.int32(qgap)
+    tg = jnp.int32(tgap)
+
+    def chain(state, tcol, q):
+        new = [zeros]
+        diag_in = state[0]
+        for i in range(1, Q + 1):
+            qi = qvals_ref[g, q, i - 1]
+            pair = jnp.where((tcol & qi) != 0, m, mm)
+            cand = jnp.maximum(diag_in + pair, state[i] + qg)
+            cand = jnp.maximum(cand, new[i - 1] + tg)
+            diag_in = state[i]
+            new.append(cand)
+        return tuple(new)
+
+    def body(j, carry):
+        s_fw, s_rc, best = carry
+        tcol = tcols_ref[j].astype(jnp.int32) & 15
+        n_fw = chain(s_fw, tcol, 0)
+        n_rc = chain(s_rc, tcol, 1)
+        best = jnp.maximum(best, jnp.maximum(n_fw[Q], n_rc[Q]))
+        return n_fw, n_rc, best
+
+    _, _, best = jax.lax.fori_loop(0, T, body, (init, init, best0))
+    best_ref[0, :, :] = best
+
+
+@partial(
+    jax.jit,
+    static_argnames=("Q", "match", "mismatch", "qgap", "tgap", "interpret"),
+)
+def _pallas_screen_multi(
+    qvals, tcols, *, Q, match, mismatch, qgap, tgap, interpret=False
+):
+    """Both-strand screen for G same-length guides over one window block
+    set: qvals [G, 2, Q]; returns [G, n_blocks*8, 128] int32."""
+    T = tcols.shape[0]
+    n_blocks = tcols.shape[1] // SUBLANES
+    G = qvals.shape[0]
+    kernel = partial(
+        _kernel_multi, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
+        tgap=tgap,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks, G),  # guide dim innermost: the window block is
+        # revisited across guides without re-fetching from HBM
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (T, SUBLANES, LANES), lambda i, g: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda i, g: (g, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (G, n_blocks * SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * T * Q * n_blocks * BLOCK_W * G,
+            bytes_accessed=T * n_blocks * BLOCK_W * 4 * G,
+            transcendentals=0,
+        ),
+    )(qvals, tcols)

@@ -420,3 +420,119 @@ class ShardedGenomeScreen(GenomeScreen):
             best = fn(genome_dev, batch_starts, qv_fw, qv_rc)
             out[b * bw : (b + 1) * bw] = np.asarray(best)
         return out[:n] >= min_score
+
+
+# ---------------------------------------------------------------------------
+# Multi-guide screening (same-length guide groups share window extraction)
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "step", "batch_windows", "max_batches",
+        "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
+        "interpret",
+    ),
+)
+def _screen_genome_multi(
+    genome,
+    qvals,  # [G, 2, Q] int32
+    n_batches,  # traced scalar
+    *,
+    window: int,
+    step: int,
+    batch_windows: int,
+    max_batches: int,
+    Q: int,
+    G: int,
+    match: int,
+    mismatch: int,
+    qgap: int,
+    tgap: int,
+    use_pallas: bool,
+    interpret: bool = False,
+):
+    lens_flat = jnp.full((batch_windows,), window, jnp.int32)
+    n_total = max_batches * batch_windows
+
+    def body(b, out):
+        wins = extract_window_grid(
+            genome, b * batch_windows * step, batch_windows, step, window
+        )
+        if use_pallas:
+            from calitas_tpu.ops.dp_pallas2 import _pallas_screen_multi
+
+            tcols = wins.T.astype(jnp.int32).reshape(
+                window, batch_windows // LANES, LANES
+            )
+            best = _pallas_screen_multi(
+                qvals, tcols,
+                Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap,
+                interpret=interpret,
+            ).reshape(G, batch_windows)
+        else:
+            from calitas_tpu.ops.dp_screen import _screen_scores
+
+            skw = dict(match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
+            per_guide = []
+            for g in range(G):
+                bf = _screen_scores(
+                    qvals[g, 0].astype(jnp.uint8), wins, lens_flat, **skw
+                )
+                br = _screen_scores(
+                    qvals[g, 1].astype(jnp.uint8), wins, lens_flat, **skw
+                )
+                per_guide.append(jnp.maximum(bf, br))
+            best = jnp.stack(per_guide)
+        return jax.lax.dynamic_update_slice(out, best, (0, b * batch_windows))
+
+    out0 = jnp.full((G, n_total), -(2**30), jnp.int32)
+    return jax.lax.fori_loop(0, n_batches, body, out0)
+
+
+def screen_contig_multi(
+    screen: GenomeScreen,
+    genome_dev,
+    contig_len: int,
+    step: int,
+    dp_queries: list,  # [(dp_query, dp_query_rc), ...] all same length
+    min_scores: list,
+) -> np.ndarray:
+    """Boolean hit flags [G, n_windows] for a same-length guide group; the
+    window blocks are extracted/transposed once and re-used across guides."""
+    starts = screen.window_starts(contig_len, step)
+    n = len(starts)
+    G = len(dp_queries)
+    if n == 0:
+        return np.zeros((G, 0), dtype=bool)
+    Q = len(dp_queries[0][0])
+    use_pallas = screen.use_pallas and Q <= 48
+    unit = BLOCK_W if use_pallas else LANES
+    bw = min(
+        -(-screen.batch_windows // unit) * unit, -(-n // unit) * unit
+    )
+    n_batches = -(-n // bw)
+    max_batches = 1 << (n_batches - 1).bit_length()
+    need = (max_batches * bw - 1) * step + screen.window + step
+    if need > genome_dev.shape[0]:
+        need = 1 << (need - 1).bit_length()
+        genome_dev = jnp.concatenate(
+            [genome_dev, jnp.zeros(need - genome_dev.shape[0], jnp.uint8)]
+        )
+    qvals = np.stack(
+        [
+            np.stack([encode_query(q), encode_query(qrc)]).astype(np.int32)
+            for q, qrc in dp_queries
+        ]
+    )
+    s = screen.scorer
+    best = _screen_genome_multi(
+        genome_dev, jnp.asarray(qvals), jnp.int32(n_batches),
+        window=screen.window, step=step, batch_windows=bw,
+        max_batches=max_batches, Q=Q, G=G,
+        match=s.match_score, mismatch=s.mismatch_score,
+        qgap=s.query_gap_score, tgap=s.target_gap_score,
+        use_pallas=use_pallas, interpret=screen.interpret,
+    )
+    best = np.asarray(best[:, :n])
+    return best >= np.asarray(min_scores, dtype=np.int32)[:, None]

@@ -74,6 +74,38 @@ def screened_search(
         if len(bases) < 2:
             continue
         genome_dev = screen.stage(bases)
+
+        # Group same-length guides: one window-extraction pass per group
+        # (the multi-guide kernel re-uses each window block across guides).
+        groups: dict[tuple[int, int], list[GuideTask]] = {}
+        for task in tasks:
+            g = task.guide
+            dp_q = g.guide_rc if g.pam_is_5prime else g.guide_fw
+            groups.setdefault((len(dp_q), task.step_size), []).append(task)
+        multi_flags: dict[str, np.ndarray] = {}
+        if isinstance(screen, GenomeScreen) and type(screen) is GenomeScreen:
+            from calitas_tpu.ops.genome_screen import screen_contig_multi
+
+            for (_, step_size), group in groups.items():
+                if len(group) < 2:
+                    continue
+                dq = []
+                ms = []
+                for t in group:
+                    g = t.guide
+                    q = g.guide_rc if g.pam_is_5prime else g.guide_fw
+                    dq.append((q, revcomp(q)))
+                    ms.append(
+                        aligner.min_guide_score(
+                            g, align_kwargs["max_guide_diffs"]
+                        )
+                    )
+                flags_g = screen_contig_multi(
+                    screen, genome_dev, len(bases), step_size, dq, ms
+                )
+                for i, t in enumerate(group):
+                    multi_flags[t.guide_id] = flags_g[i]
+
         for task in tasks:
             guide = task.guide
             min_score = aligner.min_guide_score(
@@ -93,10 +125,13 @@ def screened_search(
                 if dp_pams
                 else None
             )
-            flags = screen.screen_contig(
-                genome_dev, len(bases), task.step_size,
-                dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
-            )
+            if task.guide_id in multi_flags:
+                flags = multi_flags[task.guide_id]
+            else:
+                flags = screen.screen_contig(
+                    genome_dev, len(bases), task.step_size,
+                    dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
+                )
             starts = screen.window_starts(len(bases), task.step_size)
             candidates = (
                 materialize_window(name, bases, int(starts[i]), window_size)

@@ -61,3 +61,29 @@ def test_guide_file_cli(ref, tmp_path):
     assert rc == 0
     hits = read_metrics(out, ReferenceHit)
     assert {h.guide_id for h in hits} == {"g1", "g2"}
+
+
+def test_same_length_guides_use_grouped_screen(ref, tmp_path):
+    """Same-length guide groups run the multi-guide kernel path; output
+    must equal per-guide runs."""
+    # Same protospacer length (21) and same total guide-string length ->
+    # one screen group.
+    g1 = "ACGTACATGCTCGATACGACGnr"
+    g2 = "TTGACCAAGCAAAACAGACCAnr"
+    g3 = "GGGGCCCCAAAATTTTACGTAnr"
+    specs = [("m1", g1, ()), ("m2", g2, ()), ("m3", g3, ())]
+    multi = tmp_path / "multi3.txt"
+    search_reference.run(ref=ref, output=multi, engine="tpu",
+                         guide_specs=specs)
+    multi_hits = read_metrics(multi, ReferenceHit)
+
+    singles = []
+    for gid, g, _ in specs:
+        out = tmp_path / f"{gid}.txt"
+        search_reference.run(guide=g, guide_id=gid, ref=ref, output=out,
+                             engine="tpu")
+        singles.extend(read_metrics(out, ReferenceHit))
+
+    key = lambda h: (h.guide_id, h.chromosome, h.coordinate_start, h.strand,
+                     h.score, h.cigar)
+    assert sorted(map(key, multi_hits)) == sorted(map(key, singles))
