@@ -100,9 +100,20 @@ def screened_search(
                             g, align_kwargs["max_guide_diffs"]
                         )
                     )
-                flags_g = screen_contig_multi(
-                    screen, genome_dev, len(bases), step_size, dq, ms
-                )
+                try:
+                    flags_g = screen_contig_multi(
+                        screen, genome_dev, len(bases), step_size, dq, ms
+                    )
+                except Exception:
+                    # fall back to per-guide screening (correctness is
+                    # unaffected; only the feed amortization is lost)
+                    import logging
+
+                    logging.getLogger("calitas_tpu.SearchReference").warning(
+                        "multi-guide screen unavailable; falling back to "
+                        "per-guide screening", exc_info=True,
+                    )
+                    continue
                 for i, t in enumerate(group):
                     multi_flags[t.guide_id] = flags_g[i]
 
