@@ -42,6 +42,42 @@ import threading
 _TLS = threading.local()
 
 
+class _Light:
+    """Pre-dedup alignment record: the dedup-relevant values computed from
+    the cigar, deferring padded-string construction to survivors."""
+
+    __slots__ = ("alignment", "strand", "kind", "start_offset", "end_offset",
+                 "score", "gap_bases", "edits")
+
+    def __init__(self, alignment, strand, kind, start_offset, end_offset):
+        self.alignment = alignment
+        self.strand = strand
+        self.kind = kind
+        self.start_offset = start_offset
+        self.end_offset = end_offset
+        self.score = alignment.score
+        gaps = 0
+        edits = 0
+        for e in alignment.cigar:
+            if e.op in "ID":
+                gaps += e.length
+                edits += e.length
+            elif e.op == "X":
+                edits += e.length
+        self.gap_bases = gaps
+        self.edits = edits
+
+    def overlap(self, other) -> int:
+        o = min(self.end_offset, other.end_offset) - max(
+            self.start_offset, other.start_offset
+        )
+        return o if o > 0 else 0
+
+
+#: (score desc, fewer gap bases) — GuideAlignment.scala:125-129
+_LIGHT_SORT_KEY = lambda r: (-r.score, r.gap_bases)
+
+
 class SequentialAligner:
     def __init__(
         self,
@@ -140,68 +176,98 @@ class SequentialAligner:
                 max_total_diffs=max_diffs_filtering,
             )
 
+        # Each pass yields light records carrying only what the intra-window
+        # dedup needs (score, gap/edit counts from the cigar, genomic span);
+        # the full GuideAlignment (padded strings, flips) is built only for
+        # dedup survivors.  Counters from the cigar are identical to
+        # padded-string counts ('~' columns are exactly the I/D bases, '.'
+        # exactly the X bases).
         if guide.pam_is_5prime:
             # Align revcomp(guide) so the PAM lands on the right (:260-293).
             fs = run(guide.guide_rc, guide.pams_rc, rc_target_b, "fwd")
-            fwd = []
-            for a in fs:
-                ga = _to_guide_alignment(a, target_name, 0, "+")
-                fwd.append(
-                    ga.copy(
-                        guide=revcomp(ga.guide),
-                        cigar=ga.cigar.reverse(),
-                        padded_guide=revcomp_padded(ga.padded_guide),
-                        padded_alignment=ga.padded_alignment[::-1],
-                        padded_target=revcomp_padded(ga.padded_target),
-                        start_offset=target_offset + L - ga.end_offset,
-                        end_offset=target_offset + L - ga.start_offset,
-                        guide_start_offset=target_offset + L - ga.guide_end_offset,
-                        guide_end_offset=target_offset + L - ga.guide_start_offset,
-                    )
-                )
             rs = run(guide.guide_rc, guide.pams_rc, target_b, "rev")
-            rev = []
-            for a in rs:
-                ga = _to_guide_alignment(a, target_name, target_offset, "+")
-                rev.append(
-                    ga.copy(
-                        guide=revcomp(ga.guide),
-                        cigar=ga.cigar.reverse(),
-                        strand="-",
-                        padded_guide=revcomp_padded(ga.padded_guide),
-                        padded_alignment=ga.padded_alignment[::-1],
-                        padded_target=revcomp_padded(ga.padded_target),
-                    )
-                )
+            fwd = [
+                _Light(a, "+", "5fwd",
+                       target_offset + L - (a.target_start - 1 + a.cigar.length_on_target),
+                       target_offset + L - (a.target_start - 1))
+                for a in fs
+            ]
+            rev = [
+                _Light(a, "-", "5rev",
+                       target_offset + a.target_start - 1,
+                       target_offset + a.target_end)
+                for a in rs
+            ]
         else:
             # 3'-PAM or PAM-less (:294-313).
             fs = run(guide.guide_fw, guide.pams_fw, target_b, "fwd")
-            fwd = [_to_guide_alignment(a, target_name, target_offset, "+") for a in fs]
             rs = run(guide.guide_fw, guide.pams_fw, rc_target_b, "rev")
-            rev = []
-            for a in rs:
-                ga = _to_guide_alignment(a, target_name, 0, "+")
-                rev.append(
-                    ga.copy(
-                        strand="-",
-                        start_offset=target_offset + L - ga.end_offset,
-                        guide_start_offset=target_offset + L - ga.guide_end_offset,
-                        end_offset=target_offset + L - ga.start_offset,
-                        guide_end_offset=target_offset + L - ga.guide_start_offset,
-                    )
-                )
+            fwd = [
+                _Light(a, "+", "3fwd",
+                       target_offset + a.target_start - 1,
+                       target_offset + a.target_end)
+                for a in fs
+            ]
+            rev = [
+                _Light(a, "-", "3rev",
+                       target_offset + L - a.target_end,
+                       target_offset + L - (a.target_start - 1))
+                for a in rs
+            ]
 
         # Intra-window dedup (:315-322): fwd then rev, each sorted
         # (score desc, fewer gaps; stable), keep if within max_total_diffs
         # and no kept same-strand alignment overlaps by more than max_overlap.
-        retval: list[GuideAlignment] = []
+        kept: list[_Light] = []
         for alns in (fwd, rev):
-            for aln in sorted(alns, key=SORT_KEY):
-                if aln.edits <= max_total_diffs and not any(
-                    k.strand == aln.strand and k.overlap(aln) > max_overlap
-                    for k in retval
+            for rec in sorted(alns, key=_LIGHT_SORT_KEY):
+                if rec.edits <= max_total_diffs and not any(
+                    k.strand == rec.strand and k.overlap(rec) > max_overlap
+                    for k in kept
                 ):
-                    retval.append(aln)
+                    kept.append(rec)
+
+        # Materialize survivors with the full padded-string construction.
+        retval: list[GuideAlignment] = []
+        for rec in kept:
+            a = rec.alignment
+            if rec.kind == "5fwd":
+                ga = _to_guide_alignment(a, target_name, 0, "+")
+                ga = ga.copy(
+                    guide=revcomp(ga.guide),
+                    cigar=ga.cigar.reverse(),
+                    padded_guide=revcomp_padded(ga.padded_guide),
+                    padded_alignment=ga.padded_alignment[::-1],
+                    padded_target=revcomp_padded(ga.padded_target),
+                    start_offset=target_offset + L - ga.end_offset,
+                    end_offset=target_offset + L - ga.start_offset,
+                    guide_start_offset=target_offset + L - ga.guide_end_offset,
+                    guide_end_offset=target_offset + L - ga.guide_start_offset,
+                )
+            elif rec.kind == "5rev":
+                ga = _to_guide_alignment(a, target_name, target_offset, "+")
+                ga = ga.copy(
+                    guide=revcomp(ga.guide),
+                    cigar=ga.cigar.reverse(),
+                    strand="-",
+                    padded_guide=revcomp_padded(ga.padded_guide),
+                    padded_alignment=ga.padded_alignment[::-1],
+                    padded_target=revcomp_padded(ga.padded_target),
+                )
+            elif rec.kind == "3fwd":
+                ga = _to_guide_alignment(a, target_name, target_offset, "+")
+            else:  # 3rev
+                ga = _to_guide_alignment(a, target_name, 0, "+")
+                ga = ga.copy(
+                    strand="-",
+                    start_offset=target_offset + L - ga.end_offset,
+                    guide_start_offset=target_offset + L - ga.guide_end_offset,
+                    end_offset=target_offset + L - ga.start_offset,
+                    guide_end_offset=target_offset + L - ga.guide_start_offset,
+                )
+            assert ga.start_offset == rec.start_offset
+            assert ga.end_offset == rec.end_offset
+            retval.append(ga)
         return retval
 
     # -------------------------------------------------------- convenience

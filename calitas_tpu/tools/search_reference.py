@@ -120,6 +120,19 @@ def run(
         (gid, gstr, Guide.parse(gstr, aux)) for gid, gstr, aux in guide_specs
     ]
 
+    # Completeness-guarantee check (documented constraint,
+    # SearchReference.scala:433-441): warn when custom costs can lose
+    # valid alignments.
+    mags = [abs(guide_mismatch_net_cost), abs(genome_gap_net_cost),
+            abs(guide_gap_net_cost)]
+    if (max_guide_diffs + 1) * min(mags) <= max_guide_diffs * max(mags):
+        logger.warning(
+            "Scoring constraint violated: (max-guide-diffs+1)*min_cost must "
+            "exceed max-guide-diffs*max_cost or alignments within the given "
+            "limits may be missed (min=%d max=%d max-guide-diffs=%d).",
+            min(mags), max(mags), max_guide_diffs,
+        )
+
     hits: list[ReferenceHit] = []
     base_builder = HitBuilder(
         guide_id=specs[0][0],
