@@ -13,6 +13,31 @@
 #include <cstring>
 #include <vector>
 
+
+namespace {
+
+// Two-pass row fill: pass 1 (auto-vectorizable) computes
+// max(diag + pair, up + tgap); pass 2 closes over the left-gap chain.
+// Identical results to the fused 3-way max.
+inline void fill_row(const int32_t* prev, int32_t* row, int32_t* tmp,
+                     const uint8_t* tmask, int32_t T, uint8_t q,
+                     int32_t match, int32_t mismatch,
+                     int32_t qgap, int32_t tgap) {
+  for (int32_t j = 1; j <= T; ++j) {
+    const int32_t pair = (q & tmask[j - 1]) ? match : mismatch;
+    const int32_t a = prev[j - 1] + pair;
+    const int32_t b = prev[j] + tgap;
+    tmp[j] = a > b ? a : b;
+  }
+  row[0] = prev[0] + tgap;
+  for (int32_t j = 1; j <= T; ++j) {
+    const int32_t c = row[j - 1] + qgap;
+    row[j] = tmp[j] > c ? tmp[j] : c;
+  }
+}
+
+}  // namespace
+
 extern "C" {
 
 // Fill the final DP row: out_final[j] = S[Q][j] for j in 0..T.
@@ -22,20 +47,11 @@ int32_t dp_final_row(const uint8_t* qmask, int32_t Q,
                      int32_t match, int32_t mismatch,
                      int32_t qgap, int32_t tgap,
                      int32_t* out_final) {
-  std::vector<int32_t> prev(T + 1), cur(T + 1);
+  std::vector<int32_t> prev(T + 1), cur(T + 1), tmp(T + 1);
   for (int32_t j = 0; j <= T; ++j) prev[j] = 0;
   for (int32_t i = 1; i <= Q; ++i) {
-    const uint8_t q = qmask[i - 1];
-    cur[0] = prev[0] + tgap;
-    for (int32_t j = 1; j <= T; ++j) {
-      const int32_t pair = (q & tmask[j - 1]) ? match : mismatch;
-      int32_t best = prev[j - 1] + pair;
-      const int32_t up = prev[j] + tgap;
-      if (up > best) best = up;
-      const int32_t left = cur[j - 1] + qgap;
-      if (left > best) best = left;
-      cur[j] = best;
-    }
+    fill_row(prev.data(), cur.data(), tmp.data(), tmask, T, qmask[i - 1],
+             match, mismatch, qgap, tgap);
     std::swap(prev, cur);
   }
   int32_t best = INT32_MIN;
@@ -65,21 +81,11 @@ int32_t dp_align_multi(const uint8_t* qmask, int32_t Q,
   if (Q <= 0 || T <= 0) return 0;
   // Full matrix, row-major (Q+1) x (T+1).
   std::vector<int32_t> S((size_t)(Q + 1) * (T + 1));
+  std::vector<int32_t> tmp(T + 1);
   for (int32_t j = 0; j <= T; ++j) S[j] = 0;
   for (int32_t i = 1; i <= Q; ++i) {
-    int32_t* row = &S[(size_t)i * (T + 1)];
-    const int32_t* prow = &S[(size_t)(i - 1) * (T + 1)];
-    const uint8_t q = qmask[i - 1];
-    row[0] = prow[0] + tgap;
-    for (int32_t j = 1; j <= T; ++j) {
-      const int32_t pair = (q & tmask[j - 1]) ? match : mismatch;
-      int32_t best = prow[j - 1] + pair;
-      const int32_t up = prow[j] + tgap;
-      if (up > best) best = up;
-      const int32_t left = row[j - 1] + qgap;
-      if (left > best) best = left;
-      row[j] = best;
-    }
+    fill_row(&S[(size_t)(i - 1) * (T + 1)], &S[(size_t)i * (T + 1)],
+             tmp.data(), tmask, T, qmask[i - 1], match, mismatch, qgap, tgap);
   }
 
   const int32_t* frow = &S[(size_t)Q * (T + 1)];
@@ -185,21 +191,11 @@ int32_t search_pass(const uint8_t* qmask, int32_t Q,
                     int32_t* out_ops_off, int32_t* out_ops_len) {
   if (Q <= 0 || T <= 0) return 0;
   std::vector<int32_t> S((size_t)(Q + 1) * (T + 1));
+  std::vector<int32_t> tmp(T + 1);
   for (int32_t j = 0; j <= T; ++j) S[j] = 0;
   for (int32_t i = 1; i <= Q; ++i) {
-    int32_t* row = &S[(size_t)i * (T + 1)];
-    const int32_t* prow = &S[(size_t)(i - 1) * (T + 1)];
-    const uint8_t q = qmask[i - 1];
-    row[0] = prow[0] + tgap;
-    for (int32_t j = 1; j <= T; ++j) {
-      const int32_t pair = (q & tmask[j - 1]) ? match : mismatch;
-      int32_t best = prow[j - 1] + pair;
-      const int32_t up = prow[j] + tgap;
-      if (up > best) best = up;
-      const int32_t left = row[j - 1] + qgap;
-      if (left > best) best = left;
-      row[j] = best;
-    }
+    fill_row(&S[(size_t)(i - 1) * (T + 1)], &S[(size_t)i * (T + 1)],
+             tmp.data(), tmask, T, qmask[i - 1], match, mismatch, qgap, tgap);
   }
 
   const int32_t* frow = &S[(size_t)Q * (T + 1)];
