@@ -247,3 +247,43 @@ def test_no_hits_produces_header_only(tmp_path):
                          ref=ref, output=out, engine="host")
     lines = out.read_text().strip().split("\n")
     assert len(lines) == 1 and lines[0].startswith("guide_id\t")
+
+
+@pytest.mark.parametrize("engine", ["host", "tpu"])
+def test_five_prime_pam_with_variants(tmp_path, engine):
+    """Variant pass with a 5'-PAM guide: an insertion creates the
+    protospacer match next to a TTTV PAM."""
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.io.tsv import read_metrics
+    from calitas_tpu.search.hits import ReferenceHit
+    from calitas_tpu.tools import search_reference
+    from tests.vcf_util import VcfBuilder
+
+    proto = "GACCAACATGATGAAACTCT"
+    b = ReferenceSetBuilder(assembly="v5p")
+    # reference genome has the site minus one base (created by variant)
+    broken = proto[:10] + proto[11:]
+    b.add("c1").add("GA" * 150).add("TTTG" + broken).add("AG" * 150)
+    ref = b.to_file(tmp_path / "r.fa")
+
+    # insertion restores the full protospacer: at position of the missing
+    # base, insert it back
+    pos = 300 + 4 + 10  # after 'GA'*150 + TTTG + first 10 proto bases
+    prev_base = proto[9]
+    vcf = VcfBuilder()
+    vcf.add("c1", pos, "fix", [prev_base, prev_base + proto[10]],
+            info={"AF": "0.25"})
+    vcf_path = vcf.to_file(tmp_path / "v.vcf")
+
+    out = tmp_path / "out.txt"
+    search_reference.run(
+        guide="tttv" + proto, guide_id="g", ref=ref, variants=vcf_path,
+        output=out, engine=engine, max_guide_diffs=0,
+        max_gaps_between_guide_and_pam=0,
+    )
+    hits = read_metrics(out, ReferenceHit)
+    vhits = [h for h in hits if h.variant_id == "fix"]
+    assert vhits, "variant-created 5'-PAM site not found"
+    assert vhits[0].genome_build == "v5p+variants"
+    assert vhits[0].allele_frequency == 0.25
+    assert vhits[0].pam_used == "tttv"
