@@ -298,3 +298,40 @@ class TestParametersColumn:
             "max-total-diffs=9;max-variants=16;pam-mismatch-net-cost=-260;"
             "window-size=1000"
         )
+
+
+class TestCrossPassDedup:
+    def test_variant_hit_does_not_suppress_reference_hit(self, tmp_path):
+        """Reference-pass and variant-pass hits at the same locus both
+        survive the global dedup: the group key includes
+        variant_description (SearchReference.scala:656; SURVEY §3.2 note).
+        """
+        proto = "CTTGCCCCACAGGGCAGTAA"
+        b = ReferenceSetBuilder(assembly="xp")
+        # perfect site in the reference; a variant inside it creates a
+        # second (1-mm in proto) haplotype hit at the same locus
+        b.add("c1").add("GT" * 200).add(proto + "TGG").add("AC" * 200)
+        ref = b.to_file(tmp_path / "r.fa")
+        vcf = VcfBuilder()
+        # SNP at protospacer position 5 (contig pos 400 + 5)
+        ref_base = proto[4]
+        alt = "G" if ref_base != "G" else "C"
+        vcf.add("c1", 405, "rsX", [ref_base, alt], info={"AF": "0.3"})
+        vcf_path = vcf.to_file(tmp_path / "v.vcf")
+
+        out = tmp_path / "out.txt"
+        search_reference.run(
+            guide=proto + "nrg", guide_id="g", ref=ref, variants=vcf_path,
+            output=out, engine="host",
+        )
+        hits = read_metrics(out, ReferenceHit)
+        same_locus = [h for h in hits if h.coordinate_start == 400]
+        descs = {h.variant_description for h in same_locus}
+        assert None in descs, "reference-pass hit missing"
+        assert any(d for d in descs if d), "variant-pass hit missing"
+        ref_hit = next(h for h in same_locus if h.variant_description is None)
+        var_hit = next(h for h in same_locus if h.variant_description)
+        assert ref_hit.total_mm_plus_gaps == 0
+        assert var_hit.total_mm_plus_gaps == 1  # the SNP
+        assert var_hit.variant_description == f"rsX:404:{ref_base}>{alt}:0.300"
+        assert var_hit.allele_frequency == 0.3
