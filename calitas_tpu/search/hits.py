@@ -67,8 +67,15 @@ class ReferenceHit:
     @property
     def end(self) -> int:
         """End computed from start + cigar length-on-target, 1-based-closed
-        style (ReferenceHit.scala:135-138; htsjdk CoordMath.getEnd)."""
-        return self.coordinate_start + Cigar(self.cigar).length_on_target - 1
+        style (ReferenceHit.scala:135-138; htsjdk CoordMath.getEnd).
+        Cached: the global dedup compares ends repeatedly on large tables."""
+        try:
+            return object.__getattribute__(self, "_end")
+        except AttributeError:
+            pass
+        end = self.coordinate_start + Cigar(self.cigar).length_on_target - 1
+        object.__setattr__(self, "_end", end)
+        return end
 
     def overlap(self, other: "ReferenceHit") -> int:
         """Genomic overlap between the full alignments of two hits
