@@ -83,7 +83,7 @@ def screened_search(
             dp_q = g.guide_rc if g.pam_is_5prime else g.guide_fw
             groups.setdefault((len(dp_q), task.step_size), []).append(task)
         multi_flags: dict[str, np.ndarray] = {}
-        if isinstance(screen, GenomeScreen) and type(screen) is GenomeScreen:
+        if type(screen) is GenomeScreen:  # sharded subclass screens per guide
             from calitas_tpu.ops.genome_screen import screen_contig_multi
 
             for (_, step_size), group in groups.items():
