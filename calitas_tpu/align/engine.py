@@ -133,13 +133,16 @@ class SequentialAligner:
         max_total_diffs: int,
         max_overlap: int = 0,
         precomputed: Optional[dict] = None,
+        passes: tuple = ("fwd", "rev"),
     ) -> list[GuideAlignment]:
         """All acceptable alignments of guide(+PAMs) to target, deduped.
 
         ``precomputed`` optionally supplies device-computed DP results keyed
         by pass name ('fwd'/'rev') to skip the host DP (same contract as
-        ``_dp``).
-        """
+        ``_dp``).  ``passes`` restricts which strand passes run: a skipped
+        pass contributes no alignments, which is output-identical whenever
+        the caller knows (e.g. from the device screen) that the pass has no
+        above-threshold end columns."""
         target_b = bytes(to_bytes(target))
         L = len(target_b)
         min_score = self.min_guide_score(guide, max_guide_diffs)
@@ -151,6 +154,8 @@ class SequentialAligner:
         rc_target_b = bytes(revcomp_bytes(np.frombuffer(target_b, dtype=np.uint8)))
 
         def run(query: str, pams: Sequence[str], tgt: bytes, key: str) -> list[Alignment]:
+            if key not in passes:
+                return []
             qb = query.encode("ascii")
             if precomputed is not None and key in precomputed:
                 alns = precomputed[key]

@@ -216,7 +216,7 @@ def _kernel2(
         return tuple(new)
 
     def body(j, carry):
-        s_fw, s_rc, best = carry
+        s_fw, s_rc, best_fw, best_rc = carry
         tcol_raw = tcols_ref[j].astype(jnp.int32)
         tcol = tcol_raw & 15
         if pam_gate:
@@ -235,12 +235,16 @@ def _kernel2(
         end_fw = (
             jnp.where(end_ok, n_fw[Q], NEG_INF) if pam_gate else n_fw[Q]
         )
-        best = jnp.maximum(best, jnp.maximum(end_fw, n_rc[Q]))
-        return n_fw, n_rc, best
+        best_fw = jnp.maximum(best_fw, end_fw)
+        best_rc = jnp.maximum(best_rc, n_rc[Q])
+        return n_fw, n_rc, best_fw, best_rc
 
     # all columns are valid (the caller always packs full-length windows)
-    _, _, best = jax.lax.fori_loop(0, T, body, (init, init, best0))
-    best_ref[:, :] = best
+    _, _, best_fw, best_rc = jax.lax.fori_loop(
+        0, T, body, (init, init, best0, best0)
+    )
+    best_ref[0, :, :] = best_fw
+    best_ref[1, :, :] = best_rc
 
 
 @partial(
@@ -253,8 +257,8 @@ def _pallas_screen_dual(
     qvals, tcols, *, Q, match, mismatch, qgap, tgap, pam_gate=False,
     interpret=False,
 ):
-    """Fused both-strand screen: returns [n_blocks*8, 128] int32 of
-    max(best_fw, best_rc) per window.  All windows are full length."""
+    """Fused both-strand screen: returns [2, n_blocks*8, 128] int32 —
+    per-chain (fw, rc) best scores per window.  All windows full length."""
     T = tcols.shape[0]
     n_blocks = tcols.shape[1] // SUBLANES
     kernel = partial(
@@ -271,9 +275,11 @@ def _pallas_screen_dual(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (2, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * SUBLANES, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (2, n_blocks * SUBLANES, LANES), jnp.int32
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=16 * T * Q * n_blocks * BLOCK_W,

@@ -167,13 +167,10 @@ def _screen_genome(
                 )
             )
             qv2 = jnp.concatenate([qv_fw, qv_rc], axis=0)
-            best = _pallas_screen_dual(
+            both = _pallas_screen_dual(
                 qv2, tcols, pam_gate=pam_spec is not None,
                 interpret=interpret, **kw
-            )
-            return jax.lax.dynamic_update_slice(
-                out, best.reshape(batch_windows), (b * batch_windows,)
-            )
+            ).reshape(2, batch_windows)
         else:
             from calitas_tpu.ops.dp_screen import _screen_scores
 
@@ -184,10 +181,10 @@ def _screen_genome(
             best_rc = _screen_scores(
                 qv_rc[0].astype(jnp.uint8), wins, lens_flat, **skw
             )
-        best = jnp.maximum(best_fw, best_rc).reshape(batch_windows)
-        return jax.lax.dynamic_update_slice(out, best, (b * batch_windows,))
+            both = jnp.stack([best_fw, best_rc])
+        return jax.lax.dynamic_update_slice(out, both, (0, b * batch_windows))
 
-    out0 = jnp.full((n_total,), -(2**30), jnp.int32)
+    out0 = jnp.full((2, n_total), -(2**30), jnp.int32)
     return jax.lax.fori_loop(0, n_batches, body, out0)
 
 
@@ -249,6 +246,7 @@ class GenomeScreen:
         dp_query_rc: str,
         min_score: int,
         pam_spec=None,  # (dp-orientation pam strings, max_pam_mm, max_gap)
+        return_chains: bool = False,
     ) -> np.ndarray:
         """Returns the boolean hit flags for every reference window start.
 
@@ -304,7 +302,10 @@ class GenomeScreen:
             use_pallas=use_pallas, pam_spec=static_pam_spec,
             interpret=self.interpret,
         )
-        return np.asarray(best[:n]) >= min_score
+        chain_flags = np.asarray(best[:, :n]) >= min_score  # [2, n]
+        if return_chains:
+            return chain_flags
+        return chain_flags.any(axis=0)
 
 
 # ---------------------------------------------------------------------------

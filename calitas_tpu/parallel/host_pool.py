@@ -79,14 +79,16 @@ def _mp_aligner_for(spec: dict):
 
 
 def _mp_align_chunk(spec: dict, chunk: list):
-    """Worker: align a chunk of (chrom, start, bases) windows."""
+    """Worker: align a chunk of (chrom, start, bases[, passes]) windows."""
     aligner, guide = _mp_aligner_for(spec)
     out = []
-    for chrom, start, bases in chunk:
+    for item in chunk:
+        chrom, start, bases = item[0], item[1], item[2]
+        passes = item[3] if len(item) > 3 else ("fwd", "rev")
         try:
             res = aligner.align(
                 guide, bases, target_name=chrom, target_offset=start - 1,
-                **spec["align_kwargs"],
+                passes=passes, **spec["align_kwargs"],
             )
         except Exception as ex:  # mirrored log-and-swallow happens in parent
             res = ("__error__", repr(ex))

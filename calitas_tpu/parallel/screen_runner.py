@@ -136,32 +136,63 @@ def screened_search(
                 if dp_pams
                 else None
             )
+            chain_flags = None
             if task.guide_id in multi_flags:
                 flags = multi_flags[task.guide_id]
             else:
-                flags = screen.screen_contig(
+                chain_flags = screen.screen_contig(
                     genome_dev, len(bases), task.step_size,
                     dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
+                    return_chains=True,
                 )
+                if chain_flags.ndim == 1:  # sharded screen: combined only
+                    flags, chain_flags = chain_flags, None
+                else:
+                    flags = chain_flags.any(axis=0)
+            # chain A (DP-orientation query over the forward genome) IS the
+            # engine's fwd pass for 3'/PAM-less guides and the rev pass for
+            # 5'-PAM guides; chain B is the mirror-equivalent of the other
+            # pass, so a chain below threshold lets the host skip that pass
+            # (a skipped pass would contribute no alignments anyway).
+            chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
+            chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
             starts = screen.window_starts(len(bases), task.step_size)
-            candidates = (
-                materialize_window(name, bases, int(starts[i]), window_size)
-                for i in np.nonzero(flags)[0]
+            hit_idx = np.nonzero(flags)[0]
+            win_passes = {}
+            if chain_flags is not None:
+                for i in hit_idx:
+                    p = []
+                    if chain_flags[0, i]:
+                        p.append(chain_a_pass)
+                    if chain_flags[1, i]:
+                        p.append(chain_b_pass)
+                    win_passes[int(starts[i])] = tuple(p)
+            cand_pairs = (
+                (
+                    materialize_window(name, bases, int(starts[i]), window_size),
+                    win_passes.get(int(starts[i]), ("fwd", "rev")),
+                )
+                for i in hit_idx
             )
-            candidates = (
-                w for w in candidates if len(w.bases) >= task.guide_length
+            cand_pairs = (
+                (w, ps)
+                for (w, ps) in cand_pairs
+                if len(w.bases) >= task.guide_length
             )
 
             import logging
 
             from calitas_tpu.parallel.host_pool import (
+                _mp_align_chunk,
                 make_align_spec,
-                map_windows_mp,
+                map_items_mp,
             )
 
             spec = make_align_spec(guide, aligner, align_kwargs)
-            for w, results in map_windows_mp(
-                candidates, spec, threads,
+            for (w, _ps), results in map_items_mp(
+                cand_pairs, spec, threads,
+                worker_fn=_mp_align_chunk,
+                to_payload=lambda t: (t[0].chrom, t[0].start, t[0].bases, t[1]),
                 swallow_errors=swallow_errors,
                 logger=logging.getLogger("calitas_tpu.SearchReference"),
             ):

@@ -127,8 +127,9 @@ class TestPallasKernelsInterpret:
                 qgap=scorer.query_gap_score, tgap=scorer.target_gap_score,
                 interpret=True,
             )
-        ).reshape(-1)
-        np.testing.assert_array_equal(dual, np.maximum(s_fw, s_rc))
+        ).reshape(2, -1)
+        np.testing.assert_array_equal(dual[0], s_fw)
+        np.testing.assert_array_equal(dual[1], s_rc)
 
     def test_v1_wavefront_matches_oracle(self, scorer):
         from calitas_tpu.ops.dp_pallas import PallasScreenKernel
