@@ -106,7 +106,11 @@ def main() -> None:
     host_bps_1t = (len(sample) * step) / (host_elapsed * 2)  # both strands
     host_bps = host_bps_1t * 8
 
-    n_cand = int((best >= scorer.match_score * Q + 5 * -122).sum())
+    # best is [2, n] (per-chain maxima); a window is a candidate when
+    # either chain reaches the guide-only threshold
+    n_cand = int(
+        ((best >= scorer.match_score * Q + 5 * -122).any(axis=0)).sum()
+    )
     print(
         json.dumps(
             {
