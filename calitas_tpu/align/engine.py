@@ -491,25 +491,41 @@ def _native_search_pass_impl(
     if lib is None:
         return None
     s = aligner.scorer
-    qmask = encode_query(query)
+    # The query/PAM arrays are guide-constant across the thousands of
+    # candidate windows of a search: cache them (and their raw pointers —
+    # ndpointer marshalling per call was ~half the host-finish cost).
+    qcache = getattr(_TLS, "pass_query_cache", None)
+    if qcache is None:
+        qcache = _TLS.pass_query_cache = {}
+    qkey = (query, tuple(pams))
+    ent = qcache.get(qkey)
+    if ent is None:
+        qmask = np.ascontiguousarray(encode_query(query))
+        pam_bytes = [p.encode("ascii") for p in pams]
+        pam_masks = np.ascontiguousarray(
+            np.concatenate([encode_query(p) for p in pam_bytes])
+            if pam_bytes
+            else np.zeros(0, np.uint8)
+        )
+        pam_off = np.zeros(max(len(pam_bytes), 1), np.int32)
+        pam_len = np.zeros(max(len(pam_bytes), 1), np.int32)
+        off = 0
+        for k, p in enumerate(pam_bytes):
+            pam_off[k] = off
+            pam_len[k] = len(p)
+            off += len(p)
+        # Arrays are kept in the entry so the cached pointers stay valid.
+        ent = qcache[qkey] = (
+            qmask, pam_bytes, pam_masks, pam_off, pam_len,
+            qmask.ctypes.data, pam_masks.ctypes.data,
+            pam_off.ctypes.data, pam_len.ctypes.data,
+        )
+    (qmask, pam_bytes, pam_masks, pam_off, pam_len,
+     qmask_ptr, pam_masks_ptr, pam_off_ptr, pam_len_ptr) = ent
     tmask = encode_target(target)
     Q, T = len(qmask), len(tmask)
     if Q == 0 or T == 0:
         return []
-
-    pam_bytes = [p.encode("ascii") for p in pams]
-    pam_masks = (
-        np.concatenate([encode_query(p) for p in pam_bytes])
-        if pam_bytes
-        else np.zeros(0, np.uint8)
-    )
-    pam_off = np.zeros(max(len(pam_bytes), 1), np.int32)
-    pam_len = np.zeros(max(len(pam_bytes), 1), np.int32)
-    off = 0
-    for k, p in enumerate(pam_bytes):
-        pam_off[k] = off
-        pam_len[k] = len(p)
-        off += len(p)
 
     max_out = 128
     while True:
@@ -521,24 +537,30 @@ def _native_search_pass_impl(
             bufs = _TLS.bufs = {}
         if key not in bufs:
             ops_cap = max_out * (Q + 64)
+            arrs = tuple(np.empty(max_out, np.int32) for _ in range(8))
+            ops_buf = ctypes.create_string_buffer(ops_cap)
             bufs[key] = (
-                tuple(np.empty(max_out, np.int32) for _ in range(8)),
-                ctypes.create_string_buffer(ops_cap),
+                arrs,
+                tuple(a.ctypes.data for a in arrs),
+                ops_buf,
+                ctypes.addressof(ops_buf),
                 ops_cap,
             )
-        (tstart, tend, score, pam_idx, gaps, edits, ops_off, ops_len), ops_buf, ops_cap = bufs[key]
+        arrs, arr_ptrs, ops_buf, ops_ptr, ops_cap = bufs[key]
+        (tstart, tend, score, pam_idx, gaps, edits, ops_off, ops_len) = arrs
         n = lib.search_pass(
-            np.ascontiguousarray(qmask), Q,
-            np.ascontiguousarray(tmask), T,
-            np.ascontiguousarray(pam_masks), pam_off, pam_len, len(pam_bytes),
+            qmask_ptr, Q,
+            tmask.ctypes.data, T,
+            pam_masks_ptr, pam_off_ptr, pam_len_ptr, len(pam_bytes),
             s.match_score, s.mismatch_score, s.query_gap_score, s.target_gap_score,
             s.pam_match_score, s.pam_mismatch_score,
             int(min_score),
             max_guide_diffs, max_pam_mismatches,
             max_gap_before_extending, max_total_diffs,
             max_out,
-            tstart, tend, score, pam_idx, gaps, edits,
-            ops_buf, ops_cap, ops_off, ops_len,
+            arr_ptrs[0], arr_ptrs[1], arr_ptrs[2], arr_ptrs[3],
+            arr_ptrs[4], arr_ptrs[5],
+            ops_ptr, ops_cap, arr_ptrs[6], arr_ptrs[7],
         )
         if n == -1:
             max_out *= 4

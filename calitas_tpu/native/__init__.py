@@ -63,18 +63,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, i32,  # ops buffer, cap
             i32p, i32p,  # ops_off, ops_len
         ]
+        # search_pass is called once per candidate-window strand pass;
+        # ndpointer's from_param marshalling was ~half the per-call cost,
+        # so all array arguments are raw pointers (callers pass
+        # ``arr.ctypes.data`` of arrays they keep alive across the call).
+        vp = ctypes.c_void_p
         lib.search_pass.restype = i32
         lib.search_pass.argtypes = [
-            u8p, i32, u8p, i32,  # qmask, Q, tmask, T
-            u8p, i32p, i32p, i32,  # pams, pam_off, pam_len, n_pams
+            vp, i32, vp, i32,  # qmask, Q, tmask, T
+            vp, vp, vp, i32,  # pams, pam_off, pam_len, n_pams
             i32, i32, i32, i32,  # match, mismatch, qgap, tgap
             i32, i32,  # pam_match, pam_mismatch
             i32,  # min_score
             i32, i32, i32, i32,  # max_guide_diffs, max_pam_mm, max_gap, max_total
             i32,  # max_out
-            i32p, i32p, i32p, i32p, i32p, i32p,  # tstart,tend,score,pam_idx,gaps,edits
-            ctypes.c_void_p, i32,  # ops buffer, cap
-            i32p, i32p,  # ops_off, ops_len
+            vp, vp, vp, vp, vp, vp,  # tstart,tend,score,pam_idx,gaps,edits
+            vp, i32,  # ops buffer, cap
+            vp, vp,  # ops_off, ops_len
         ]
         _lib = lib
         return _lib
