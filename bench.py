@@ -80,14 +80,18 @@ def main() -> None:
         use_pallas=use_pallas, pam_spec=pam_spec,
     )
 
+    # Candidate threshold (guide-only min score at 5 diffs), applied on
+    # device; the screen returns bit-packed per-chain candidate flags.
+    thr = jnp.int32(scorer.match_score * Q + 5 * -122)
+
     # Warmup / compile, then timed runs.  Best-of-3 guards against the
     # tunneled-device dispatch stalls seen in dev environments.
     nb = jnp.int32(n_batches)
-    np.asarray(_screen_genome(genome, qv_fw, qv_rc, nb, **kw))
+    np.asarray(_screen_genome(genome, qv_fw, qv_rc, nb, thr, **kw))
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        best = np.asarray(_screen_genome(genome, qv_fw, qv_rc, nb, **kw))
+        packed = np.asarray(_screen_genome(genome, qv_fw, qv_rc, nb, thr, **kw))
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     device_bps = G / elapsed  # genome bases scanned (both strands) per second
@@ -106,11 +110,12 @@ def main() -> None:
     host_bps_1t = (len(sample) * step) / (host_elapsed * 2)  # both strands
     host_bps = host_bps_1t * 8
 
-    # best is [2, n] (per-chain maxima); a window is a candidate when
-    # either chain reaches the guide-only threshold
-    n_cand = int(
-        ((best >= scorer.match_score * Q + 5 * -122).any(axis=0)).sum()
-    )
+    # packed is [2, n_total//8] bit-packed per-chain flags; a window is a
+    # candidate when either chain reaches the guide-only threshold
+    from calitas_tpu.ops.genome_screen import _unpack_flag_bits
+
+    flags = _unpack_flag_bits(packed, n_windows)
+    n_cand = int(flags.any(axis=0).sum())
     print(
         json.dumps(
             {

@@ -105,6 +105,22 @@ def _pam_bit_planes(wins, pam_spec):
     return end_ok.astype(jnp.uint8), start_ok.astype(jnp.uint8)
 
 
+def _pack_flag_bits(flags):
+    """Pack a [..., N] boolean/int array into [..., N//8] uint8 bitmasks
+    (bit k = element k, little-endian).  The screen's host-visible output:
+    flags are 32x smaller than int32 maxima, which matters both for D2H
+    bandwidth and for tunneled dev links."""
+    b = flags.astype(jnp.uint8).reshape(*flags.shape[:-1], -1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return (b * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def _unpack_flag_bits(packed: np.ndarray, n: int) -> np.ndarray:
+    """Host-side inverse of :func:`_pack_flag_bits`, trimmed to n flags."""
+    flat = np.unpackbits(packed, axis=-1, bitorder="little")
+    return flat[..., :n].astype(bool)
+
+
 def _rc_mask(m: int) -> int:
     r = 0
     if m & 1:
@@ -131,6 +147,7 @@ def _screen_genome(
     qv_fw,  # [1, Q] int32
     qv_rc,  # [1, Q] int32
     n_batches,  # traced scalar: actual batches to run (<= max_batches)
+    min_score,  # traced int32: candidate threshold (applied on device)
     *,
     window: int,
     step: int,
@@ -182,9 +199,15 @@ def _screen_genome(
                 qv_rc[0].astype(jnp.uint8), wins, lens_flat, **skw
             )
             both = jnp.stack([best_fw, best_rc])
-        return jax.lax.dynamic_update_slice(out, both, (0, b * batch_windows))
+        # Threshold + bit-pack on device: the host only ever needs the
+        # per-chain candidate flags, and the packed form is 32x smaller
+        # than raw int32 maxima on the D2H path.
+        packed = _pack_flag_bits(both >= min_score)
+        return jax.lax.dynamic_update_slice(
+            out, packed, (0, b * (batch_windows // 8))
+        )
 
-    out0 = jnp.full((2, n_total), -(2**30), jnp.int32)
+    out0 = jnp.zeros((2, n_total // 8), jnp.uint8)
     return jax.lax.fori_loop(0, n_batches, body, out0)
 
 
@@ -293,8 +316,9 @@ class GenomeScreen:
                     int(max_pam_mm),
                     int(max_gap),
                 )
-        best = _screen_genome(
+        packed = _screen_genome(
             genome_dev, qv_fw, qv_rc, jnp.int32(n_batches),
+            jnp.int32(min_score),
             window=self.window, step=step, batch_windows=bw,
             max_batches=max_batches,
             Q=Q, match=s.match_score, mismatch=s.mismatch_score,
@@ -302,7 +326,7 @@ class GenomeScreen:
             use_pallas=use_pallas, pam_spec=static_pam_spec,
             interpret=self.interpret,
         )
-        chain_flags = np.asarray(best[:, :n]) >= min_score  # [2, n]
+        chain_flags = _unpack_flag_bits(np.asarray(packed), n)  # [2, n]
         if return_chains:
             return chain_flags
         return chain_flags.any(axis=0)
@@ -439,6 +463,7 @@ def _screen_genome_multi(
     genome,
     qvals,  # [G, 2, Q] int32
     n_batches,  # traced scalar
+    min_scores,  # [G] int32: per-guide candidate thresholds
     *,
     window: int,
     step: int,
@@ -485,9 +510,12 @@ def _screen_genome_multi(
                 )
                 per_guide.append(jnp.maximum(bf, br))
             best = jnp.stack(per_guide)
-        return jax.lax.dynamic_update_slice(out, best, (0, b * batch_windows))
+        packed = _pack_flag_bits(best >= min_scores[:, None])
+        return jax.lax.dynamic_update_slice(
+            out, packed, (0, b * (batch_windows // 8))
+        )
 
-    out0 = jnp.full((G, n_total), -(2**30), jnp.int32)
+    out0 = jnp.zeros((G, n_total // 8), jnp.uint8)
     return jax.lax.fori_loop(0, n_batches, body, out0)
 
 
@@ -527,13 +555,13 @@ def screen_contig_multi(
         ]
     )
     s = screen.scorer
-    best = _screen_genome_multi(
+    packed = _screen_genome_multi(
         genome_dev, jnp.asarray(qvals), jnp.int32(n_batches),
+        jnp.asarray(np.asarray(min_scores, dtype=np.int32)),
         window=screen.window, step=step, batch_windows=bw,
         max_batches=max_batches, Q=Q, G=G,
         match=s.match_score, mismatch=s.mismatch_score,
         qgap=s.query_gap_score, tgap=s.target_gap_score,
         use_pallas=use_pallas, interpret=screen.interpret,
     )
-    best = np.asarray(best[:, :n])
-    return best >= np.asarray(min_scores, dtype=np.int32)[:, None]
+    return _unpack_flag_bits(np.asarray(packed), n)
