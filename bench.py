@@ -41,7 +41,9 @@ def main() -> None:
     step = window - overlap
     batch_windows = 8192
 
-    genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 256.0
+    # Default 1 Gb: large enough to amortize the fixed dispatch cost the
+    # way a real (hg38-scale) search does.
+    genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1024.0
     G = int(genome_mb * 1e6)
 
     n_windows = max((G - 1) // step, 1)
