@@ -251,3 +251,70 @@ class TestPamGate:
                 n_hits += 1
                 assert gated[i]
         assert n_hits >= 4
+
+
+class TestFlagBitPacking:
+    """The screen's D2H contract: device-side bit-packed flags must round
+    trip exactly through the host unpack."""
+
+    def test_roundtrip_random(self):
+        import jax.numpy as jnp
+
+        from calitas_tpu.ops.genome_screen import (
+            _pack_flag_bits,
+            _unpack_flag_bits,
+        )
+
+        rng = np.random.default_rng(3)
+        for shape in [(2, 128), (2, 8192), (4, 2, 1024), (1, 8)]:
+            flags = rng.random(shape) < 0.07
+            packed = np.asarray(_pack_flag_bits(jnp.asarray(flags)))
+            assert packed.shape == (*shape[:-1], shape[-1] // 8)
+            out = _unpack_flag_bits(packed, shape[-1])
+            assert out.dtype == bool
+            np.testing.assert_array_equal(out, flags)
+
+    def test_unpack_trims_padding(self):
+        import jax.numpy as jnp
+
+        from calitas_tpu.ops.genome_screen import (
+            _pack_flag_bits,
+            _unpack_flag_bits,
+        )
+
+        flags = np.zeros((2, 16), bool)
+        flags[:, 15] = True  # only in the padded tail
+        packed = np.asarray(_pack_flag_bits(jnp.asarray(flags)))
+        out = _unpack_flag_bits(packed, 10)
+        assert out.shape == (2, 10)
+        assert not out.any()
+
+
+class TestMultiBatchScreen:
+    def test_flags_identical_across_batch_sizes(self):
+        """The packed-flag batch offsets must agree between a single-batch
+        and a many-batch screen of the same genome (XLA path, CPU)."""
+        from calitas_tpu.core.guide import Guide
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        rng = np.random.default_rng(17)
+        scorer = derive_scorer()
+        bases = rng.choice(
+            np.frombuffer(b"ACGT", np.uint8), 60_000
+        ).astype(np.uint8)
+        guide = Guide.parse("CTTGCCCCACAGGGCAGTAAnrg")
+        q = guide.guide_fw
+        min_score = 60 * len(q) - 5 * 122
+        flags = {}
+        for bw in (128, 8192):  # 60k/step=100 -> 600 windows: 5 batches vs 1
+            screen = GenomeScreen(
+                scorer, window=200, batch_windows=bw, use_pallas=False
+            )
+            g = screen.stage(bases)
+            flags[bw] = screen.screen_contig(
+                g, len(bases), 100, q, revcomp(q), min_score,
+                return_chains=True,
+            )
+        np.testing.assert_array_equal(flags[128], flags[8192])
+        assert flags[128].any()  # non-degenerate
