@@ -121,6 +121,15 @@ def _unpack_flag_bits(packed: np.ndarray, n: int) -> np.ndarray:
     return flat[..., :n].astype(bool)
 
 
+@jax.jit
+def _unpack_staged(packed):
+    """Expand a two-masks-per-byte staged contig back to one mask per
+    base: byte k holds base 2k in its low nibble, base 2k+1 in its high."""
+    lo = packed & jnp.uint8(15)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(-1)
+
+
 def _rc_mask(m: int) -> int:
     r = 0
     if m & 1:
@@ -236,7 +245,11 @@ class GenomeScreen:
 
     def stage(self, contig_bases: np.ndarray) -> jax.Array:
         """Upload a contig (raw bytes) as a zero-padded device mask array.
-        Chunked with progress logging so long transfers are observable."""
+
+        The 4-bit IUPAC masks are packed two-per-byte for the transfer and
+        unpacked on device (pure shifts), halving H2D volume — staging is
+        the dominant per-contig transfer of a search.  Chunked with
+        progress logging so long transfers are observable."""
         import logging
 
         log = logging.getLogger("calitas_tpu.stage")
@@ -245,15 +258,22 @@ class GenomeScreen:
         masks = np.concatenate(
             [masks, np.zeros(padded_len - len(masks), np.uint8)]
         )
-        n = len(masks)
+        packed = masks[0::2] | (masks[1::2] << 4)  # padded_len is even
+        n = len(packed)
         if n <= self.STAGE_CHUNK:
-            return jax.device_put(jnp.asarray(masks))
-        parts = []
-        for off in range(0, n, self.STAGE_CHUNK):
-            parts.append(jax.device_put(jnp.asarray(masks[off : off + self.STAGE_CHUNK])))
-            parts[-1].block_until_ready()
-            log.info("staged %d/%d MB", min(off + self.STAGE_CHUNK, n) >> 20, n >> 20)
-        return jnp.concatenate(parts)
+            packed_dev = jax.device_put(jnp.asarray(packed))
+        else:
+            parts = []
+            for off in range(0, n, self.STAGE_CHUNK):
+                parts.append(
+                    jax.device_put(jnp.asarray(packed[off : off + self.STAGE_CHUNK]))
+                )
+                parts[-1].block_until_ready()
+                log.info(
+                    "staged %d/%d MB", min(off + self.STAGE_CHUNK, n) >> 20, n >> 20
+                )
+            packed_dev = jnp.concatenate(parts)
+        return _unpack_staged(packed_dev)
 
     def window_starts(self, contig_len: int, step: int) -> np.ndarray:
         """The reference's window starts: range(0, len-1, step)
