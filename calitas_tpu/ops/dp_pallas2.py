@@ -298,7 +298,7 @@ def _pallas_screen_dual(
 def _kernel_multi(
     qvals_ref,  # [G, 2, Q] int32 in SMEM: fw and rc masks per guide
     tcols_ref,  # [T, SUBLANES, LANES] int32 target masks (low 4 bits)
-    best_ref,  # [SUBLANES, LANES] int32 out for this (block, guide)
+    best_ref,  # [1, 2, SUBLANES, LANES] int32 out: per-chain maxima
     *,
     T: int,
     Q: int,
@@ -331,15 +331,21 @@ def _kernel_multi(
         return tuple(new)
 
     def body(j, carry):
-        s_fw, s_rc, best = carry
+        s_fw, s_rc, best_fw, best_rc = carry
         tcol = tcols_ref[j].astype(jnp.int32) & 15
         n_fw = chain(s_fw, tcol, 0)
         n_rc = chain(s_rc, tcol, 1)
-        best = jnp.maximum(best, jnp.maximum(n_fw[Q], n_rc[Q]))
-        return n_fw, n_rc, best
+        best_fw = jnp.maximum(best_fw, n_fw[Q])
+        best_rc = jnp.maximum(best_rc, n_rc[Q])
+        return n_fw, n_rc, best_fw, best_rc
 
-    _, _, best = jax.lax.fori_loop(0, T, body, (init, init, best0))
-    best_ref[0, :, :] = best
+    _, _, best_fw, best_rc = jax.lax.fori_loop(
+        0, T, body, (init, init, best0, best0)
+    )
+    # Per-chain maxima let the host skip the strand pass whose chain is
+    # below threshold (same contract as the single-guide dual kernel).
+    best_ref[0, 0, :, :] = best_fw
+    best_ref[0, 1, :, :] = best_rc
 
 
 @partial(
@@ -350,7 +356,8 @@ def _pallas_screen_multi(
     qvals, tcols, *, Q, match, mismatch, qgap, tgap, interpret=False
 ):
     """Both-strand screen for G same-length guides over one window block
-    set: qvals [G, 2, Q]; returns [G, n_blocks*8, 128] int32."""
+    set: qvals [G, 2, Q]; returns per-chain maxima
+    [G, 2, n_blocks*8, 128] int32 (chain 0 = fw query, 1 = rc query)."""
     T = tcols.shape[0]
     n_blocks = tcols.shape[1] // SUBLANES
     G = qvals.shape[0]
@@ -370,11 +377,11 @@ def _pallas_screen_multi(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES), lambda i, g: (g, i, 0),
+            (1, 2, SUBLANES, LANES), lambda i, g: (g, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (G, n_blocks * SUBLANES, LANES), jnp.int32
+            (G, 2, n_blocks * SUBLANES, LANES), jnp.int32
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -515,7 +515,7 @@ def _screen_genome_multi(
                 qvals, tcols,
                 Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap,
                 interpret=interpret,
-            ).reshape(G, batch_windows)
+            ).reshape(G, 2, batch_windows)
         else:
             from calitas_tpu.ops.dp_screen import _screen_scores
 
@@ -528,14 +528,14 @@ def _screen_genome_multi(
                 br = _screen_scores(
                     qvals[g, 1].astype(jnp.uint8), wins, lens_flat, **skw
                 )
-                per_guide.append(jnp.maximum(bf, br))
-            best = jnp.stack(per_guide)
-        packed = _pack_flag_bits(best >= min_scores[:, None])
+                per_guide.append(jnp.stack([bf, br]))
+            best = jnp.stack(per_guide)  # [G, 2, bw]
+        packed = _pack_flag_bits(best >= min_scores[:, None, None])
         return jax.lax.dynamic_update_slice(
-            out, packed, (0, b * (batch_windows // 8))
+            out, packed, (0, 0, b * (batch_windows // 8))
         )
 
-    out0 = jnp.zeros((G, n_total // 8), jnp.uint8)
+    out0 = jnp.zeros((G, 2, n_total // 8), jnp.uint8)
     return jax.lax.fori_loop(0, n_batches, body, out0)
 
 
@@ -547,13 +547,15 @@ def screen_contig_multi(
     dp_queries: list,  # [(dp_query, dp_query_rc), ...] all same length
     min_scores: list,
 ) -> np.ndarray:
-    """Boolean hit flags [G, n_windows] for a same-length guide group; the
-    window blocks are extracted/transposed once and re-used across guides."""
+    """Per-chain boolean hit flags [G, 2, n_windows] for a same-length
+    guide group (chain 0 = DP query over the forward genome, 1 = its
+    revcomp); the window blocks are extracted/transposed once and re-used
+    across guides."""
     starts = screen.window_starts(contig_len, step)
     n = len(starts)
     G = len(dp_queries)
     if n == 0:
-        return np.zeros((G, 0), dtype=bool)
+        return np.zeros((G, 2, 0), dtype=bool)
     Q = len(dp_queries[0][0])
     use_pallas = screen.use_pallas and Q <= 48
     unit = BLOCK_W if use_pallas else LANES

@@ -138,7 +138,8 @@ def screened_search(
             )
             chain_flags = None
             if task.guide_id in multi_flags:
-                flags = multi_flags[task.guide_id]
+                chain_flags = multi_flags[task.guide_id]  # [2, n]
+                flags = chain_flags.any(axis=0)
             else:
                 chain_flags = screen.screen_contig(
                     genome_dev, len(bases), task.step_size,

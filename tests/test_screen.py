@@ -318,3 +318,42 @@ class TestMultiBatchScreen:
             )
         np.testing.assert_array_equal(flags[128], flags[8192])
         assert flags[128].any()  # non-degenerate
+
+
+class TestMultiKernelPerChain:
+    def test_multi_matches_dual_per_guide(self):
+        """The fused multi-guide kernel's per-chain maxima must equal the
+        dual kernel run per guide (interpret mode)."""
+        import jax.numpy as jnp
+
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.ops.dp_pallas2 import (
+            LANES,
+            _pallas_screen_dual,
+            _pallas_screen_multi,
+        )
+
+        scorer = derive_scorer()
+        Q, T, B, G = 12, 40, 1024, 3
+        kw = dict(
+            Q=Q, match=scorer.match_score, mismatch=scorer.mismatch_score,
+            qgap=scorer.query_gap_score, tgap=scorer.target_gap_score,
+            interpret=True,
+        )
+        queries = [random_seq(Q) for _ in range(G)]
+        qvals = np.stack(
+            [
+                np.stack([encode_query(q), encode_query(revcomp(q))])
+                for q in queries
+            ]
+        ).astype(np.int32)
+        tmasks = RNG.integers(0, 15, size=(B, T), dtype=np.uint8)
+        tcols = jnp.asarray(tmasks.T.astype(np.int32).reshape(T, B // LANES, LANES))
+        multi = np.asarray(
+            _pallas_screen_multi(jnp.asarray(qvals), tcols, **kw)
+        ).reshape(G, 2, -1)
+        for g in range(G):
+            dual = np.asarray(
+                _pallas_screen_dual(jnp.asarray(qvals[g]), tcols, **kw)
+            ).reshape(2, -1)
+            np.testing.assert_array_equal(multi[g], dual)
