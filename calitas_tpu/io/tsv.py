@@ -8,11 +8,15 @@ tab-separated values, ``Option`` ``None`` rendered as the empty string.
 from __future__ import annotations
 
 import dataclasses
+import decimal
+import math
 import sys
 from pathlib import Path
 from typing import IO, Iterable, Iterator, Type, TypeVar
 
 T = TypeVar("T")
+
+_INF = float("inf")
 
 
 def format_value(v) -> str:
@@ -26,9 +30,52 @@ def format_value(v) -> str:
 
 
 def _format_float(v: float) -> str:
-    # Scala's Double.toString renders 0.5 -> "0.5", 1.0 -> "1.0"; Python's
-    # str matches for the value ranges we emit (allele frequencies).
-    return str(v)
+    """Render a float exactly as Scala/Java ``Double.toString`` would.
+
+    fgbio ``Metric`` writes doubles through ``Double.toString``
+    (ReferenceHit.scala:230-233 feeds ``allele_frequency`` into it), whose
+    formatting differs from Python ``str``: values below 1e-3 or at/above
+    1e7 in magnitude use ``d.dddE±exp`` computerized scientific notation
+    (``1.0E-4``, not ``0.0001``), the exponent carries no ``+`` sign or
+    padding, and both mantissa and plain renderings keep at least one
+    fractional digit (``100.0``, ``1.0E7``).  Digit selection is the
+    shortest decimal that round-trips, which Python's ``repr`` shares.
+    """
+    if v != v:
+        return "NaN"
+    if v == _INF:
+        return "Infinity"
+    if v == -_INF:
+        return "-Infinity"
+    sign = "-" if math.copysign(1.0, v) < 0 else ""
+    if v == 0.0:
+        return sign + "0.0"
+    # Shortest round-trip digits + decimal exponent of the leading digit.
+    dec = decimal.Decimal(repr(abs(v))).normalize()
+    sig, digits, exp = dec.as_tuple()
+    ds = "".join(str(d) for d in digits)
+    adj = len(ds) - 1 + exp  # value = d.ddd * 10^adj
+    if len(ds) == 1:
+        # Java emits at least two significant digits and picks the
+        # 2-digit decimal closest to the value (Double.MIN_VALUE renders
+        # as 4.9E-324, not 5.0E-324).  %.1e rounds to the nearest
+        # 2-significant-digit decimal; adopt it when it still round-trips.
+        two = "%.1e" % abs(v)
+        if float(two) == abs(v):
+            mant2, exp2 = two.split("e")
+            ds2 = mant2.replace(".", "")  # "49", "10", ...
+            adj = int(exp2)
+            # A trailing zero is just padding (the formatter below re-adds
+            # it); a nonzero second digit is Java's closer pick.
+            ds = ds2.rstrip("0") or ds2[0]
+    if -3 <= adj <= 6:  # plain notation for 1e-3 <= |v| < 1e7
+        if adj < 0:
+            return sign + "0." + "0" * (-adj - 1) + ds
+        int_part = ds[: adj + 1].ljust(adj + 1, "0")
+        frac_part = ds[adj + 1 :] or "0"
+        return sign + int_part + "." + frac_part
+    mantissa = ds[0] + "." + (ds[1:] or "0")
+    return sign + mantissa + "E" + str(adj)
 
 
 def fields_of(cls) -> list[str]:

@@ -21,7 +21,7 @@ All lanes of the [B, Q+1] tile do useful work; batch B provides the
 parallelism.
 
 This module is deliberately pure-XLA (runs on CPU/TPU identically); the
-Pallas kernel in ``dp_pallas`` is a drop-in replacement for the same
+Pallas kernel in ``dp_pallas2`` is a drop-in replacement for the same
 contract.
 """
 

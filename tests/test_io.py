@@ -61,6 +61,30 @@ class TestMetricTsv:
         assert format_value(3) == "3"
         assert format_value("x") == "x"
 
+    def test_format_float_java_double_tostring(self):
+        # Java Double.toString semantics (VERDICT item 7): scientific
+        # notation below 1e-3 / at or above 1e7, no '+' in exponents,
+        # at least one fractional digit everywhere.
+        assert format_value(1e-4) == "1.0E-4"
+        assert format_value(-1e-4) == "-1.0E-4"
+        assert format_value(0.001) == "0.001"
+        assert format_value(0.0012345) == "0.0012345"
+        assert format_value(9.999999e-4) == "9.999999E-4"
+        assert format_value(1e7) == "1.0E7"
+        assert format_value(9999999.0) == "9999999.0"
+        assert format_value(12345678.9) == "1.23456789E7"
+        assert format_value(0.30000000000000004) == "0.30000000000000004"
+        assert format_value(1.0) == "1.0"
+        assert format_value(100.0) == "100.0"
+        assert format_value(0.0) == "0.0"
+        assert format_value(-0.0) == "-0.0"
+        assert format_value(float("inf")) == "Infinity"
+        assert format_value(float("-inf")) == "-Infinity"
+        assert format_value(float("nan")) == "NaN"
+        assert format_value(123.456) == "123.456"
+        assert format_value(5e-324) == "4.9E-324"  # Double.MIN_VALUE
+        assert format_value(1.7976931348623157e308) == "1.7976931348623157E308"
+
     def test_roundtrip(self, tmp_path):
         from dataclasses import dataclass
         from typing import Optional

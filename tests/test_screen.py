@@ -131,20 +131,6 @@ class TestPallasKernelsInterpret:
         np.testing.assert_array_equal(dual[0], s_fw)
         np.testing.assert_array_equal(dual[1], s_rc)
 
-    def test_v1_wavefront_matches_oracle(self, scorer):
-        from calitas_tpu.ops.dp_pallas import PallasScreenKernel
-
-        Q, T, B = 14, 40, 128
-        query = random_seq(Q)
-        qmask = encode_query(query)
-        tmasks = RNG.integers(0, 15, size=(B, T), dtype=np.uint8)
-        lengths = np.full(B, T, np.int32)
-        k = PallasScreenKernel(scorer, interpret=True)
-        best = k.max_scores(qmask, tmasks, lengths)
-        for b in [0, 64, 127]:
-            S = dp_matrix(qmask, tmasks[b], scorer)
-            assert best[b] == S[Q, 1:].max()
-
 
 class TestPamGate:
     """The PAM prefilter must be a conservative superset of true hit
