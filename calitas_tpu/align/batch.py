@@ -1,0 +1,203 @@
+"""Batched native window finisher.
+
+One ctypes call finishes a whole chunk of candidate windows: glocal DP,
+PAM extension, intra-window dedup and the full GuideAlignment rendering
+(padded strings, counters, guide-only coordinates) all happen in C++
+(``native/aligner.cpp::finish_batch``); Python only wraps the returned
+buffers into :class:`GuideAlignment` objects.  Behavior is bit-identical
+to ``SequentialAligner.align`` (SequentialGuideAligner.scala:228-322) —
+enforced by the differential fuzz in tests/test_batch_finish.py.
+
+This is the production host-finish path of the TPU search: the device
+screen flags sparse candidate windows and (optionally) per-pass
+end-column ranges; this module turns them into alignments at
+microseconds per window.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Sequence
+
+import numpy as np
+
+from calitas_tpu.core.cigar import Cigar
+from calitas_tpu.core.guide import Guide
+from calitas_tpu.core.sequence import revcomp
+from calitas_tpu.align.guide_alignment import GuideAlignment
+
+#: meta record layout emitted by finish_batch (aligner.cpp)
+_META_COLS = 16
+
+_KIND_NAMES = ("3fwd", "3rev", "5fwd", "5rev")
+
+
+def cpp_pass_for(engine_pass: str, is5prime: bool) -> int:
+    """Map an engine pass name ('fwd'/'rev') to the native pass index
+    (0 = forward target order, 1 = revcomp).  For 5'-PAM guides the
+    engine's fwd strand pass aligns against the revcomp'd target
+    (SequentialGuideAligner.scala:260-293)."""
+    if engine_pass == "fwd":
+        return 1 if is5prime else 0
+    return 0 if is5prime else 1
+
+
+def finish_windows(
+    guide: Guide,
+    aligner,  # SequentialAligner (scorer + min_guide_score)
+    windows: Sequence[tuple[str, int, np.ndarray]],  # (chrom, start1, bases)
+    passes_list: Sequence[tuple[str, ...]],
+    ranges: Optional[np.ndarray] = None,  # int32 [n, 4]: lo0,hi0,lo1,hi1
+    *,
+    max_guide_diffs: int,
+    max_pam_diffs: int,
+    max_gaps_between_guide_and_pam: int,
+    max_total_diffs: int,
+    max_overlap: int,
+) -> Optional[list[list[GuideAlignment]]]:
+    """Finish a batch of windows; returns per-window GuideAlignment lists
+    in the engine's order, or None when the native library is missing."""
+    from calitas_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+
+    is5 = guide.pam_is_5prime
+    query = guide.guide_rc if is5 else guide.guide_fw
+    pams = guide.pams_rc if is5 else guide.pams_fw
+    qbytes = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+    Q = len(qbytes)
+    pam_bytes = [p.encode("ascii") for p in pams]
+    pam_cat = np.frombuffer(b"".join(pam_bytes) or b"\0", dtype=np.uint8)
+    n_pams = len(pam_bytes)
+    pam_off = np.zeros(max(n_pams, 1), np.int32)
+    pam_len = np.zeros(max(n_pams, 1), np.int32)
+    off = 0
+    for k, p in enumerate(pam_bytes):
+        pam_off[k] = off
+        pam_len[k] = len(p)
+        off += len(p)
+    max_pam_len = max((len(p) for p in pam_bytes), default=0)
+
+    n = len(windows)
+    wlen = np.array([len(b) for _, _, b in windows], dtype=np.int32)
+    woff = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        woff[1:] = np.cumsum(wlen[:-1], dtype=np.int64)
+    wbytes = np.empty(int(wlen.sum()) or 1, dtype=np.uint8)
+    for i, (_, _, b) in enumerate(windows):
+        wbytes[woff[i] : woff[i] + wlen[i]] = b
+    pass_mask = np.zeros(n, dtype=np.uint8)
+    for i, ps in enumerate(passes_list):
+        m = 0
+        for p in ps:
+            m |= 1 << cpp_pass_for(p, is5)
+        pass_mask[i] = m
+    if ranges is None:
+        ranges_arr = np.zeros((max(n, 1), 4), dtype=np.int32)
+    else:
+        ranges_arr = np.ascontiguousarray(ranges, dtype=np.int32)
+
+    s = aligner.scorer
+    min_score = aligner.min_guide_score(guide, max_guide_diffs)
+    ext_total = max_guide_diffs + max_gaps_between_guide_and_pam + max_pam_diffs
+
+    max_out = max(256, 4 * n)
+    aln_width = Q + max_pam_len + max_gaps_between_guide_and_pam + 8
+    while True:
+        meta = np.empty((max_out, _META_COLS), dtype=np.int32)
+        str_cap = max_out * 4 * aln_width
+        cig_cap = max_out * 4 * aln_width
+        out_str = np.empty(str_cap, dtype=np.uint8)
+        out_cig = np.empty(cig_cap, dtype=np.uint8)
+        str_off = np.empty(max_out, dtype=np.int64)
+        plen = np.empty(max_out, dtype=np.int32)
+        ulen = np.empty(max_out, dtype=np.int32)
+        cig_off = np.empty(max_out, dtype=np.int64)
+        cig_len = np.empty(max_out, dtype=np.int32)
+        n_out = lib.finish_batch(
+            qbytes.ctypes.data, Q,
+            pam_cat.ctypes.data, pam_off.ctypes.data, pam_len.ctypes.data,
+            n_pams,
+            1 if is5 else 0,
+            s.match_score, s.mismatch_score, s.query_gap_score,
+            s.target_gap_score, s.pam_match_score, s.pam_mismatch_score,
+            int(min_score),
+            max_guide_diffs, max_pam_diffs, max_gaps_between_guide_and_pam,
+            ext_total, max_total_diffs, max_overlap,
+            wbytes.ctypes.data, woff.ctypes.data, wlen.ctypes.data,
+            pass_mask.ctypes.data, ranges_arr.ctypes.data, n,
+            max_out,
+            meta.ctypes.data,
+            out_str.ctypes.data, ctypes.c_int64(str_cap),
+            str_off.ctypes.data, plen.ctypes.data, ulen.ctypes.data,
+            out_cig.ctypes.data, ctypes.c_int64(cig_cap),
+            cig_off.ctypes.data, cig_len.ctypes.data,
+        )
+        if n_out == -1:
+            max_out *= 4
+            continue
+        if n_out < 0:
+            raise AssertionError(f"native finish_batch error: {n_out}")
+        break
+
+    # Guide strings (incl. chosen PAM) come from a tiny set per run.
+    guide_cache: dict[int, str] = {}
+
+    def guide_str(pam_idx: int) -> str:
+        gstr = guide_cache.get(pam_idx)
+        if gstr is None:
+            qp = query + (pams[pam_idx] if pam_idx >= 0 else "")
+            gstr = revcomp(qp) if is5 else qp
+            guide_cache[pam_idx] = gstr
+        return gstr
+
+    str_view = out_str.tobytes()
+    cig_view = out_cig.tobytes()
+    out: list[list[GuideAlignment]] = [[] for _ in range(n)]
+    for k in range(n_out):
+        (widx, strandc, pam_idx, score, s0, e0, gs, ge,
+         mism, gapb, gmm, ggap, pmm, pgap, _kind, _r) = (
+            int(x) for x in meta[k]
+        )
+        chrom, start1, _b = windows[widx]
+        toff = start1 - 1
+        so = int(str_off[k])
+        pl = int(plen[k])
+        pg = str_view[so : so + pl].decode("ascii")
+        pa = str_view[so + pl : so + 2 * pl].decode("ascii")
+        pt = str_view[so + 2 * pl : so + 3 * pl].decode("ascii")
+        ut = str_view[so + 3 * pl : so + 3 * pl + int(ulen[k])].decode("ascii")
+        cig = cig_view[int(cig_off[k]) : int(cig_off[k]) + int(cig_len[k])].decode(
+            "ascii"
+        )
+        ga = GuideAlignment(
+            guide=guide_str(pam_idx),
+            chrom=chrom,
+            start_offset=toff + s0,
+            end_offset=toff + e0,
+            guide_start_offset=toff + gs,
+            guide_end_offset=toff + ge,
+            strand="+" if strandc == 0 else "-",
+            score=score,
+            cigar=Cigar(cig),
+            padded_guide=pg,
+            padded_alignment=pa,
+            padded_target=pt,
+        )
+        object.__setattr__(
+            ga,
+            "_counts",
+            {
+                "mismatches": mism,
+                "gap_bases": gapb,
+                "guide_mm": gmm,
+                "guide_gaps": ggap,
+                "pam_mm": pmm,
+                "pam_gaps": pgap,
+            },
+        )
+        object.__setattr__(ga, "_unpadded_target", ut)
+        out[widx].append(ga)
+    return out

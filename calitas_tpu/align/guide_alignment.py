@@ -198,6 +198,10 @@ class GuideAlignment:
     def unpadded_target_without_pam(self) -> str:
         """Target letters under the uppercase span of the padded guide
         (GuideAlignment.scala:111-115)."""
+        try:  # precomputed by the native batch finisher
+            return object.__getattribute__(self, "_unpadded_target")
+        except AttributeError:
+            pass
         ups = [i for i, c in enumerate(self.padded_guide) if c.isupper()]
         span = self.padded_target[ups[0] : ups[-1] + 1]
         return "".join(c for c in span if c.isalpha())

@@ -81,6 +81,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
             vp, i32,  # ops buffer, cap
             vp, vp,  # ops_off, ops_len
         ]
+        # finish_batch processes a whole chunk of candidate windows in one
+        # call; raw pointers for the same reason as search_pass.
+        i64 = ctypes.c_int64
+        lib.finish_batch.restype = i32
+        lib.finish_batch.argtypes = [
+            vp, i32,  # qletters, Q
+            vp, vp, vp, i32,  # pam_letters, pam_off, pam_len, n_pams
+            i32,  # is5prime
+            i32, i32, i32, i32,  # match, mismatch, qgap, tgap
+            i32, i32,  # pam_match, pam_mismatch
+            i32,  # min_score
+            i32, i32, i32, i32,  # max_guide_diffs, max_pam_mm, max_gap, ext_total
+            i32, i32,  # max_total_diffs, max_overlap
+            vp, vp, vp, vp, vp,  # wbytes, woff, wlen, pass_mask, ranges
+            i32,  # n_windows
+            i32,  # max_out
+            vp,  # out_meta
+            vp, i64, vp, vp, vp,  # out_str, cap, off, plen, ulen
+            vp, i64, vp, vp,  # out_cig, cap, off, len
+        ]
         _lib = lib
         return _lib
 

@@ -9,8 +9,12 @@
 // Build: g++ -O3 -march=native -shared -fPIC aligner.cpp -o libcalitas.so
 // ABI: plain C, driven from Python via ctypes.
 
+#include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstring>
+#include <numeric>
+#include <string>
 #include <vector>
 
 
@@ -333,6 +337,524 @@ int32_t search_pass(const uint8_t* qmask, int32_t Q,
       out_ops_len[n_out] = full_len;
       ops_pos += full_len;
       ++n_out;
+    }
+  }
+  return n_out;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Batched window finisher: DP + PAM extension + intra-window dedup + full
+// GuideAlignment rendering (padded strings, counters, coordinates) for a
+// whole batch of candidate windows in ONE native call.
+//
+// Semantics are the engine's, phase for phase
+// (SequentialGuideAligner.scala:228-322 via calitas_tpu.align.engine, which
+// is the differential oracle in tests/test_batch_finish.py):
+//   - cpp pass 0 aligns the DP query against the window in forward order,
+//     pass 1 against its reverse complement;
+//   - engine pass order (fwd strand pass first) maps to cpp passes via
+//     is5prime: engine-fwd == cpp pass (is5prime ? 1 : 0);
+//   - per-pass stable sort (score desc, fewer gap bases) + greedy overlap
+//     dedup (> max_overlap excluded) + edits <= max_total_diffs post-filter
+//     (dedup never crosses strands: each pass is one strand);
+//   - rendering mirrors Alignment.padded_strings + GuideAlignment.create +
+//     the engine's 5'-PAM / reverse-pass flips, with the counter
+//     attribution quirks of GuideAlignment._count.
+// ===========================================================================
+
+namespace {
+
+struct IupacTables {
+  uint8_t mask[256];         // case-insensitive IUPAC mask; unknown -> 0
+  uint8_t target_mask[256];  // like mask but N/n -> 0 (target-N rule)
+  uint8_t comp[256];         // complement, case preserved; unknown -> self
+  IupacTables() {
+    std::memset(mask, 0, sizeof(mask));
+    std::memset(target_mask, 0, sizeof(target_mask));
+    for (int i = 0; i < 256; ++i) comp[i] = (uint8_t)i;
+    struct Code { char c; uint8_t m; };
+    const Code codes[] = {
+        {'A', 1},  {'C', 2},  {'G', 4},  {'T', 8},  {'U', 8},
+        {'R', 5},  {'Y', 10}, {'S', 6},  {'W', 9},  {'K', 12},
+        {'M', 3},  {'B', 14}, {'D', 13}, {'H', 11}, {'V', 7},
+        {'N', 15}};
+    for (const Code& cd : codes) {
+      mask[(int)cd.c] = cd.m;
+      mask[(int)std::tolower(cd.c)] = cd.m;
+      const uint8_t tm = (cd.c == 'N') ? 0 : cd.m;
+      target_mask[(int)cd.c] = tm;
+      target_mask[(int)std::tolower(cd.c)] = tm;
+    }
+    const char* fr = "ATCGURYSWKMBVDHN";
+    const char* to = "TAGCAYRSWMKVBHDN";
+    for (int i = 0; fr[i]; ++i) {
+      comp[(int)fr[i]] = (uint8_t)to[i];
+      comp[(int)std::tolower(fr[i])] = (uint8_t)std::tolower(to[i]);
+    }
+  }
+};
+
+const IupacTables TBL;
+
+struct FinAln {
+  int32_t s0, e0;  // pass-local 0-based open target span (incl. PAM)
+  int32_t score;
+  int32_t pam_idx;     // -1 when PAM-less
+  int32_t gap_bases;   // I/D columns (dedup tie-break)
+  int32_t edits;       // X + I/D columns (max_total_diffs post-filter)
+  std::string ops;     // per-column ops incl. PAM: '=','X','I','D'
+};
+
+// One DP pass + traceback + PAM extension over end columns
+// [end_lo, end_hi] (1-based inclusive; pass end_lo <= 0 for the full
+// range).  The DP itself runs on the column slice
+// [max(1, end_lo - span_max), end_hi]; containment of every
+// above-min_score path in that slice makes the sliced DP values, the
+// qualifying-end set, and the tracebacks identical to the full DP (see
+// docs/ARCHITECTURE.md "slice DP exactness").
+int run_pass_collect(const uint8_t* qmask, int32_t Q, const uint8_t* tmask,
+                     int32_t T, const uint8_t* pam_masks,
+                     const int32_t* pam_off, const int32_t* pam_len,
+                     int32_t n_pams, int32_t match, int32_t mismatch,
+                     int32_t qgap, int32_t tgap, int32_t pam_match,
+                     int32_t pam_mismatch, int32_t min_score,
+                     int32_t max_guide_diffs, int32_t max_pam_mismatches,
+                     int32_t max_gap_before_extending,
+                     int32_t extension_total_diffs, int32_t end_lo,
+                     int32_t end_hi, std::vector<int32_t>& S,
+                     std::vector<int32_t>& tmp, std::vector<FinAln>& out) {
+  if (Q <= 0 || T <= 0) return 0;
+  if (end_lo <= 0) { end_lo = 1; end_hi = T; }
+  if (end_hi > T) end_hi = T;
+  if (end_lo > end_hi) return 0;
+  // span_max: an above-threshold path consumes at most Q + D_max target
+  // columns, D_max = floor((match*Q - min_score) / |qgap|).
+  int64_t surplus = (int64_t)match * Q - min_score;
+  int32_t d_max = surplus > 0 && qgap < 0 ? (int32_t)(surplus / -(int64_t)qgap)
+                                          : (surplus > 0 ? T : 0);
+  int32_t dp_from = end_lo - (Q + d_max);
+  if (dp_from < 1) dp_from = 1;
+  const uint8_t* tsub = tmask + (dp_from - 1);
+  const int32_t Tsub = end_hi - dp_from + 1;
+
+  S.assign((size_t)(Q + 1) * (Tsub + 1), 0);
+  tmp.resize(Tsub + 1);
+  for (int32_t i = 1; i <= Q; ++i) {
+    fill_row(&S[(size_t)(i - 1) * (Tsub + 1)], &S[(size_t)i * (Tsub + 1)],
+             tmp.data(), tsub, Tsub, qmask[i - 1], match, mismatch, qgap,
+             tgap);
+  }
+  const int32_t* frow = &S[(size_t)Q * (Tsub + 1)];
+  const bool pamless = (n_pams == 0) || (n_pams == 1 && pam_len[0] == 0);
+
+  std::vector<char> rev_ops;
+  rev_ops.reserve(Q + 64);
+  for (int32_t le = end_lo - dp_from + 1; le <= Tsub; ++le) {
+    if (frow[le] < min_score) continue;
+    rev_ops.clear();
+    int32_t i = Q, j = le;
+    while (i > 0) {
+      const int32_t s = S[(size_t)i * (Tsub + 1) + j];
+      bool moved = false;
+      if (j > 0) {
+        const bool compat = (qmask[i - 1] & tsub[j - 1]) != 0;
+        const int32_t pair = compat ? match : mismatch;
+        if (s == S[(size_t)(i - 1) * (Tsub + 1) + (j - 1)] + pair) {
+          rev_ops.push_back(compat ? '=' : 'X');
+          --i; --j; moved = true;
+        } else if (s == S[(size_t)i * (Tsub + 1) + (j - 1)] + qgap) {
+          rev_ops.push_back('D');
+          --j; moved = true;
+        }
+      }
+      if (!moved) {
+        if (s == S[(size_t)(i - 1) * (Tsub + 1) + j] + tgap) {
+          rev_ops.push_back('I');
+          --i;
+        } else {
+          return -2;
+        }
+      }
+    }
+    const int32_t end = le + dp_from - 1;       // absolute 1-based end
+    const int32_t tstart = (j + dp_from - 1) + 1;  // absolute 1-based
+    int32_t guide_diffs = 0;
+    for (char c : rev_ops) if (c != '=') ++guide_diffs;
+    if (guide_diffs > max_guide_diffs) continue;
+    std::string fw_ops(rev_ops.rbegin(), rev_ops.rend());
+
+    if (pamless) {
+      FinAln a;
+      a.s0 = tstart - 1; a.e0 = end;
+      a.score = frow[le];
+      a.pam_idx = -1;
+      a.gap_bases = 0; a.edits = 0;
+      for (char c : fw_ops) {
+        if (c == 'I' || c == 'D') { ++a.gap_bases; ++a.edits; }
+        else if (c == 'X') ++a.edits;
+      }
+      a.ops = std::move(fw_ops);
+      out.push_back(std::move(a));
+      continue;
+    }
+
+    int32_t terminal_gap = 0;
+    if (!fw_ops.empty() && (fw_ops.back() == 'I' || fw_ops.back() == 'D')) {
+      const char t = fw_ops.back();
+      for (auto it = fw_ops.rbegin(); it != fw_ops.rend() && *it == t; ++it)
+        ++terminal_gap;
+    }
+    int32_t max_extra_gap = max_gap_before_extending - terminal_gap;
+    const int32_t budget = extension_total_diffs - guide_diffs;
+    if (budget < max_extra_gap) max_extra_gap = budget;
+
+    for (int32_t p = 0; p < n_pams; ++p) {
+      const uint8_t* pam = pam_masks + pam_off[p];
+      const int32_t plen = pam_len[p];
+      int32_t best_offset = -1;
+      int32_t best_total = INT32_MIN;
+      uint32_t best_mm_mask = 0;
+      for (int32_t offset = 0; offset <= max_extra_gap; ++offset) {
+        const int32_t t_off = end + offset;
+        int32_t limit = extension_total_diffs - guide_diffs - offset;
+        if (limit > max_pam_mismatches) limit = max_pam_mismatches;
+        if (t_off + plen > T || limit < 0) continue;
+        int32_t score = 0, n_mm = 0;
+        uint32_t mm_mask = 0;
+        for (int32_t k = 0; k < plen; ++k) {
+          const bool ok = (pam[k] & tmask[t_off + k]) != 0;
+          const int32_t addend = ok ? pam_match : pam_mismatch;
+          score += addend;
+          if (addend <= 0) { ++n_mm; mm_mask |= (1u << k); }
+        }
+        if (n_mm > limit) continue;
+        const int32_t total = score + offset * qgap;
+        if (total > best_total) {  // earliest offset wins ties
+          best_total = total;
+          best_offset = offset;
+          best_mm_mask = mm_mask;
+        }
+      }
+      if (best_offset < 0) continue;
+      FinAln a;
+      a.s0 = tstart - 1;
+      a.e0 = end + best_offset + plen;
+      a.score = frow[le] + best_total;
+      a.pam_idx = p;
+      a.ops = fw_ops;
+      a.ops.append(best_offset, 'D');
+      for (int32_t k = 0; k < plen; ++k)
+        a.ops.push_back((best_mm_mask & (1u << k)) ? 'X' : '=');
+      a.gap_bases = 0; a.edits = 0;
+      for (char c : a.ops) {
+        if (c == 'I' || c == 'D') { ++a.gap_bases; ++a.edits; }
+        else if (c == 'X') ++a.edits;
+      }
+      out.push_back(std::move(a));
+    }
+  }
+  return 0;
+}
+
+inline char prev_non_dash(const std::string& s, int i) {
+  while (i > 0 && s[i] == '-') --i;
+  return s[i];
+}
+inline char next_non_dash(const std::string& s, int i) {
+  const int n = (int)s.size();
+  while (i < n - 1 && s[i] == '-') ++i;
+  return s[i];
+}
+inline bool is_lower(char c) { return c >= 'a' && c <= 'z'; }
+inline bool is_alpha_c(char c) {
+  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+
+// GuideAlignment._count (GuideAlignment.scala:139-163): attribute '.' and
+// '~' columns to guide vs PAM by the case of the (neighboring) guide chars.
+int count_attr(const std::string& pg, const std::string& pa, bool lower,
+               bool both_sides, bool mms, bool gaps) {
+  int n = 0;
+  const int len = (int)pa.size();
+  for (int i = 0; i < len; ++i) {
+    const char ac = pa[i];
+    const char gc = pg[i];
+    if (mms && ac == '.' && is_lower(gc) == lower) {
+      ++n;
+    } else if (gaps && ac == '~') {
+      if (gc != '-' && is_lower(gc) == lower) {
+        ++n;
+      } else {
+        const char prev = prev_non_dash(pg, i);
+        const char nxt = next_non_dash(pg, i);
+        bool ok;
+        if (both_sides) {
+          ok = (prev == '-' || is_lower(prev) == lower) &&
+               (nxt == '-' || is_lower(nxt) == lower);
+        } else {
+          ok = (is_alpha_c(prev) && is_lower(prev) == lower) ||
+               (is_alpha_c(nxt) && is_lower(nxt) == lower);
+        }
+        if (ok) ++n;
+      }
+    }
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched finisher.  Inputs: the DP-orientation query LETTERS (uppercase
+// guide; masks derived internally), PAM letters (lowercase), window BYTES
+// (uppercased by the caller's window materialization), per-window pass
+// mask (bit0: cpp pass 0 / forward target order, bit1: cpp pass 1 /
+// revcomp), and optional per-window per-pass end-column ranges
+// (ranges[w*4 + 2*pass + {0,1}] = lo,hi 1-based inclusive; lo <= 0 means
+// full).  Output: per kept alignment,
+//   out_meta[k*16 ...] = {widx, strand(0='+'), pam_idx, score, s0, e0,
+//     gs, ge, mismatches, gap_bases, guide_mm, guide_gaps, pam_mm,
+//     pam_gaps, kind(0=3fwd,1=3rev,2=5fwd,3=5rev), 0}
+//   (coords are window-local 0-based open; caller adds the genomic
+//    offset), the three padded strings + unpadded target packed into
+// out_str at out_str_off[k] as [pg|pa|pt] (each out_plen[k] chars) then
+// [unpadded target] (out_ulen[k] chars), and the cigar string in out_cig.
+// Returns kept count; -1 = an output buffer is full (retry with bigger
+// buffers); -2 = internal error.
+int32_t finish_batch(
+    const uint8_t* qletters, int32_t Q, const uint8_t* pam_letters,
+    const int32_t* pam_off, const int32_t* pam_len, int32_t n_pams,
+    int32_t is5prime, int32_t match, int32_t mismatch, int32_t qgap,
+    int32_t tgap, int32_t pam_match, int32_t pam_mismatch, int32_t min_score,
+    int32_t max_guide_diffs, int32_t max_pam_mismatches,
+    int32_t max_gap_before_extending, int32_t extension_total_diffs,
+    int32_t max_total_diffs, int32_t max_overlap, const uint8_t* wbytes,
+    const int64_t* woff, const int32_t* wlen, const uint8_t* pass_mask,
+    const int32_t* ranges, int32_t n_windows, int32_t max_out,
+    int32_t* out_meta, char* out_str, int64_t out_str_cap,
+    int64_t* out_str_off, int32_t* out_plen, int32_t* out_ulen,
+    char* out_cig, int64_t out_cig_cap, int64_t* out_cig_off,
+    int32_t* out_cig_len) {
+  // Guide-constant masks.
+  std::vector<uint8_t> qmask(Q);
+  for (int32_t i = 0; i < Q; ++i) qmask[i] = TBL.mask[qletters[i]];
+  int32_t pam_total = 0;
+  for (int32_t p = 0; p < n_pams; ++p) pam_total += pam_len[p];
+  std::vector<uint8_t> pmask(std::max(pam_total, 1));
+  for (int32_t p = 0; p < n_pams; ++p)
+    for (int32_t k = 0; k < pam_len[p]; ++k)
+      pmask[pam_off[p] + k] = TBL.mask[pam_letters[pam_off[p] + k]];
+
+  std::vector<int32_t> S;
+  std::vector<int32_t> dptmp;
+  std::vector<uint8_t> tmask_fwd, tbytes_rc, tmask_rc;
+  std::vector<FinAln> alns;
+  std::vector<int> order, kept;
+  std::string pg, pa, pt, ut;
+
+  int32_t n_out = 0;
+  int64_t str_pos = 0, cig_pos = 0;
+
+  for (int32_t w = 0; w < n_windows; ++w) {
+    const uint8_t* wb = wbytes + woff[w];
+    const int32_t T = wlen[w];
+    if (T <= 0) continue;
+    const uint8_t pm = pass_mask[w];
+    if (!pm) continue;
+    tmask_fwd.resize(T);
+    for (int32_t j = 0; j < T; ++j) tmask_fwd[j] = TBL.target_mask[wb[j]];
+    bool have_rc = false;
+
+    // Engine pass order: fwd strand pass first; engine-fwd is cpp pass
+    // (is5prime ? 1 : 0).
+    for (int ep = 0; ep < 2; ++ep) {
+      const int cpp_pass = is5prime ? 1 - ep : ep;
+      if (!(pm & (1u << cpp_pass))) continue;
+      const uint8_t* tm;
+      const uint8_t* tb;
+      if (cpp_pass == 0) {
+        tm = tmask_fwd.data();
+        tb = wb;
+      } else {
+        if (!have_rc) {
+          tbytes_rc.resize(T);
+          tmask_rc.resize(T);
+          for (int32_t j = 0; j < T; ++j) {
+            const uint8_t c = TBL.comp[wb[T - 1 - j]];
+            tbytes_rc[j] = c;
+            tmask_rc[j] = TBL.target_mask[c];
+          }
+          have_rc = true;
+        }
+        tm = tmask_rc.data();
+        tb = tbytes_rc.data();
+      }
+      int32_t end_lo = ranges ? ranges[(int64_t)w * 4 + 2 * cpp_pass] : 0;
+      int32_t end_hi = ranges ? ranges[(int64_t)w * 4 + 2 * cpp_pass + 1] : 0;
+      alns.clear();
+      const int rc = run_pass_collect(
+          qmask.data(), Q, tm, T, pmask.data(), pam_off, pam_len, n_pams,
+          match, mismatch, qgap, tgap, pam_match, pam_mismatch, min_score,
+          max_guide_diffs, max_pam_mismatches, max_gap_before_extending,
+          extension_total_diffs, end_lo, end_hi, S, dptmp, alns);
+      if (rc < 0) return rc;
+      if (alns.empty()) continue;
+
+      // Intra-pass dedup: stable (score desc, fewer gaps); greedy keep with
+      // edits <= max_total_diffs and overlap(kept) <= max_overlap.
+      order.resize(alns.size());
+      std::iota(order.begin(), order.end(), 0);
+      std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+        if (alns[a].score != alns[b].score) return alns[a].score > alns[b].score;
+        return alns[a].gap_bases < alns[b].gap_bases;
+      });
+      kept.clear();
+      for (int idx : order) {
+        const FinAln& r = alns[idx];
+        if (r.edits > max_total_diffs) continue;
+        bool clash = false;
+        for (int kidx : kept) {
+          const FinAln& k = alns[kidx];
+          const int32_t o = std::min(k.e0, r.e0) - std::max(k.s0, r.s0);
+          if (o > max_overlap) { clash = true; break; }
+        }
+        if (!clash) kept.push_back(idx);
+      }
+
+      const bool coord_flip = (cpp_pass == 1);
+      const bool string_flip = (is5prime != 0);
+      // kind encoding: 0=3fwd(pass0) 1=3rev(pass1) 2=5fwd(pass1) 3=5rev(pass0)
+      const int32_t kind_code =
+          is5prime ? (cpp_pass == 1 ? 2 : 3) : (cpp_pass == 1 ? 1 : 0);
+
+      for (int idx : kept) {
+        const FinAln& a = alns[idx];
+        // ---- render padded strings in the pass-local frame -------------
+        pg.clear(); pa.clear(); pt.clear();
+        int32_t qi = 0, ti = a.s0;
+        const uint8_t* pamL =
+            a.pam_idx >= 0 ? pam_letters + pam_off[a.pam_idx] : nullptr;
+        const int32_t qfull_len =
+            Q + (a.pam_idx >= 0 ? pam_len[a.pam_idx] : 0);
+        for (char op : a.ops) {
+          if (op == '=' || op == 'X') {
+            if (qi >= qfull_len) return -2;
+            pg.push_back(qi < Q ? (char)qletters[qi] : (char)pamL[qi - Q]);
+            pa.push_back(op == '=' ? '|' : '.');
+            pt.push_back((char)tb[ti]);
+            ++qi; ++ti;
+          } else if (op == 'I') {
+            if (qi >= qfull_len) return -2;
+            pg.push_back(qi < Q ? (char)qletters[qi] : (char)pamL[qi - Q]);
+            pa.push_back('~');
+            pt.push_back('-');
+            ++qi;
+          } else {  // 'D'
+            pg.push_back('-');
+            pa.push_back('~');
+            pt.push_back((char)tb[ti]);
+            ++ti;
+          }
+        }
+        // ---- guide-only coordinates (GuideAlignment.create, pre-flip) --
+        int first_up = -1, last_up = -1;
+        for (int i2 = 0; i2 < (int)pg.size(); ++i2) {
+          const char c = pg[i2];
+          if (c >= 'A' && c <= 'Z') {
+            if (first_up < 0) first_up = i2;
+            last_up = i2;
+          }
+        }
+        if (first_up < 0) return -2;
+        int left_delta = 0, right_delta = 0;
+        for (int i2 = 0; i2 < first_up; ++i2)
+          if (is_alpha_c(pt[i2])) ++left_delta;
+        for (int i2 = last_up + 1; i2 < (int)pt.size(); ++i2)
+          if (is_alpha_c(pt[i2])) ++right_delta;
+        int32_t s0 = a.s0, e0 = a.e0;
+        int32_t gs = s0 + left_delta, ge = e0 - right_delta;
+        if (coord_flip) {
+          const int32_t ns = T - e0, ne = T - s0;
+          const int32_t ngs = T - ge, nge = T - gs;
+          s0 = ns; e0 = ne; gs = ngs; ge = nge;
+        }
+        // ---- string flips (5'-PAM kinds) -------------------------------
+        std::string cig_ops = a.ops;
+        if (string_flip) {
+          std::reverse(pg.begin(), pg.end());
+          std::reverse(pa.begin(), pa.end());
+          std::reverse(pt.begin(), pt.end());
+          for (char& c : pg) if (c != '-') c = (char)TBL.comp[(uint8_t)c];
+          for (char& c : pt) if (c != '-') c = (char)TBL.comp[(uint8_t)c];
+          std::reverse(cig_ops.begin(), cig_ops.end());
+        }
+        // ---- unpadded target under the uppercase guide span ------------
+        int fu = -1, lu = -1;
+        for (int i2 = 0; i2 < (int)pg.size(); ++i2) {
+          const char c = pg[i2];
+          if (c >= 'A' && c <= 'Z') {
+            if (fu < 0) fu = i2;
+            lu = i2;
+          }
+        }
+        ut.clear();
+        for (int i2 = fu; i2 <= lu; ++i2)
+          if (is_alpha_c(pt[i2])) ut.push_back(pt[i2]);
+        // ---- counters on the final strings -----------------------------
+        int32_t mism = 0, gapb = 0;
+        for (char c : pa) {
+          if (c == '.') ++mism;
+          else if (c == '~') ++gapb;
+        }
+        const int32_t gmm = count_attr(pg, pa, false, false, true, false);
+        const int32_t ggap = count_attr(pg, pa, false, false, false, true);
+        const int32_t pmm = count_attr(pg, pa, true, true, true, false);
+        const int32_t pgap = count_attr(pg, pa, true, true, false, true);
+        // ---- cigar string (run-length encode; coalesced by nature) -----
+        char cigbuf[64];
+        std::string cig;
+        for (size_t i2 = 0; i2 < cig_ops.size();) {
+          size_t j2 = i2;
+          while (j2 < cig_ops.size() && cig_ops[j2] == cig_ops[i2]) ++j2;
+          const int nn = std::snprintf(cigbuf, sizeof(cigbuf), "%d%c",
+                                       (int)(j2 - i2), cig_ops[i2]);
+          cig.append(cigbuf, nn);
+          i2 = j2;
+        }
+        // ---- emit ------------------------------------------------------
+        const int32_t plen2 = (int32_t)pg.size();
+        const int64_t need_str = 3 * (int64_t)plen2 + (int64_t)ut.size();
+        if (n_out >= max_out || str_pos + need_str > out_str_cap ||
+            cig_pos + (int64_t)cig.size() > out_cig_cap)
+          return -1;
+        int32_t* m = out_meta + (int64_t)n_out * 16;
+        m[0] = w;
+        m[1] = ep == 0 ? 0 : 1;  // 0='+', 1='-'
+        m[2] = a.pam_idx;
+        m[3] = a.score;
+        m[4] = s0; m[5] = e0; m[6] = gs; m[7] = ge;
+        m[8] = mism; m[9] = gapb; m[10] = gmm; m[11] = ggap;
+        m[12] = pmm; m[13] = pgap;
+        m[14] = kind_code;
+        m[15] = 0;
+        out_str_off[n_out] = str_pos;
+        out_plen[n_out] = plen2;
+        out_ulen[n_out] = (int32_t)ut.size();
+        std::memcpy(out_str + str_pos, pg.data(), plen2);
+        std::memcpy(out_str + str_pos + plen2, pa.data(), plen2);
+        std::memcpy(out_str + str_pos + 2 * (int64_t)plen2, pt.data(), plen2);
+        std::memcpy(out_str + str_pos + 3 * (int64_t)plen2, ut.data(),
+                    ut.size());
+        str_pos += need_str;
+        out_cig_off[n_out] = cig_pos;
+        out_cig_len[n_out] = (int32_t)cig.size();
+        std::memcpy(out_cig + cig_pos, cig.data(), cig.size());
+        cig_pos += (int64_t)cig.size();
+        ++n_out;
+      }
     }
   }
   return n_out;

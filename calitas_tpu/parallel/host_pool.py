@@ -117,6 +117,26 @@ def make_align_spec(guide, aligner, align_kwargs) -> dict:
     }
 
 
+def make_finish_spec(
+    guide, aligner, align_kwargs, *, guide_id, ref_path, aligner_id,
+    arguments, vcf_id, timestamp, window_size, guide_length,
+) -> dict:
+    """Spec for :func:`_mp_finish_chunk`: align spec + everything a worker
+    needs to materialize windows and build ReferenceHit rows itself."""
+    spec = make_align_spec(guide, aligner, align_kwargs)
+    spec.update(
+        guide_id=guide_id,
+        ref_path=str(ref_path),
+        aligner_id=aligner_id,
+        arguments=arguments,
+        vcf_id=vcf_id,
+        timestamp=timestamp,
+        window_size=window_size,
+        guide_length=guide_length,
+    )
+    return spec
+
+
 def map_windows_mp(
     windows: Iterable,
     spec: dict,
@@ -259,6 +279,112 @@ def _unwrap(res, swallow_errors, logger):
             logger.error("Encountered an exception: %s", res[1])
         return []
     return res
+
+
+# ---------------------------------------------------------------------------
+# Screened-search finish worker: window materialization + batched native
+# finish + ReferenceHit construction, all inside the worker process
+# ---------------------------------------------------------------------------
+
+_MP_FINISH_CACHE: dict = {}
+
+
+def _mp_finish_state(spec: dict):
+    """Worker-side cached state: aligner, guide, indexed reference and a
+    HitBuilder sharing the parent's run timestamp / VCF id."""
+    key = (spec["key"], spec["guide_id"], spec["ref_path"])
+    if key not in _MP_FINISH_CACHE:
+        from calitas_tpu.io.fasta import IndexedFasta
+        from calitas_tpu.search.hits import HitBuilder
+
+        aligner, guide = _mp_aligner_for(spec)
+        ref = IndexedFasta(spec["ref_path"])
+        builder = HitBuilder(
+            guide_id=spec["guide_id"],
+            guide=guide,
+            ref=ref,
+            vcf=None,
+            aligner_id=spec["aligner_id"],
+            arguments=spec["arguments"],
+            _vcf_id=spec["vcf_id"],
+            _timestamp=spec["timestamp"],
+        )
+        _MP_FINISH_CACHE[key] = (aligner, guide, ref, builder)
+    return _MP_FINISH_CACHE[key]
+
+
+def _mp_finish_chunk(spec: dict, chunk: list):
+    """Worker: chunk of (chrom, start0, passes, ranges|None) candidate
+    windows -> per-item lists of ReferenceHit rows.
+
+    Materializes each window from the mmap'd reference with the exact
+    reference semantics (N-trim on raw bytes, uppercase, 1-based closed —
+    SearchReference.scala:52-68), finishes the whole chunk in one native
+    call, and builds the output rows in-process so the parent only
+    collects them."""
+    import numpy as np
+
+    from calitas_tpu.align.batch import finish_windows
+    from calitas_tpu.search.windows import materialize_window
+
+    aligner, guide, ref, builder = _mp_finish_state(spec)
+    window_size = spec["window_size"]
+    guide_length = spec["guide_length"]
+    kw = spec["align_kwargs"]
+
+    out: list = [[] for _ in chunk]
+    mat = []  # (item_idx, RefWindow, passes, ranges)
+    for i, item in enumerate(chunk):
+        chrom, start0, passes = item[0], item[1], item[2]
+        ranges = item[3] if len(item) > 3 else None
+        try:
+            seq_len = ref.sequence_length(chrom)
+            end = min(seq_len, start0 + window_size)
+            raw = np.frombuffer(
+                ref.get_subsequence(chrom, start0 + 1, end), dtype=np.uint8
+            )
+            w = materialize_window(chrom, raw, 0, window_size)
+            # materialize_window worked on the extracted slice; shift its
+            # 1-based coordinates to the genome.
+            w.start += start0
+            w.end += start0
+            if len(w.bases) < guide_length or not passes:
+                continue
+            mat.append((i, w, passes, ranges))
+        except Exception as ex:
+            out[i] = ("__error__", repr(ex))
+    if not mat:
+        return out
+    try:
+        windows = [(w.chrom, w.start, w.bases) for _, w, _, _ in mat]
+        passes_list = [ps for _, _, ps, _ in mat]
+        ranges_arr = None
+        if any(r is not None for _, _, _, r in mat):
+            ranges_arr = np.zeros((len(mat), 4), np.int32)
+            for k, (_, _, _, r) in enumerate(mat):
+                if r is not None:
+                    ranges_arr[k] = r
+        per_window = finish_windows(
+            guide, aligner, windows, passes_list, ranges=ranges_arr,
+            max_guide_diffs=kw["max_guide_diffs"],
+            max_pam_diffs=kw["max_pam_diffs"],
+            max_gaps_between_guide_and_pam=kw["max_gaps_between_guide_and_pam"],
+            max_total_diffs=kw["max_total_diffs"],
+            max_overlap=kw["max_overlap"],
+        )
+        if per_window is None:  # no native lib: engine fallback
+            per_window = [
+                aligner.align(
+                    guide, w.bases, target_name=w.chrom,
+                    target_offset=w.start - 1, passes=ps, **kw,
+                )
+                for _, w, ps, _ in mat
+            ]
+        for (i, w, _, _), alns in zip(mat, per_window):
+            out[i] = [builder.build(a) for a in alns]
+    except Exception as ex:
+        return [("__error__", repr(ex))] * len(chunk)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -52,10 +52,18 @@ def screened_search(
     threads: int = 1,
     mesh=None,
     swallow_errors: bool = False,
+    hit_spec: Optional[dict] = None,
     **align_kwargs,
-) -> Iterator[tuple[GuideTask, RefWindow, list[GuideAlignment]]]:
-    """Yield (task, window, alignments) for every window with hits;
-    contigs outer (staged once), guides inner."""
+) -> Iterator[tuple]:
+    """Search every contig with the device screen + batched native finish.
+
+    With ``hit_spec`` (ref_path, aligner_id, arguments, vcf_id, timestamp)
+    the workers build the final ReferenceHit rows themselves and the
+    iterator yields ``(task, chrom, start, [ReferenceHit, ...])`` — the
+    production path: the parent process never touches window bases.
+    Without it, yields ``(task, window, [GuideAlignment, ...])`` (used by
+    tests that inspect alignments).  Contigs outer (staged once), guides
+    inner."""
     if mesh is not None and mesh.devices.size > 1:
         from calitas_tpu.ops.genome_screen import ShardedGenomeScreen
 
@@ -168,6 +176,47 @@ def screened_search(
                     if chain_flags[1, i]:
                         p.append(chain_b_pass)
                     win_passes[int(starts[i])] = tuple(p)
+
+            import logging
+
+            log = logging.getLogger("calitas_tpu.SearchReference")
+
+            if hit_spec is not None:
+                # Production path: workers materialize windows from the
+                # mmap'd reference, finish the chunk in one native call
+                # and build the output rows themselves.
+                from calitas_tpu.parallel.host_pool import (
+                    _mp_finish_chunk,
+                    make_finish_spec,
+                    map_items_mp,
+                )
+
+                spec = make_finish_spec(
+                    guide, aligner, align_kwargs,
+                    guide_id=task.guide_id,
+                    window_size=window_size,
+                    guide_length=task.guide_length,
+                    **hit_spec,
+                )
+                cand = (
+                    (
+                        name,
+                        int(starts[i]),
+                        win_passes.get(int(starts[i]), ("fwd", "rev")),
+                    )
+                    for i in hit_idx
+                )
+                for (c, s0, _ps), rows in map_items_mp(
+                    cand, spec, threads,
+                    worker_fn=_mp_finish_chunk,
+                    to_payload=lambda t: t,
+                    swallow_errors=swallow_errors,
+                    logger=log,
+                ):
+                    if rows:
+                        yield task, c, s0 + 1, rows
+                continue
+
             cand_pairs = (
                 (
                     materialize_window(name, bases, int(starts[i]), window_size),
@@ -181,8 +230,6 @@ def screened_search(
                 if len(w.bases) >= task.guide_length
             )
 
-            import logging
-
             from calitas_tpu.parallel.host_pool import (
                 _mp_align_chunk,
                 make_align_spec,
@@ -195,7 +242,7 @@ def screened_search(
                 worker_fn=_mp_align_chunk,
                 to_payload=lambda t: (t[0].chrom, t[0].start, t[0].bases, t[1]),
                 swallow_errors=swallow_errors,
-                logger=logging.getLogger("calitas_tpu.SearchReference"),
+                logger=log,
             ):
                 if results:
                     yield task, w, results

@@ -233,15 +233,22 @@ def _run_both_passes(
             )
             for gid, gstr, g in specs
         ]
-        for gtask, window, results in screened_search(
+        any_builder = next(iter(builders.values()))
+        hit_spec = dict(
+            ref_path=str(ref_file.path),
+            aligner_id=any_builder.aligner_id,
+            arguments=any_builder.arguments,
+            vcf_id=any_builder.vcf_id,
+            timestamp=any_builder.timestamp,
+        )
+        for _gtask, wchrom, wstart, rows in screened_search(
             ref_file, chrom, gtasks, aligner,
             window_size=window_size, threads=threads, swallow_errors=True,
+            hit_spec=hit_spec,
             **align_kwargs,
         ):
-            b = builders[gtask.guide_id]
-            for a in results:
-                hits.append(b.build(a))
-            progress.record(window.chrom, window.start)
+            hits.extend(rows)
+            progress.record(wchrom, wstart)
     else:
         from calitas_tpu.parallel.host_pool import make_align_spec, map_windows_mp
         from calitas_tpu.search.windows import window_iterator

@@ -1,0 +1,159 @@
+"""Differential tests: the batched native finisher vs the Python engine.
+
+``finish_windows`` must reproduce ``SequentialAligner.align`` exactly —
+same alignments, same order, same padded strings, counters and
+coordinates — because the TPU search path swaps one for the other
+(the engine itself is pinned to the reference by the transcribed tests).
+"""
+
+import numpy as np
+import pytest
+
+from calitas_tpu import native
+from calitas_tpu.core.guide import Guide
+from calitas_tpu.align.engine import SequentialAligner
+from calitas_tpu.align.batch import finish_windows
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+KW = dict(
+    max_guide_diffs=5,
+    max_pam_diffs=1,
+    max_gaps_between_guide_and_pam=3,
+    max_total_diffs=9,
+    max_overlap=10,
+)
+
+
+def assert_same(ga, gb):
+    assert ga.guide == gb.guide
+    assert ga.chrom == gb.chrom
+    assert ga.start_offset == gb.start_offset
+    assert ga.end_offset == gb.end_offset
+    assert ga.guide_start_offset == gb.guide_start_offset
+    assert ga.guide_end_offset == gb.guide_end_offset
+    assert ga.strand == gb.strand
+    assert ga.score == gb.score
+    assert str(ga.cigar) == str(gb.cigar)
+    assert ga.padded_guide == gb.padded_guide
+    assert ga.padded_alignment == gb.padded_alignment
+    assert ga.padded_target == gb.padded_target
+    assert ga.mismatches == gb.mismatches
+    assert ga.gap_bases == gb.gap_bases
+    assert ga.guide_mismatches == gb.guide_mismatches
+    assert ga.guide_gap_bases == gb.guide_gap_bases
+    assert ga.pam_mismatches == gb.pam_mismatches
+    assert ga.pam_gap_bases == gb.pam_gap_bases
+    assert ga.unpadded_target_without_pam == gb.unpadded_target_without_pam
+
+
+def run_diff(guide, windows, passes=None, **kw):
+    aligner = SequentialAligner()
+    passes = passes or [("fwd", "rev")] * len(windows)
+    got = finish_windows(guide, aligner, windows, passes, **kw)
+    assert got is not None
+    for (chrom, start1, bases), ps, batch in zip(windows, passes, got):
+        want = aligner.align(
+            guide, bases, target_name=chrom, target_offset=start1 - 1,
+            passes=ps, **kw,
+        )
+        assert len(batch) == len(want), (chrom, start1)
+        for ga, gb in zip(batch, want):
+            assert_same(ga, gb)
+
+
+def random_windows(rng, n, length, plant=None, n_prob=0.0):
+    """Uppercase windows, optionally with a planted (mutated) guide copy."""
+    out = []
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(n):
+        w = rng.choice(alpha, size=length)
+        if n_prob and rng.random() < 0.8:
+            idx = rng.random(length) < n_prob
+            w[idx] = ord("N")
+        if plant is not None and rng.random() < 0.8:
+            copy = np.frombuffer(plant.upper().encode(), dtype=np.uint8).copy()
+            for _ in range(rng.integers(0, 5)):
+                copy[rng.integers(0, len(copy))] = alpha[rng.integers(0, 4)]
+            p = rng.integers(0, length - len(copy))
+            w[p : p + len(copy)] = copy
+        out.append(("chrT", int(rng.integers(1, 10_000)), w))
+    return out
+
+
+GUIDES = [
+    Guide.parse("GACGCATAAAGATGAGACGCngg"),          # 3' PAM
+    Guide.parse("ccnGACGCATAAAGATGAGACGC"),          # 5' PAM
+    Guide.parse("GACGCATAAAGATGAGACGC"),             # PAM-less
+    Guide.parse("GACGCATAAAGATGAGACGCngg", ["nag"]),  # aux PAM
+    Guide.parse("ttanAACCGGTTACGTACGGTT"),           # longer 5' PAM
+]
+
+
+@pytest.mark.parametrize("gi", range(len(GUIDES)))
+def test_fuzz_matches_engine(gi):
+    guide = GUIDES[gi]
+    rng = np.random.default_rng(100 + gi)
+    plant = guide.guide + (guide.pams[0].replace("n", "a") if guide.pams else "")
+    windows = random_windows(rng, 40, 400, plant=plant, n_prob=0.02)
+    run_diff(guide, windows, **KW)
+
+
+def test_pass_restriction():
+    guide = GUIDES[0]
+    rng = np.random.default_rng(7)
+    windows = random_windows(rng, 12, 300, plant=guide.guide + "agg")
+    for ps in [("fwd",), ("rev",), ("fwd", "rev"), ()]:
+        run_diff(guide, windows, passes=[ps] * len(windows), **KW)
+
+
+def test_mixed_window_lengths_and_order():
+    guide = GUIDES[1]
+    rng = np.random.default_rng(11)
+    windows = (
+        random_windows(rng, 5, 150, plant="GGA" + guide.guide)
+        + random_windows(rng, 5, 1000, plant="CCA" + guide.guide)
+        + random_windows(rng, 5, 37, plant=None)
+    )
+    run_diff(guide, windows, **KW)
+
+
+def test_loose_limits_many_hits():
+    guide = Guide.parse("ACGTACGTACGTnrg")
+    rng = np.random.default_rng(3)
+    windows = random_windows(rng, 10, 500, plant="ACGTACGTACGTagg")
+    run_diff(
+        guide, windows,
+        max_guide_diffs=4, max_pam_diffs=1,
+        max_gaps_between_guide_and_pam=3, max_total_diffs=8, max_overlap=5,
+    )
+
+
+def test_ambiguity_codes_in_target():
+    guide = GUIDES[0]
+    rng = np.random.default_rng(5)
+    windows = []
+    alpha = np.frombuffer(b"ACGTRYSWKMN", dtype=np.uint8)
+    for i in range(10):
+        w = rng.choice(alpha, size=200)
+        windows.append(("chrA", 1 + i, w))
+    run_diff(guide, windows, **KW)
+
+
+def test_explicit_full_ranges_equal_default():
+    guide = GUIDES[0]
+    rng = np.random.default_rng(9)
+    windows = random_windows(rng, 10, 400, plant=guide.guide + "tgg")
+    aligner = SequentialAligner()
+    passes = [("fwd", "rev")] * len(windows)
+    full = np.zeros((len(windows), 4), np.int32)
+    for i, (_, _, b) in enumerate(windows):
+        full[i] = (1, len(b), 1, len(b))
+    a = finish_windows(guide, aligner, windows, passes, ranges=full, **KW)
+    b = finish_windows(guide, aligner, windows, passes, **KW)
+    for la, lb in zip(a, b):
+        assert len(la) == len(lb)
+        for ga, gb in zip(la, lb):
+            assert_same(ga, gb)
