@@ -32,6 +32,49 @@ _META_COLS = 16
 _KIND_NAMES = ("3fwd", "3rev", "5fwd", "5rev")
 
 
+def max_target_span(Q: int, match: int, qgap: int, min_score: int, T: int) -> int:
+    """Maximum target columns an above-``min_score`` guide alignment can
+    consume: Q matches plus D_max guide-gap columns, each costing |qgap|
+    out of the at-most ``match*Q`` budget (mirrors aligner.cpp's
+    ``d_max`` derivation — the slice-DP exactness bound)."""
+    surplus = match * Q - min_score
+    if surplus <= 0:
+        d = 0
+    elif qgap < 0:
+        d = surplus // -qgap
+    else:
+        d = T
+    return Q + d
+
+
+def chain_ranges_to_pass(
+    cr: tuple, trim: int, T: int, span: int
+) -> tuple[int, int, int, int]:
+    """Convert screen-window chain end-column ranges into native pass
+    ranges on the materialized window.
+
+    ``cr`` = (loA, hiA, loB, hiB): 1-based inclusive qualifying
+    end-column bounds in SCREEN window coordinates (chain A = DP query
+    over the forward window = native pass 0; chain B = revcomp'd query).
+    ``trim`` = leading bases N-trimmed from the screen window during
+    materialization; ``T`` = materialized window length.
+
+    Chain A maps by the trim shift.  Chain B alignments mirror to native
+    pass 1 (DP query over the revcomp'd window): an alignment ENDING at
+    forward column e starts at s >= e - span + 1, and its pass-1 end
+    column is T + 1 - s — hence the span widening on the high side.
+    Containment of every qualifying end makes the sliced finish exact."""
+    loA, hiA, loB, hiB = cr
+    lo0, hi0 = max(1, loA - trim), min(T, hiA - trim)
+    lo1 = max(1, T + 1 - (hiB - trim))
+    hi1 = min(T, T - (loB - trim) + span)
+    if hi0 < lo0:
+        lo0, hi0 = 1, 0  # no qualifying ends: native pass returns nothing
+    if hi1 < lo1:
+        lo1, hi1 = 1, 0
+    return lo0, hi0, lo1, hi1
+
+
 def cpp_pass_for(engine_pass: str, is5prime: bool) -> int:
     """Map an engine pass name ('fwd'/'rev') to the native pass index
     (0 = forward target order, 1 = revcomp).  For 5'-PAM guides the

@@ -180,10 +180,13 @@ NEG_GATE = -(2**26)
 
 def _kernel2(
     qvals_ref,  # [2, Q] int32 in SMEM: fw and rc query masks
+    minscore_ref,  # [1] int32 in SMEM: qualifying-end threshold
     tcols_ref,  # [T, SUBLANES, LANES] int32: low 4 bits = target mask;
     #             bit 4 = PAM-ok for a chain-A alignment END at this column;
     #             bit 5 = PAM-ok for a chain-B alignment START after it
     best_ref,  # [SUBLANES, LANES] int32 out: max over both queries
+    ranges_ref=None,  # [2, 2, SUBLANES, LANES] int32 out (emit_ranges only):
+    #             per chain (min, max) 1-based qualifying end column
     *,
     T: int,
     Q: int,
@@ -192,6 +195,7 @@ def _kernel2(
     qgap: int,
     tgap: int,
     pam_gate: bool,
+    emit_ranges: bool,
 ):
     zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
     init = tuple(
@@ -202,6 +206,7 @@ def _kernel2(
     mm = jnp.int32(mismatch)
     qg = jnp.int32(qgap)
     tg = jnp.int32(tgap)
+    ms = minscore_ref[0]
 
     def chain(state, tcol, q, row0):
         new = [row0]
@@ -216,7 +221,7 @@ def _kernel2(
         return tuple(new)
 
     def body(j, carry):
-        s_fw, s_rc, best_fw, best_rc = carry
+        s_fw, s_rc, best_fw, best_rc, rng = carry
         tcol_raw = tcols_ref[j].astype(jnp.int32)
         tcol = tcol_raw & 15
         if pam_gate:
@@ -237,56 +242,99 @@ def _kernel2(
         )
         best_fw = jnp.maximum(best_fw, end_fw)
         best_rc = jnp.maximum(best_rc, n_rc[Q])
-        return n_fw, n_rc, best_fw, best_rc
+        if emit_ranges:
+            mn_fw, mx_fw, mn_rc, mx_rc = rng
+            jj = j + 1
+            q_fw = end_fw >= ms
+            q_rc = n_rc[Q] >= ms
+            mn_fw = jnp.where(q_fw, jnp.minimum(mn_fw, jj), mn_fw)
+            mx_fw = jnp.where(q_fw, jj, mx_fw)
+            mn_rc = jnp.where(q_rc, jnp.minimum(mn_rc, jj), mn_rc)
+            mx_rc = jnp.where(q_rc, jj, mx_rc)
+            rng = (mn_fw, mx_fw, mn_rc, mx_rc)
+        return n_fw, n_rc, best_fw, best_rc, rng
 
+    rng0 = (
+        (jnp.full((SUBLANES, LANES), T + 1, jnp.int32), zeros,
+         jnp.full((SUBLANES, LANES), T + 1, jnp.int32), zeros)
+        if emit_ranges
+        else ()
+    )
     # all columns are valid (the caller always packs full-length windows)
-    _, _, best_fw, best_rc = jax.lax.fori_loop(
-        0, T, body, (init, init, best0, best0)
+    _, _, best_fw, best_rc, rng = jax.lax.fori_loop(
+        0, T, body, (init, init, best0, best0, rng0)
     )
     best_ref[0, :, :] = best_fw
     best_ref[1, :, :] = best_rc
+    if emit_ranges:
+        ranges_ref[0, 0, :, :] = rng[0]
+        ranges_ref[0, 1, :, :] = rng[1]
+        ranges_ref[1, 0, :, :] = rng[2]
+        ranges_ref[1, 1, :, :] = rng[3]
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "Q", "match", "mismatch", "qgap", "tgap", "pam_gate", "interpret"
+        "Q", "match", "mismatch", "qgap", "tgap", "pam_gate", "emit_ranges",
+        "interpret",
     ),
 )
 def _pallas_screen_dual(
-    qvals, tcols, *, Q, match, mismatch, qgap, tgap, pam_gate=False,
-    interpret=False,
+    qvals, tcols, min_score=0, *, Q, match, mismatch, qgap, tgap,
+    pam_gate=False, emit_ranges=False, interpret=False,
 ):
     """Fused both-strand screen: returns [2, n_blocks*8, 128] int32 —
-    per-chain (fw, rc) best scores per window.  All windows full length."""
+    per-chain (fw, rc) best scores per window.  All windows full length.
+    With ``emit_ranges`` also returns [2, 2, n_blocks*8, 128] int32
+    per-chain (min, max) 1-based end columns scoring >= min_score (min is
+    T+1 / max is 0 when no column qualifies)."""
     T = tcols.shape[0]
     n_blocks = tcols.shape[1] // SUBLANES
     kernel = partial(
         _kernel2, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
-        tgap=tgap, pam_gate=pam_gate,
+        tgap=tgap, pam_gate=pam_gate, emit_ranges=emit_ranges,
     )
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (2, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((2, n_blocks * SUBLANES, LANES), jnp.int32),
+    ]
+    if emit_ranges:
+        out_specs.append(
+            pl.BlockSpec(
+                (2, 2, SUBLANES, LANES), lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((2, 2, n_blocks * SUBLANES, LANES), jnp.int32)
+        )
+    out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (T, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (2, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (2, n_blocks * SUBLANES, LANES), jnp.int32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=16 * T * Q * n_blocks * BLOCK_W,
             bytes_accessed=T * n_blocks * BLOCK_W * 4,
             transcendentals=0,
         ),
-    )(qvals, tcols)
+    )(qvals, jnp.asarray(min_score, jnp.int32).reshape(1), tcols)
+    if emit_ranges:
+        return out[0], out[1]
+    return out[0]
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,50 @@ def _screen_scores(qmask, tmasks, lengths, match, mismatch, qgap, tgap):
 
 
 @partial(jax.jit, static_argnames=("match", "mismatch", "qgap", "tgap"))
+def _screen_scores_ranges(
+    qmask, tmasks, lengths, min_score, match, mismatch, qgap, tgap
+):
+    """Like :func:`_screen_scores` but also returns the (min, max) 1-based
+    end columns whose final-row score reaches ``min_score`` (min = T+1 /
+    max = 0 when none) — the device side of the sliced host finish."""
+    B, T = tmasks.shape
+    Q = qmask.shape[0]
+    qm = qmask.astype(jnp.uint8)
+    idec = jnp.arange(Q + 1, dtype=jnp.int32) * tgap
+    init_col = jnp.broadcast_to(idec, (B, Q + 1))
+    neg_inf = jnp.int32(-(2**30))
+    ms = jnp.asarray(min_score, jnp.int32)
+
+    def step(carry, xs):
+        s_prev, best, mn, mx = carry
+        tcol, j = xs
+        compat = (qm[None, :] & tcol[:, None]) != 0
+        pair = jnp.where(compat, jnp.int32(match), jnp.int32(mismatch))
+        tmp = jnp.maximum(s_prev[:, :-1] + pair, s_prev[:, 1:] + jnp.int32(qgap))
+        tmp_full = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), tmp], axis=1)
+        new = jax.lax.cummax(tmp_full - idec[None, :], axis=1) + idec[None, :]
+        end_score = jnp.where(j <= lengths, new[:, Q], neg_inf)
+        best = jnp.maximum(best, end_score)
+        qual = end_score >= ms
+        mn = jnp.where(qual, jnp.minimum(mn, j), mn)
+        mx = jnp.where(qual, j, mx)
+        return (new, best, mn, mx), None
+
+    xs = (tmasks.T, jnp.arange(1, T + 1, dtype=jnp.int32))
+    (_, best, mn, mx), _ = jax.lax.scan(
+        step,
+        (
+            init_col,
+            jnp.full((B,), neg_inf, jnp.int32),
+            jnp.full((B,), T + 1, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        ),
+        xs,
+    )
+    return best, mn, mx
+
+
+@partial(jax.jit, static_argnames=("match", "mismatch", "qgap", "tgap"))
 def _final_rows(qmask, tmasks, match, mismatch, qgap, tgap):
     """Full final DP row per batch element: [B, T] with entry j-1 = S[Q, j].
     (Used by tests and by the hit-extraction path.)"""

@@ -148,7 +148,7 @@ def _rc_mask(m: int) -> int:
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
-        "interpret",
+        "emit_ranges", "interpret",
     ),
 )
 def _screen_genome(
@@ -169,16 +169,19 @@ def _screen_genome(
     tgap: int,
     use_pallas: bool,
     pam_spec=None,  # (pams: tuple[tuple[int,...]], max_pam_mm, max_gap)
+    emit_ranges: bool = False,
     interpret: bool = False,
 ):
     kw = dict(Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
     lens_flat = jnp.full((batch_windows,), window, jnp.int32)
     n_total = max_batches * batch_windows
 
-    def body(b, out):
+    def body(b, outs):
+        out, out_r = outs
         wins = extract_window_grid(
             genome, b * batch_windows * step, batch_windows, step, window
         )  # [bw, T] uint8
+        rng = None
         if use_pallas:
             from calitas_tpu.ops.dp_pallas2 import _pallas_screen_dual
 
@@ -193,31 +196,65 @@ def _screen_genome(
                 )
             )
             qv2 = jnp.concatenate([qv_fw, qv_rc], axis=0)
-            both = _pallas_screen_dual(
-                qv2, tcols, pam_gate=pam_spec is not None,
-                interpret=interpret, **kw
-            ).reshape(2, batch_windows)
+            res = _pallas_screen_dual(
+                qv2, tcols, min_score, pam_gate=pam_spec is not None,
+                emit_ranges=emit_ranges, interpret=interpret, **kw
+            )
+            if emit_ranges:
+                both = res[0].reshape(2, batch_windows)
+                rng = res[1].reshape(2, 2, batch_windows)
+            else:
+                both = res.reshape(2, batch_windows)
         else:
-            from calitas_tpu.ops.dp_screen import _screen_scores
+            from calitas_tpu.ops.dp_screen import (
+                _screen_scores,
+                _screen_scores_ranges,
+            )
 
             skw = dict(match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
-            best_fw = _screen_scores(
-                qv_fw[0].astype(jnp.uint8), wins, lens_flat, **skw
-            )
-            best_rc = _screen_scores(
-                qv_rc[0].astype(jnp.uint8), wins, lens_flat, **skw
-            )
+            if emit_ranges:
+                best_fw, mn_fw, mx_fw = _screen_scores_ranges(
+                    qv_fw[0].astype(jnp.uint8), wins, lens_flat, min_score,
+                    **skw
+                )
+                best_rc, mn_rc, mx_rc = _screen_scores_ranges(
+                    qv_rc[0].astype(jnp.uint8), wins, lens_flat, min_score,
+                    **skw
+                )
+                rng = jnp.stack(
+                    [jnp.stack([mn_fw, mx_fw]), jnp.stack([mn_rc, mx_rc])]
+                )
+            else:
+                best_fw = _screen_scores(
+                    qv_fw[0].astype(jnp.uint8), wins, lens_flat, **skw
+                )
+                best_rc = _screen_scores(
+                    qv_rc[0].astype(jnp.uint8), wins, lens_flat, **skw
+                )
             both = jnp.stack([best_fw, best_rc])
         # Threshold + bit-pack on device: the host only ever needs the
         # per-chain candidate flags, and the packed form is 32x smaller
         # than raw int32 maxima on the D2H path.
         packed = _pack_flag_bits(both >= min_score)
-        return jax.lax.dynamic_update_slice(
+        out = jax.lax.dynamic_update_slice(
             out, packed, (0, b * (batch_windows // 8))
         )
+        if emit_ranges:
+            # Coarse (8-column-block) uint8 ranges: 4 bytes per window on
+            # the D2H path; the host widens each block edge back out, so
+            # coarseness only costs <= 7 extra DP columns per side.
+            mn, mx = rng[:, 0], rng[:, 1]
+            mnb = jnp.clip((mn - 1) // 8, 0, 255).astype(jnp.uint8)
+            mxb = jnp.clip((mx - 1) // 8, 0, 255).astype(jnp.uint8)
+            pr = jnp.stack([mnb, mxb], axis=-1)  # [2, bw, 2]
+            out_r = jax.lax.dynamic_update_slice(
+                out_r, pr, (0, b * batch_windows, 0)
+            )
+        return out, out_r
 
     out0 = jnp.zeros((2, n_total // 8), jnp.uint8)
-    return jax.lax.fori_loop(0, n_batches, body, out0)
+    out_r0 = jnp.zeros((2, n_total if emit_ranges else 1, 2), jnp.uint8)
+    return jax.lax.fori_loop(0, n_batches, body, (out0, out_r0))
 
 
 class GenomeScreen:
@@ -290,6 +327,7 @@ class GenomeScreen:
         min_score: int,
         pam_spec=None,  # (dp-orientation pam strings, max_pam_mm, max_gap)
         return_chains: bool = False,
+        return_ranges: bool = False,
     ) -> np.ndarray:
         """Returns the boolean hit flags for every reference window start.
 
@@ -299,6 +337,13 @@ class GenomeScreen:
         strand — a conservative superset of the reference's per-window
         hits (zero-padding and untrimmed Ns can only add candidates,
         which the exact host alignment then resolves).
+
+        With ``return_ranges`` (implies per-chain flags) also returns a
+        [2, n, 2] uint8 array of coarse per-chain qualifying end-column
+        ranges: entry (c, i) = (min_block, max_block) with 8-column
+        blocks, i.e. qualifying 1-based end columns of window i on chain
+        c all lie within [min_block*8 + 1, (max_block+1)*8].  Only
+        meaningful where the chain flag is set.
         """
         starts = self.window_starts(contig_len, step)
         n = len(starts)
@@ -336,7 +381,7 @@ class GenomeScreen:
                     int(max_pam_mm),
                     int(max_gap),
                 )
-        packed = _screen_genome(
+        packed, packed_ranges = _screen_genome(
             genome_dev, qv_fw, qv_rc, jnp.int32(n_batches),
             jnp.int32(min_score),
             window=self.window, step=step, batch_windows=bw,
@@ -344,9 +389,13 @@ class GenomeScreen:
             Q=Q, match=s.match_score, mismatch=s.mismatch_score,
             qgap=s.query_gap_score, tgap=s.target_gap_score,
             use_pallas=use_pallas, pam_spec=static_pam_spec,
+            emit_ranges=return_ranges,
             interpret=self.interpret,
         )
         chain_flags = _unpack_flag_bits(np.asarray(packed), n)  # [2, n]
+        if return_ranges:
+            ranges = np.asarray(packed_ranges)[:, :n]  # [2, n, 2] uint8
+            return chain_flags, ranges
         if return_chains:
             return chain_flags
         return chain_flags.any(axis=0)

@@ -324,19 +324,26 @@ def _mp_finish_chunk(spec: dict, chunk: list):
     collects them."""
     import numpy as np
 
-    from calitas_tpu.align.batch import finish_windows
+    from calitas_tpu.align.batch import (
+        chain_ranges_to_pass,
+        finish_windows,
+        max_target_span,
+    )
     from calitas_tpu.search.windows import materialize_window
 
     aligner, guide, ref, builder = _mp_finish_state(spec)
     window_size = spec["window_size"]
     guide_length = spec["guide_length"]
     kw = spec["align_kwargs"]
+    q_len = len(guide.guide_fw)
+    min_score = aligner.min_guide_score(guide, kw["max_guide_diffs"])
+    scorer = aligner.scorer
 
     out: list = [[] for _ in chunk]
-    mat = []  # (item_idx, RefWindow, passes, ranges)
+    mat = []  # (item_idx, RefWindow, passes, pass_ranges)
     for i, item in enumerate(chunk):
         chrom, start0, passes = item[0], item[1], item[2]
-        ranges = item[3] if len(item) > 3 else None
+        cr = item[3] if len(item) > 3 else None
         try:
             seq_len = ref.sequence_length(chrom)
             end = min(seq_len, start0 + window_size)
@@ -350,6 +357,16 @@ def _mp_finish_chunk(spec: dict, chunk: list):
             w.end += start0
             if len(w.bases) < guide_length or not passes:
                 continue
+            ranges = None
+            if cr is not None:
+                T = len(w.bases)
+                ranges = chain_ranges_to_pass(
+                    cr, w.start - (start0 + 1), T,
+                    max_target_span(
+                        q_len, scorer.match_score, scorer.query_gap_score,
+                        min_score, T,
+                    ),
+                )
             mat.append((i, w, passes, ranges))
         except Exception as ex:
             out[i] = ("__error__", repr(ex))

@@ -145,8 +145,24 @@ def screened_search(
                 else None
             )
             chain_flags = None
+            cranges = None  # [2, n, 2] uint8 coarse end-column blocks
+            # Ranges let the native finish run the DP on a column slice
+            # instead of the whole window; uint8 8-column blocks cover
+            # windows up to 2048 columns.
+            want_ranges = (
+                hit_spec is not None
+                and type(screen) is GenomeScreen
+                and window_size <= 2048
+            )
             if task.guide_id in multi_flags:
                 chain_flags = multi_flags[task.guide_id]  # [2, n]
+                flags = chain_flags.any(axis=0)
+            elif want_ranges:
+                chain_flags, cranges = screen.screen_contig(
+                    genome_dev, len(bases), task.step_size,
+                    dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
+                    return_ranges=True,
+                )
                 flags = chain_flags.any(axis=0)
             else:
                 chain_flags = screen.screen_contig(
@@ -198,15 +214,29 @@ def screened_search(
                     guide_length=task.guide_length,
                     **hit_spec,
                 )
+                def crange_for(i):
+                    # Widen the coarse 8-column blocks back to 1-based
+                    # column bounds (the worker trim-shifts, mirrors chain
+                    # B and clips — align/batch.py::chain_ranges_to_pass).
+                    if cranges is None:
+                        return None
+                    return (
+                        int(cranges[0, i, 0]) * 8 + 1,
+                        int(cranges[0, i, 1]) * 8 + 8,
+                        int(cranges[1, i, 0]) * 8 + 1,
+                        int(cranges[1, i, 1]) * 8 + 8,
+                    )
+
                 cand = (
                     (
                         name,
                         int(starts[i]),
                         win_passes.get(int(starts[i]), ("fwd", "rev")),
+                        crange_for(i),
                     )
                     for i in hit_idx
                 )
-                for (c, s0, _ps), rows in map_items_mp(
+                for (c, s0, *_rest), rows in map_items_mp(
                     cand, spec, threads,
                     worker_fn=_mp_finish_chunk,
                     to_payload=lambda t: t,
