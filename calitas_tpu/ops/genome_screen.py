@@ -143,20 +143,14 @@ def _rc_mask(m: int) -> int:
     return r
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "window", "step", "batch_windows", "max_batches",
-        "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
-        "emit_ranges", "interpret",
-    ),
-)
-def _screen_genome(
+def _screen_grid(
     genome,  # [G] uint8 masks, padded with >= window zeros at the end
     qv_fw,  # [1, Q] int32
     qv_rc,  # [1, Q] int32
     n_batches,  # traced scalar: actual batches to run (<= max_batches)
     min_score,  # traced int32: candidate threshold (applied on device)
+    base0,  # traced int32: genome offset of this grid's first window —
+    #         0 on a single device; each mesh shard passes its span start
     *,
     window: int,
     step: int,
@@ -172,6 +166,11 @@ def _screen_genome(
     emit_ranges: bool = False,
     interpret: bool = False,
 ):
+    """The device batch loop shared by the single-device and mesh-sharded
+    screens: extract windows, screen both chains, threshold + bit-pack on
+    device.  Returns ([2, total//8] uint8 flags, [2, total, 2] uint8
+    coarse ranges — a [2, 1, 2] placeholder when ``emit_ranges`` is off).
+    """
     kw = dict(Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
     lens_flat = jnp.full((batch_windows,), window, jnp.int32)
     n_total = max_batches * batch_windows
@@ -179,7 +178,8 @@ def _screen_genome(
     def body(b, outs):
         out, out_r = outs
         wins = extract_window_grid(
-            genome, b * batch_windows * step, batch_windows, step, window
+            genome, base0 + b * batch_windows * step, batch_windows, step,
+            window,
         )  # [bw, T] uint8
         rng = None
         if use_pallas:
@@ -255,6 +255,28 @@ def _screen_genome(
     out0 = jnp.zeros((2, n_total // 8), jnp.uint8)
     out_r0 = jnp.zeros((2, n_total if emit_ranges else 1, 2), jnp.uint8)
     return jax.lax.fori_loop(0, n_batches, body, (out0, out_r0))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "step", "batch_windows", "max_batches",
+        "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
+        "emit_ranges", "interpret",
+    ),
+)
+def _screen_genome(
+    genome, qv_fw, qv_rc, n_batches, min_score, *,
+    window, step, batch_windows, max_batches, Q, match, mismatch, qgap,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+):
+    return _screen_grid(
+        genome, qv_fw, qv_rc, n_batches, min_score, jnp.int32(0),
+        window=window, step=step, batch_windows=batch_windows,
+        max_batches=max_batches, Q=Q, match=match, mismatch=mismatch,
+        qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
+        emit_ranges=emit_ranges, interpret=interpret,
+    )
 
 
 class GenomeScreen:
@@ -450,70 +472,170 @@ def make_sharded_screen(mesh, *, window, step, batch_windows, Q,
     return jax.jit(shard)
 
 
-class ShardedGenomeScreen(GenomeScreen):
-    """GenomeScreen over a device mesh: each batch's windows are sharded
-    across devices; the genome is replicated to every device."""
+def make_sharded_grid_screen(
+    mesh, *, window, step, batch_windows, batches_per_dev, Q,
+    match, mismatch, qgap, tgap, use_pallas, pam_spec=None,
+    emit_ranges=False, interpret=False,
+):
+    """Jit a mesh-sharded :func:`_screen_grid`: each device owns a
+    contiguous span of ``batches_per_dev`` window batches (its ``base0``)
+    and runs the SAME device batch loop as the single-device screen —
+    window extraction, dual-chain kernel, PAM gate, device thresholding,
+    bit-packed flag (and coarse range) output.  The genome is replicated;
+    the window axis is the data-parallel axis (SURVEY.md §2.10), so
+    shards are independent and the gathered flags are bit-identical to
+    single-device execution."""
+    from jax.sharding import PartitionSpec as P
 
-    def __init__(self, scorer: Scorer, mesh, window: int = 1024,
-                 batch_windows: int = 8192, use_pallas: bool | None = None):
-        super().__init__(scorer, window=window, batch_windows=batch_windows,
-                         use_pallas=use_pallas)
-        self.mesh = mesh
-        n = mesh.devices.size
-        unit = (BLOCK_W if self.use_pallas else LANES) * n
-        self.batch_windows = -(-batch_windows // unit) * unit
-        self._fn_cache = {}
+    axis = mesh.axis_names[0]
 
-    def stage(self, contig_bases: np.ndarray):
-        """Upload the contig replicated to every mesh device."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        masks = TARGET_MASK_TABLE[contig_bases]
-        pad = self.window + (-len(masks)) % LANES
-        masks = np.concatenate([masks, np.zeros(pad, np.uint8)])
-        return jax.device_put(
-            jnp.asarray(masks), NamedSharding(self.mesh, P())
+    def local(genome, base0, n_batches, min_score, qv_fw, qv_rc):
+        return _screen_grid(
+            genome, qv_fw, qv_rc, n_batches[0], min_score, base0[0],
+            window=window, step=step, batch_windows=batch_windows,
+            max_batches=batches_per_dev, Q=Q, match=match,
+            mismatch=mismatch, qgap=qgap, tgap=tgap, use_pallas=use_pallas,
+            pam_spec=pam_spec, emit_ranges=emit_ranges, interpret=interpret,
         )
 
-    def screen_contig(self, genome_dev, contig_len, step, dp_query,
-                      dp_query_rc, min_score, pam_spec=None):
-        # pam_spec accepted for interface parity; the sharded path runs
-        # ungated (a conservative superset — the host finish is exact).
-        starts_np = self.window_starts(contig_len, step)
-        n = len(starts_np)
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(None, axis), P(None, axis, None)),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+class ShardedGenomeScreen(GenomeScreen):
+    """GenomeScreen over a device mesh: the window-batch grid is split
+    into contiguous per-device spans; the genome is replicated.  Same
+    interface and bit-identical output as :class:`GenomeScreen`
+    (PAM gate, per-chain flags, packed D2H, end-column ranges included —
+    enforced by tests/test_sharding.py)."""
+
+    def __init__(self, scorer: Scorer, mesh, window: int = 1024,
+                 batch_windows: int = 8192, use_pallas: bool | None = None,
+                 interpret: bool = False):
+        super().__init__(scorer, window=window, batch_windows=batch_windows,
+                         use_pallas=use_pallas, interpret=interpret)
+        self.mesh = mesh
+        self._fn_cache = {}
+        self._replicated = None
+
+    def _sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._replicated is None:
+            self._replicated = NamedSharding(self.mesh, P())
+        return self._replicated
+
+    def stage(self, contig_bases: np.ndarray):
+        """Upload the contig replicated to every mesh device (two 4-bit
+        masks per transferred byte, unpacked on device like the
+        single-device path)."""
+        masks = TARGET_MASK_TABLE[contig_bases]
+        padded_len = 1 << (len(masks) + self.window - 1).bit_length()
+        masks = np.concatenate(
+            [masks, np.zeros(padded_len - len(masks), np.uint8)]
+        )
+        packed = masks[0::2] | (masks[1::2] << 4)
+        packed_dev = jax.device_put(jnp.asarray(packed), self._sharding())
+        out = _unpack_staged(packed_dev)
+        assert out.sharding.is_fully_replicated
+        return out
+
+    def _pad_replicated(self, genome_dev, need: int):
+        extra = need - genome_dev.shape[0]
+        fn = self._fn_cache.get(("pad", extra))
+        if fn is None:
+            fn = jax.jit(
+                lambda g: jnp.concatenate([g, jnp.zeros(extra, jnp.uint8)]),
+                out_shardings=self._sharding(),
+            )
+            self._fn_cache[("pad", extra)] = fn
+        return fn(genome_dev)
+
+    def screen_contig(
+        self,
+        genome_dev,
+        contig_len,
+        step,
+        dp_query,
+        dp_query_rc,
+        min_score,
+        pam_spec=None,
+        return_chains: bool = False,
+        return_ranges: bool = False,
+    ):
+        starts = self.window_starts(contig_len, step)
+        n = len(starts)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        bw = self.batch_windows
-        n_batches = -(-n // bw)
-        # The padded tail of the last batch continues the regular start
-        # grid (window extraction is reshape-based), so the buffer must
-        # cover the full padded grid.
-        need = (n_batches * bw - 1) * step + self.window + step
-        if need > genome_dev.shape[0]:
-            genome_dev = jnp.concatenate(
-                [genome_dev, jnp.zeros(need - genome_dev.shape[0], jnp.uint8)]
-            )
+        n_dev = self.mesh.devices.size
         s = self.scorer
         Q = len(dp_query)
-        key = (Q, step)
-        if key not in self._fn_cache:
-            self._fn_cache[key] = make_sharded_screen(
+        use_pallas = self.use_pallas and Q <= 48
+        unit = BLOCK_W if use_pallas else LANES
+        bw = min(
+            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
+        )
+        batches_total = -(-n // bw)
+        # Power-of-two bucketing of the per-device span so multi-contig
+        # genomes reuse one compilation (same trick as single-device).
+        batches_per_dev = 1 << (-(-batches_total // n_dev) - 1).bit_length()
+        total = n_dev * batches_per_dev * bw
+        need = (total - 1) * step + self.window + step
+        if need > genome_dev.shape[0]:
+            need = 1 << (need - 1).bit_length()
+            genome_dev = self._pad_replicated(genome_dev, need)
+        static_pam_spec = None
+        if pam_spec is not None and use_pallas:
+            pams, max_pam_mm, max_gap = pam_spec
+            if pams and all(len(p) > 0 for p in pams):
+                static_pam_spec = (
+                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
+                    int(max_pam_mm),
+                    int(max_gap),
+                )
+        key = (
+            Q, step, bw, batches_per_dev, static_pam_spec, return_ranges,
+            use_pallas,
+        )
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = make_sharded_grid_screen(
                 self.mesh, window=self.window, step=step, batch_windows=bw,
-                Q=Q, match=s.match_score, mismatch=s.mismatch_score,
+                batches_per_dev=batches_per_dev, Q=Q,
+                match=s.match_score, mismatch=s.mismatch_score,
                 qgap=s.query_gap_score, tgap=s.target_gap_score,
-                use_pallas=self.use_pallas,
+                use_pallas=use_pallas, pam_spec=static_pam_spec,
+                emit_ranges=return_ranges, interpret=self.interpret,
             )
-        fn = self._fn_cache[key]
+            self._fn_cache[key] = fn
+        # Per-shard span origins and live batch counts: tail shards run
+        # only their populated batches (skipped batches leave zero flags).
+        base0 = (
+            np.arange(n_dev, dtype=np.int32) * (batches_per_dev * bw * step)
+        )
+        live = np.clip(
+            batches_total - np.arange(n_dev) * batches_per_dev,
+            0, batches_per_dev,
+        ).astype(np.int32)
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
         qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
-        out = np.empty(n_batches * bw, dtype=np.int32)
-        all_starts = np.zeros(n_batches * bw, dtype=np.int32)
-        all_starts[:n] = starts_np
-        for b in range(n_batches):
-            batch_starts = jnp.asarray(all_starts[b * bw : (b + 1) * bw])
-            best = fn(genome_dev, batch_starts, qv_fw, qv_rc)
-            out[b * bw : (b + 1) * bw] = np.asarray(best)
-        return out[:n] >= min_score
+        packed, packed_ranges = fn(
+            genome_dev, jnp.asarray(base0), jnp.asarray(live),
+            jnp.int32(min_score), qv_fw, qv_rc,
+        )
+        chain_flags = _unpack_flag_bits(np.asarray(packed), n)  # [2, n]
+        if return_ranges:
+            ranges = np.asarray(packed_ranges)[:, :n]  # [2, n, 2] uint8
+            return chain_flags, ranges
+        if return_chains:
+            return chain_flags
+        return chain_flags.any(axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -149,11 +149,7 @@ def screened_search(
             # Ranges let the native finish run the DP on a column slice
             # instead of the whole window; uint8 8-column blocks cover
             # windows up to 2048 columns.
-            want_ranges = (
-                hit_spec is not None
-                and type(screen) is GenomeScreen
-                and window_size <= 2048
-            )
+            want_ranges = hit_spec is not None and window_size <= 2048
             if task.guide_id in multi_flags:
                 chain_flags = multi_flags[task.guide_id]  # [2, n]
                 flags = chain_flags.any(axis=0)
@@ -170,10 +166,7 @@ def screened_search(
                     dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
                     return_chains=True,
                 )
-                if chain_flags.ndim == 1:  # sharded screen: combined only
-                    flags, chain_flags = chain_flags, None
-                else:
-                    flags = chain_flags.any(axis=0)
+                flags = chain_flags.any(axis=0)
             # chain A (DP-orientation query over the forward genome) IS the
             # engine's fwd pass for 3'/PAM-less guides and the rev pass for
             # 5'-PAM guides; chain B is the mirror-equivalent of the other
