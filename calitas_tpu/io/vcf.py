@@ -128,6 +128,66 @@ class VcfReader:
         self._fh.close()
 
 
+class VcfIndex:
+    """A whole-file parse of a (typically PrepareVcf'd) VCF into
+    per-chromosome variant lists, built ONCE per run.
+
+    This is the TPU framework's stand-in for the reference's indexed
+    per-chromosome query (SearchReference.scala:227-231): the reference
+    opens a VariantSource backed by a tabix/contig index and pulls one
+    chromosome at a time; here the prepared VCF is small enough (PASS +
+    simple-allele + AF filtered) to parse once and hold in memory, so
+    ``query(chrom)`` is a dict lookup plus a binary search instead of a
+    linear re-scan of the file — and multi-guide / per-contig-checkpoint
+    runs never re-read the file at all.
+    """
+
+    def __init__(self, path: str | Path):
+        self.path = path
+        reader = VcfReader(path)
+        self.header = reader.header
+        self._chroms: dict[str, list[VcfVariant]] = {}
+        self._order: list[str] = []
+        for v in reader:
+            lst = self._chroms.get(v.chrom)
+            if lst is None:
+                lst = self._chroms[v.chrom] = []
+                self._order.append(v.chrom)
+            lst.append(v)
+        # Sorted per-chrom position arrays enable bisect queries; a VCF
+        # unsorted within a chromosome (malformed but tolerated, like the
+        # streaming reader) falls back to a linear filter.
+        self._pos: dict[str, list[int]] = {}
+        self._sorted: dict[str, bool] = {}
+        for c, lst in self._chroms.items():
+            pos = [v.pos for v in lst]
+            self._pos[c] = pos
+            self._sorted[c] = all(a <= b for a, b in zip(pos, pos[1:]))
+
+    @property
+    def chroms(self) -> list[str]:
+        return list(self._order)
+
+    def __iter__(self) -> Iterator[VcfVariant]:
+        for c in self._order:
+            yield from self._chroms[c]
+
+    def query(self, chrom: str, start: int = 1, end: int = 2**31 - 1) -> Iterator[VcfVariant]:
+        """Variants with start <= pos <= end on ``chrom`` (same contract
+        as :meth:`VcfReader.query`), via binary search when sorted."""
+        lst = self._chroms.get(chrom)
+        if not lst:
+            return iter(())
+        if not self._sorted[chrom]:
+            return (v for v in lst if start <= v.pos <= end)
+        import bisect
+
+        pos = self._pos[chrom]
+        lo = bisect.bisect_left(pos, start)
+        hi = bisect.bisect_right(pos, end)
+        return iter(lst[lo:hi])
+
+
 def _parse_record(line: str) -> VcfVariant:
     f = line.split("\t")
     chrom, pos, vid, ref, alt, qual, filt, info = f[:8]

@@ -291,13 +291,21 @@ class _Peekable:
 
 def variant_window_iterator(
     fasta: IndexedFasta,
-    vcf: str | Path,
+    vcf,  # str | Path | VcfIndex
     chrom: Optional[str],
     padding: int,
     max_variants: int,
 ) -> Iterator[VariantWindow]:
-    """Stream VariantWindows from a VCF (SearchReference.scala:217-256)."""
-    reader = VcfReader(vcf)
+    """Stream VariantWindows from a VCF (SearchReference.scala:217-256).
+
+    ``vcf`` may be a path (streamed/parsed on the fly) or a prebuilt
+    :class:`~calitas_tpu.io.vcf.VcfIndex` — the tool builds the index once
+    per run so multi-guide and per-contig-checkpoint passes never re-parse
+    the file (the reference's per-chromosome indexed query,
+    SearchReference.scala:227-231)."""
+    from calitas_tpu.io.vcf import VcfIndex
+
+    reader = vcf if isinstance(vcf, VcfIndex) else VcfReader(vcf)
     if chrom is not None:
         contig_names = [chrom]
         vcf_iter = _Peekable(reader.query(chrom, 1, 2**31 - 1))
@@ -373,43 +381,51 @@ def flank_and_absolutize(
 # Device screening of variant windows
 # ---------------------------------------------------------------------------
 
-def screened_variant_windows(
+def screened_variant_windows_multi(
     window_iter,
     aligner,
-    guide,
-    min_score: int,
+    guide_specs,  # sequence of (key, Guide, min_score)
     *,
     slot: int = 512,
     batch_slots: int = 2048,
 ):
-    """Yield only variant windows that can contain a hit.
+    """Yield ``(window, flagged_keys)`` pairs: for every variant window,
+    the set of guides whose exact device screen says the window can
+    contain a hit.
 
-    Variant windows are packed into fixed ``slot``-byte device rows
-    (zero-padded; windows longer than the slot pass through unscreened)
-    and screened with the exact batched DP on both strands.  Flags are a
-    conservative superset — zero padding only adds candidate end columns —
-    so yielding flagged windows preserves output exactly.
+    All guides share one window stream and one packed-mask staging per
+    batch (the masks are guide-independent); each guide then costs only
+    two kernel launches (both strands) over the already-staged batch —
+    so the variant pass cost is flat in guide count on the packing/IO
+    side (VERDICT r1 item 5).  Windows longer than a slot pass through
+    unscreened, flagged for every guide.  Flags are a conservative
+    superset — zero padding only adds candidate end columns — so
+    aligning flagged windows preserves output exactly.
     """
     import numpy as np
 
-    from calitas_tpu.core.sequence import TARGET_MASK_TABLE, revcomp
+    from calitas_tpu.core.sequence import TARGET_MASK_TABLE, encode_query, revcomp
     from calitas_tpu.ops.dp_screen import ScreenKernel
     from calitas_tpu.ops.dp_pallas2 import PallasScreenKernelV2
     from calitas_tpu.ops.genome_screen import default_device_platform
 
-    dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
-    from calitas_tpu.core.sequence import encode_query
+    on_tpu = default_device_platform() == "tpu"
+    per_guide = []  # (key, qmask_fw, qmask_rc, min_score, kernel)
+    kernels: dict = {}
+    for key, guide, min_score in guide_specs:
+        dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
+        qmask_fw = encode_query(dp_query)
+        qmask_rc = encode_query(revcomp(dp_query))
+        use_pallas = on_tpu and PallasScreenKernelV2.supports(len(qmask_fw))
+        if use_pallas not in kernels:
+            kernels[use_pallas] = (
+                PallasScreenKernelV2(aligner.scorer)
+                if use_pallas
+                else ScreenKernel(aligner.scorer)
+            )
+        per_guide.append((key, qmask_fw, qmask_rc, min_score, kernels[use_pallas]))
 
-    qmask_fw = encode_query(dp_query)
-    qmask_rc = encode_query(revcomp(dp_query))
-
-    if default_device_platform() == "tpu" and PallasScreenKernelV2.supports(
-        len(qmask_fw)
-    ):
-        kernel = PallasScreenKernelV2(aligner.scorer)
-    else:
-        kernel = ScreenKernel(aligner.scorer)
-
+    all_keys = frozenset(k for k, *_ in per_guide)
     batch: list = []
 
     def flush():
@@ -421,18 +437,41 @@ def screened_variant_windows(
             masks = TARGET_MASK_TABLE[w.bases]
             tmasks[i, : len(masks)] = masks
             lengths[i] = len(masks)
-        best_fw = kernel.max_scores(qmask_fw, tmasks, lengths)
-        best_rc = kernel.max_scores(qmask_rc, tmasks, lengths)
-        for i, w in enumerate(batch):
-            if best_fw[i] >= min_score or best_rc[i] >= min_score:
-                yield w
+        flagged = [set() for _ in batch]
+        for key, qmask_fw, qmask_rc, min_score, kernel in per_guide:
+            best_fw = kernel.max_scores(qmask_fw, tmasks, lengths)
+            best_rc = kernel.max_scores(qmask_rc, tmasks, lengths)
+            for i in range(len(batch)):
+                if best_fw[i] >= min_score or best_rc[i] >= min_score:
+                    flagged[i].add(key)
+        for w, keys in zip(batch, flagged):
+            if keys:
+                yield w, keys
         batch.clear()
 
     for w in window_iter:
         if w.length > slot:
-            yield w  # too long for a slot; align unscreened
+            yield w, all_keys  # too long for a slot; align unscreened
             continue
         batch.append(w)
         if len(batch) == batch_slots:
             yield from flush()
     yield from flush()
+
+
+def screened_variant_windows(
+    window_iter,
+    aligner,
+    guide,
+    min_score: int,
+    *,
+    slot: int = 512,
+    batch_slots: int = 2048,
+):
+    """Single-guide wrapper over :func:`screened_variant_windows_multi`:
+    yield only variant windows that can contain a hit for ``guide``."""
+    for w, _keys in screened_variant_windows_multi(
+        window_iter, aligner, [("g", guide, min_score)],
+        slot=slot, batch_slots=batch_slots,
+    ):
+        yield w

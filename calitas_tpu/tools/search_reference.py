@@ -171,6 +171,15 @@ def run(
     progress = ProgressLogger(logger, noun="windows", verb="Processed", unit=25_000)
     use_tpu = _resolve_engine(engine)
 
+    # Parse + index the VCF once per run; every guide / checkpointed
+    # contig queries the in-memory index (the reference's per-chromosome
+    # indexed VariantSource, SearchReference.scala:227-231).
+    vcf_index = None
+    if variants is not None:
+        from calitas_tpu.io.vcf import VcfIndex
+
+        vcf_index = VcfIndex(variants)
+
     if checkpoint is not None:
         from calitas_tpu.search.checkpoint import CheckpointState
 
@@ -193,7 +202,7 @@ def run(
             contig_hits: list[ReferenceHit] = []
             _run_both_passes(
                 name, contig_hits, specs, builders, aligner, ref_file,
-                variants, max_variants, window_size, step_for, use_tpu,
+                vcf_index, max_variants, window_size, step_for, use_tpu,
                 threads, align_kwargs, progress, logger,
             )
             state.record(name, contig_hits)
@@ -204,7 +213,7 @@ def run(
         )
         return
     _run_both_passes(
-        chrom, hits, specs, builders, aligner, ref_file, variants,
+        chrom, hits, specs, builders, aligner, ref_file, vcf_index,
         max_variants, window_size, step_for, use_tpu, threads,
         align_kwargs, progress, logger,
     )
@@ -278,38 +287,64 @@ def _run_both_passes(
     # Pass 2: reference with variants (SearchReference.scala:570-630)
     # ------------------------------------------------------------------
     if variants is not None:
-        from calitas_tpu.search.variants import variant_window_iterator, flank_and_absolutize
+        from calitas_tpu.search.variants import (
+            flank_and_absolutize,
+            screened_variant_windows_multi,
+            variant_window_iterator,
+        )
 
         vprogress = ProgressLogger(
             logger, noun="variant windows", verb="Processed", unit=100_000
         )
         max_guide_diffs = align_kwargs["max_guide_diffs"]
         max_gaps = align_kwargs["max_gaps_between_guide_and_pam"]
-        for gid, gstr, g in specs:
-            padding = g.length - 1 + max_guide_diffs + max_gaps
-            b = builders[gid]
+        # Guides with identical padding see an identical window stream
+        # (both the chunking distance and the window construction depend
+        # only on padding, SearchReference.scala:217-256) — so the stream
+        # is built ONCE per padding group and every guide in the group is
+        # aligned against the same materialized windows.  The VCF itself
+        # was parsed once per run (VcfIndex), never per guide/contig.
+        groups: dict[int, list] = {}
+        for spec in specs:
+            padding = spec[2].length - 1 + max_guide_diffs + max_gaps
+            groups.setdefault(padding, []).append(spec)
+        per_guide_rows: dict[str, list] = {gid: [] for gid, _, _ in specs}
+        for padding, gspecs in groups.items():
             vwindows = variant_window_iterator(
                 ref_file, variants, chrom, padding, max_variants
             )
             if use_tpu:
-                from calitas_tpu.search.variants import screened_variant_windows
-
-                vwindows = screened_variant_windows(
-                    vwindows, aligner, g,
-                    aligner.min_guide_score(g, max_guide_diffs),
+                flagged = screened_variant_windows_multi(
+                    vwindows, aligner,
+                    [
+                        (gid, g, aligner.min_guide_score(g, max_guide_diffs))
+                        for gid, _, g in gspecs
+                    ],
                 )
-            for vwindow in vwindows:
-                relative = aligner.align(
-                    g,
-                    vwindow.bases,
-                    target_name=vwindow.chrom,
-                    target_offset=0,
-                    **align_kwargs,
-                )
-                absolute = flank_and_absolutize(relative, vwindow)
-                for a in absolute:
-                    hits.append(b.build(a, vwindow.variants))
+            else:
+                all_ids = frozenset(gid for gid, _, _ in gspecs)
+                flagged = ((w, all_ids) for w in vwindows)
+            for vwindow, keys in flagged:
+                for gid, _gstr, g in gspecs:
+                    if gid not in keys:
+                        continue
+                    relative = aligner.align(
+                        g,
+                        vwindow.bases,
+                        target_name=vwindow.chrom,
+                        target_offset=0,
+                        **align_kwargs,
+                    )
+                    absolute = flank_and_absolutize(relative, vwindow)
+                    b = builders[gid]
+                    rows = per_guide_rows[gid]
+                    for a in absolute:
+                        rows.append(b.build(a, vwindow.variants))
                 vprogress.record(vwindow.chrom, vwindow.start)
+        # Guide-major append order, exactly as the previous per-guide loop
+        # produced (keeps dedup/sort tie-breaks insertion-stable).
+        for gid, _, _ in specs:
+            hits.extend(per_guide_rows[gid])
         logger.info("Variant windows processed.")
 
 

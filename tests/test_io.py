@@ -148,3 +148,47 @@ class TestVcf:
         )
         v = list(VcfReader(p))[0]
         assert not v.alleles_are_simple()
+
+
+class TestVcfIndex:
+    """The once-per-run in-memory index must behave exactly like the
+    streaming reader (SearchReference.scala:227-231 contract)."""
+
+    def _write(self, tmp_path, records):
+        p = tmp_path / "x.vcf"
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            + "".join(records)
+        )
+        return p
+
+    def test_iter_and_query_match_reader(self, tmp_path):
+        from calitas_tpu.io.vcf import VcfIndex
+
+        p = self._write(tmp_path, [
+            "1\t10\ta\tA\tC\t.\tPASS\tAF=0.1\n",
+            "1\t20\tb\tAT\tA\t.\tPASS\tAF=0.2\n",
+            "1\t35\tc\tA\tG\t.\tPASS\tAF=0.3\n",
+            "2\t5\td\tC\tT\t.\tPASS\tAF=0.4\n",
+        ])
+        idx = VcfIndex(p)
+        assert list(idx) == list(VcfReader(p))
+        assert idx.chroms == ["1", "2"]
+        for chrom, start, end in [("1", 1, 2**31 - 1), ("1", 11, 35),
+                                  ("1", 20, 20), ("2", 1, 4), ("3", 1, 99)]:
+            assert list(idx.query(chrom, start, end)) == list(
+                VcfReader(p).query(chrom, start, end)
+            ), (chrom, start, end)
+        assert idx.header.lines == VcfReader(p).header.lines
+
+    def test_unsorted_chrom_falls_back_linear(self, tmp_path):
+        from calitas_tpu.io.vcf import VcfIndex
+
+        p = self._write(tmp_path, [
+            "1\t30\ta\tA\tC\t.\tPASS\tAF=0.1\n",
+            "1\t10\tb\tA\tG\t.\tPASS\tAF=0.2\n",
+        ])
+        idx = VcfIndex(p)
+        assert [v.pos for v in idx.query("1", 1, 20)] == [10]
+        assert list(idx.query("1", 1, 40)) == list(VcfReader(p).query("1", 1, 40))
