@@ -101,6 +101,17 @@ overlapping alignments instead.""",
     sr.add_argument("--checkpoint", default=None,
                     help="Checkpoint state file: completed contigs are recorded "
                          "durably and skipped on resume.")
+    sr.add_argument("--process-index", type=int, default=None,
+                    help="Multi-host: this process's 0-based index. The run "
+                         "covers only this process's deterministic whole-contig "
+                         "shard; merge per-host outputs with MergeHitTables.")
+    sr.add_argument("--process-count", type=int, default=None,
+                    help="Multi-host: total number of processes sharding the "
+                         "genome by whole contigs.")
+    sr.add_argument("--distributed", action="store_true",
+                    help="Initialize jax.distributed from the environment "
+                         "(TPU pod slice); process index/count default to the "
+                         "JAX process identity.")
 
     # --------------------------------------------------------- AlignToReference
     ar = sub.add_parser(
@@ -237,6 +248,9 @@ def _dispatch(cmd, args) -> int:
             engine=args.engine,
             profile_dir=args.profile_dir,
             checkpoint=args.checkpoint,
+            process_index=args.process_index,
+            process_count=args.process_count,
+            distributed=args.distributed,
         )
     elif cmd == "AlignToReference":
         from calitas_tpu.tools import align_to_reference

@@ -81,10 +81,25 @@ def run(
     engine: str = "auto",  # 'auto' | 'host' | 'tpu'
     profile_dir: Optional[str] = None,
     checkpoint: Optional[str | Path] = None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+    distributed: bool = False,
 ) -> None:
     import time as _time
 
     run_start = _time.perf_counter()
+    if distributed:
+        # On a jax.distributed deployment (TPU pod slice / multi-host),
+        # initialize() picks coordinator + process identity up from the
+        # environment; the contig partition below then keys off the
+        # process identity automatically.
+        import jax
+
+        jax.distributed.initialize()
+        if process_index is None:
+            process_index = jax.process_index()
+        if process_count is None:
+            process_count = jax.process_count()
     if profile_dir:
         import jax
 
@@ -92,6 +107,33 @@ def run(
     ref = Path(ref)
     dictionary = extract_dictionary(ref)  # required (SearchReference.scala:478-484)
     ref_file = IndexedFasta(ref)
+
+    # Multi-host launcher (SURVEY.md §2.10): each process runs the whole
+    # tool over its deterministic whole-contig shard and writes a raw
+    # per-host table; MergeHitTables concatenates + dictionary-sorts the
+    # per-host outputs into the canonical global table (provably
+    # row-identical — dedup groups never span contigs).
+    shard_contigs: Optional[list[str]] = None
+    if process_count is not None:
+        from calitas_tpu.parallel.multihost import host_contig_partition
+
+        if process_index is None:
+            raise ValueError("--process-count requires --process-index")
+        if not 0 <= process_index < process_count:
+            raise ValueError(
+                f"process_index {process_index} out of range for "
+                f"process_count {process_count}"
+            )
+        if chrom is not None:
+            raise ValueError("--chrom cannot be combined with --process-count")
+        shard_contigs = host_contig_partition(
+            [(e.name, e.length) for e in dictionary.entries],
+            process_index, process_count,
+        )
+        logger.info(
+            "Multi-host shard %d/%d: %d of %d contigs.",
+            process_index, process_count, len(shard_contigs), len(dictionary),
+        )
 
     aligner = SequentialAligner(
         mismatch_net_cost=guide_mismatch_net_cost,
@@ -194,7 +236,10 @@ def run(
         else:
             state.set_timestamp(base_builder.timestamp)
         hits.extend(state.hits)
-        contig_list = [chrom] if chrom is not None else ref_file.names
+        if shard_contigs is not None:
+            contig_list = shard_contigs
+        else:
+            contig_list = [chrom] if chrom is not None else ref_file.names
         for name in contig_list:
             if state.is_done(name):
                 logger.info("Checkpoint: skipping completed contig %s.", name)
@@ -212,11 +257,19 @@ def run(
             specs, logger,
         )
         return
-    _run_both_passes(
-        chrom, hits, specs, builders, aligner, ref_file, vcf_index,
-        max_variants, window_size, step_for, use_tpu, threads,
-        align_kwargs, progress, logger,
-    )
+    if shard_contigs is not None:
+        for name in shard_contigs:
+            _run_both_passes(
+                name, hits, specs, builders, aligner, ref_file, vcf_index,
+                max_variants, window_size, step_for, use_tpu, threads,
+                align_kwargs, progress, logger,
+            )
+    else:
+        _run_both_passes(
+            chrom, hits, specs, builders, aligner, ref_file, vcf_index,
+            max_variants, window_size, step_for, use_tpu, threads,
+            align_kwargs, progress, logger,
+        )
     _finalize(
         hits, max_overlap, dictionary, output, profile_dir, run_start,
         specs, logger,

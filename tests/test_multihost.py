@@ -71,3 +71,84 @@ def test_merged_equals_single_host(tmp_path):
         return out
 
     assert rows(final) == rows(single)
+
+
+def test_launcher_subprocesses_merge_to_single(tmp_path):
+    """The real launcher (VERDICT r1 item 4): two SearchReference
+    subprocesses with --process-index/--process-count write per-host
+    tables whose MergeHitTables output is row-identical (modulo
+    time_stamp) to the single-process run."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(11)
+    b = ReferenceSetBuilder(assembly="mhl")
+    for i in range(3):
+        seq = "".join(rng.choice(list("ACGT"), 3000 + 500 * i))
+        seq = seq[:511] + "CTTGCCCCACAGGGCAGTAATGG" + seq[534:]
+        b.add(f"chr{i+1}").add(seq)
+    ref = b.to_file(tmp_path / "ref.fa")
+
+    env_cmd = [sys.executable, "-m", "calitas_tpu", "SearchReference",
+               "-i", GUIDE, "-I", "g", "-r", str(ref), "--engine", "host"]
+    single = tmp_path / "single.txt"
+    subprocess.run(env_cmd + ["-o", str(single)], check=True,
+                   capture_output=True)
+
+    host_files = []
+    for h in range(2):
+        out = tmp_path / f"host{h}.txt"
+        subprocess.run(
+            env_cmd + ["-o", str(out), "--process-index", str(h),
+                       "--process-count", "2"],
+            check=True, capture_output=True,
+        )
+        host_files.append(str(out))
+
+    final = tmp_path / "merged.txt"
+    subprocess.run(
+        [sys.executable, "-m", "calitas_tpu", "MergeHitTables",
+         "-i", *host_files, "-o", str(final), "-r", str(ref)],
+        check=True, capture_output=True,
+    )
+
+    def rows(p):
+        lines = open(p).read().split("\n")
+        hdr = lines[0].split("\t")
+        ts = hdr.index("time_stamp")
+        out = []
+        for l in lines[1:]:
+            if not l:
+                continue
+            f = l.split("\t")
+            f[ts] = ""
+            out.append(tuple(f))
+        return out
+
+    merged = rows(final)
+    assert merged == rows(single)
+    assert len(merged) >= 3
+    # per-host tables are disjoint non-empty shards of the final table
+    h0, h1 = (set(rows(f)) for f in host_files)
+    assert h0 and h1 and not (h0 & h1)
+    assert (h0 | h1) == set(merged)
+
+
+def test_process_args_validation(tmp_path):
+    b = ReferenceSetBuilder(assembly="val")
+    b.add("c1").add("ACGT" * 100)
+    ref = b.to_file(tmp_path / "ref.fa")
+    import pytest
+
+    with pytest.raises(ValueError):
+        search_reference.run(guide=GUIDE, guide_id="g", ref=ref,
+                             output=tmp_path / "o.txt", engine="host",
+                             process_index=2, process_count=2)
+    with pytest.raises(ValueError):
+        search_reference.run(guide=GUIDE, guide_id="g", ref=ref,
+                             output=tmp_path / "o.txt", engine="host",
+                             process_count=2)
+    with pytest.raises(ValueError):
+        search_reference.run(guide=GUIDE, guide_id="g", ref=ref,
+                             output=tmp_path / "o.txt", engine="host",
+                             chrom="c1", process_index=0, process_count=2)
