@@ -277,17 +277,30 @@ class SequentialAligner:
 
     # -------------------------------------------------------- convenience
 
+    def max_pam_bonus(self, guide: Guide) -> int:
+        """Upper bound on what PAM extension can add to a DP score: every
+        extended base scores at most pam_match and gaps only subtract."""
+        pams = guide.pams_rc if guide.pam_is_5prime else guide.pams_fw
+        if not pams:
+            return 0
+        return max(len(p) for p in pams) * max(self.scorer.pam_match_score, 0)
+
     def align_best(
         self,
         guide: Guide,
         target,
         max_gaps_between_guide_and_pam: int = Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM,
+        pass_dp_bounds: Optional[dict] = None,
     ) -> GuideAlignment:
         """Best glocal alignment with all limits maxed out
-        (SequentialGuideAligner.scala:333-345)."""
-        alns = self.align(
-            guide,
-            target,
+        (SequentialGuideAligner.scala:333-345).
+
+        ``pass_dp_bounds`` optionally supplies device-computed guide-DP
+        maxima per pass ({'fwd': int, 'rev': int}); the rev pass is then
+        skipped when it provably cannot beat the fwd result (fwd wins
+        ties, so <= suffices): rev's final score is at most its DP
+        maximum plus :meth:`max_pam_bonus`.  Output-identical."""
+        kwargs = dict(
             max_guide_diffs=guide.protospacer_length,
             max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
             max_pam_diffs=guide.pam_length,
@@ -295,7 +308,22 @@ class SequentialAligner:
             + max_gaps_between_guide_and_pam
             + guide.pam_length,
         )
-        return max(alns, key=lambda a: a.score)  # first max wins ties
+        if pass_dp_bounds is None:
+            alns = self.align(guide, target, **kwargs)
+            return max(alns, key=lambda a: a.score)  # first max wins ties
+        from calitas_tpu.ops.pair_screen import PairScreen
+
+        fwd = self.align(guide, target, passes=("fwd",), **kwargs)
+        rev_bound = pass_dp_bounds.get("rev", PairScreen.NO_SCREEN)
+        if fwd and rev_bound != PairScreen.NO_SCREEN:
+            best_fwd = max(a.score for a in fwd)
+            if rev_bound + self.max_pam_bonus(guide) <= best_fwd:
+                return max(fwd, key=lambda a: a.score)
+        rev = self.align(guide, target, passes=("rev",), **kwargs)
+        # fwd alignments precede rev ones exactly as in a combined pass
+        # (intra-window dedup never crosses strands), so first-max-wins
+        # tie-breaking is preserved.
+        return max(fwd + rev, key=lambda a: a.score)
 
     def align_to_ref(
         self,
@@ -309,9 +337,12 @@ class SequentialAligner:
         max_pam_diffs: int,
         max_total_diffs: int,
         max_overlap: int = 0,
+        passes: tuple = ("fwd", "rev"),
     ) -> list[GuideAlignment]:
         """Align around chrom:pos in a +/- padding window
-        (SequentialGuideAligner.scala:359-387)."""
+        (SequentialGuideAligner.scala:359-387).  ``passes`` restricts the
+        strand passes exactly as :meth:`align` (output-identical whenever
+        the skipped pass has no above-threshold end columns)."""
         if self.ref is None:
             raise ValueError("Cannot perform alignments to ref without a ref fasta!")
         seq_len = self.ref.sequence_length(chrom)
@@ -332,6 +363,7 @@ class SequentialAligner:
                 max_pam_diffs=max_pam_diffs,
                 max_total_diffs=max_total_diffs,
                 max_overlap=max_overlap,
+                passes=passes,
             ),
             key=SORT_KEY,
         )
@@ -343,12 +375,9 @@ class SequentialAligner:
         pos: int,
         window_size: Optional[int] = None,
         max_gaps_between_guide_and_pam: int = Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM,
+        pass_dp_bounds: Optional[dict] = None,
     ) -> GuideAlignment:
-        return self.align_to_ref(
-            guide,
-            chrom,
-            pos,
-            window_size,
+        kwargs = dict(
             max_guide_diffs=guide.protospacer_length,
             max_gaps_between_guide_and_pam=max_gaps_between_guide_and_pam,
             max_pam_diffs=guide.pam_length,
@@ -356,7 +385,24 @@ class SequentialAligner:
             + max_gaps_between_guide_and_pam
             + guide.pam_length,
             max_overlap=0,
-        )[0]
+        )
+        if pass_dp_bounds is not None:
+            # Device bound: when the rev pass provably cannot reach the
+            # fwd best (strict < — the post-sort tie-break is not
+            # fwd-first here), return the fwd-only result; otherwise
+            # fall through to the ordinary both-pass call.
+            from calitas_tpu.ops.pair_screen import PairScreen
+
+            rev_bound = pass_dp_bounds.get("rev", PairScreen.NO_SCREEN)
+            if rev_bound != PairScreen.NO_SCREEN:
+                fwd = self.align_to_ref(
+                    guide, chrom, pos, window_size, passes=("fwd",), **kwargs
+                )
+                if fwd and rev_bound + self.max_pam_bonus(guide) < max(
+                    a.score for a in fwd
+                ):
+                    return fwd[0]
+        return self.align_to_ref(guide, chrom, pos, window_size, **kwargs)[0]
 
     # ------------------------------------------------------- PAM extension
 

@@ -132,6 +132,9 @@ overlapping alignments instead.""",
     ar.add_argument("-O", "--max-overlap", type=int, default=None)
     _add_scoring_args(ar)
     ar.add_argument("-t", "--threads", type=int, default=8)
+    ar.add_argument("--engine", choices=["auto", "host", "tpu"], default="auto",
+                    help="Execution engine (auto: TPU pair screen when "
+                         "available; output-identical).")
 
     # ---------------------------------------------------- PairwiseAlignSequences
     pw = sub.add_parser(
@@ -144,6 +147,9 @@ overlapping alignments instead.""",
                     default=Defaults.MAX_GAPS_BETWEEN_GUIDE_AND_PAM)
     pw.add_argument("-O", "--max-overlap", type=int, default=Defaults.MAX_OVERLAP)
     _add_scoring_args(pw)
+    pw.add_argument("--engine", choices=["auto", "host", "tpu"], default="auto",
+                    help="Execution engine (auto: TPU pair screen when "
+                         "available; output-identical).")
 
     # ----------------------------------------------------------- MergeHitTables
     mh = sub.add_parser(
@@ -270,6 +276,7 @@ def _dispatch(cmd, args) -> int:
             genome_gap_net_cost=args.genome_gap_net_cost,
             guide_gap_net_cost=args.guide_gap_net_cost,
             threads=args.threads,
+            engine=args.engine,
         )
     elif cmd == "PairwiseAlignSequences":
         from calitas_tpu.tools import pairwise
@@ -284,6 +291,7 @@ def _dispatch(cmd, args) -> int:
             pam_mismatch_net_cost=args.pam_mismatch_net_cost,
             genome_gap_net_cost=args.genome_gap_net_cost,
             guide_gap_net_cost=args.guide_gap_net_cost,
+            engine=args.engine,
         )
     elif cmd == "MergeHitTables":
         from calitas_tpu.io.fasta import extract_dictionary

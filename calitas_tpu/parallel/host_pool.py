@@ -430,19 +430,31 @@ def _mp_ref_aligner_for(spec: dict):
 
 
 def _mp_a2r_chunk(spec: dict, chunk: list):
-    """AlignToReference worker: chunk of (id, query, chrom, pos) ->
-    list of (Guide, [GuideAlignment, ...])."""
+    """AlignToReference worker: chunk of (id, query, chrom, pos[, extra])
+    -> list of (Guide, [GuideAlignment, ...]).
+
+    ``extra`` carries the device screen's verdict: in all-hits mode a
+    ``passes`` tuple (possibly empty — the window provably holds no
+    qualifying alignment); in best mode a pass-DP-bounds dict for the
+    engine's exact rev-pass skip."""
     from calitas_tpu.core.guide import Guide
 
     aligner = _mp_ref_aligner_for(spec)
     out = []
-    for task_id, query, chrom, pos in chunk:
+    for item in chunk:
+        task_id, query, chrom, pos = item[:4]
+        extra = item[4] if len(item) > 4 else None
         try:
             guide = Guide.parse(query)
             if spec["all_hits"]:
-                alns = aligner.align_to_ref(
-                    guide, chrom, pos, spec["window_size"],
-                    **spec["align_kwargs"],
+                passes = ("fwd", "rev") if extra is None else tuple(extra)
+                alns = (
+                    aligner.align_to_ref(
+                        guide, chrom, pos, spec["window_size"],
+                        passes=passes, **spec["align_kwargs"],
+                    )
+                    if passes
+                    else []
                 )
             else:
                 alns = [
@@ -451,6 +463,7 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
                         max_gaps_between_guide_and_pam=spec["align_kwargs"][
                             "max_gaps_between_guide_and_pam"
                         ],
+                        pass_dp_bounds=extra,
                     )
                 ]
             out.append((guide, alns))
@@ -460,19 +473,23 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
 
 
 def _mp_pairwise_chunk(spec: dict, chunk: list):
-    """PairwiseAlignSequences worker: chunk of (query, target) ->
-    GuideAlignments."""
+    """PairwiseAlignSequences worker: chunk of (query, target[, bounds])
+    -> GuideAlignments.  ``bounds`` is the optional device pass-DP-bounds
+    dict enabling the engine's exact rev-pass skip."""
     from calitas_tpu.core.guide import Guide
 
     aligner, _ = _mp_aligner_for({**spec, "guide": "A",
                                   "pams_3prime": (), "pams_5prime": ()})
     out = []
-    for query, target in chunk:
+    for item in chunk:
+        query, target = item[:2]
+        bounds = item[2] if len(item) > 2 else None
         try:
             out.append(
                 aligner.align_best(
                     Guide.parse(query), target,
                     max_gaps_between_guide_and_pam=spec["max_gaps"],
+                    pass_dp_bounds=bounds,
                 )
             )
         except Exception as ex:

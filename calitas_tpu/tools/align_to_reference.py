@@ -63,6 +63,7 @@ def run(
     genome_gap_net_cost: int = Defaults.GENOME_GAP_NET_COST,
     guide_gap_net_cost: int = Defaults.GUIDE_GAP_NET_COST,
     threads: int = 8,
+    engine: str = "auto",  # 'auto' | 'host' | 'tpu'
 ) -> None:
     ref_file = IndexedFasta(ref)
     if ref_file.dictionary is None or len(ref_file.dictionary) == 0:
@@ -156,10 +157,76 @@ def run(
         "pam_mismatch_net_cost": pam_mismatch_net_cost,
     }
 
+    from calitas_tpu.tools.search_reference import _resolve_engine
+
+    use_tpu = _resolve_engine(engine)
+    pair_screen = None
+    if use_tpu:
+        from calitas_tpu.ops.pair_screen import PairScreen
+
+        pair_screen = PairScreen(aligner.scorer)
+
+    def _screen_batch(batch):
+        """Attach the device screen verdict to each task: in all-hits
+        mode a pass restriction (windows/strands without a qualifying
+        end column are skipped exactly — align() passes contract); in
+        best mode the pass-DP-bounds for the engine's exact rev skip.
+        The window/region math mirrors engine.align_to_ref precisely."""
+        from calitas_tpu.ops.pair_screen import pass_bounds_for
+
+        dp_queries = []
+        guides = []
+        targets = []
+        for _task_id, query, chrom, pos in batch:
+            g = None
+            target = b""
+            try:
+                g = Guide.parse(query)
+                seq_len = ref_file.sequence_length(chrom)
+                if seq_len is None:
+                    raise ValueError(chrom)
+                padding = (
+                    (window_size // 2) if window_size is not None
+                    else g.length * 2
+                )
+                region_start = max(pos - padding, 1)
+                region_end = min(pos + padding, seq_len)
+                target = ref_file.get_subsequence(chrom, region_start, region_end)
+            except Exception:
+                g = None  # worker re-parses and reports the error
+            guides.append(g)
+            targets.append(target if g is not None else b"")
+            dp_queries.append(
+                "" if g is None else (g.guide_rc if g.pam_is_5prime else g.guide_fw)
+            )
+        chain_a, chain_b = pair_screen.chain_maxima(dp_queries, targets)
+        out = []
+        for task, g, a, b_ in zip(batch, guides, chain_a, chain_b):
+            if g is None:
+                out.append((*task, None))
+                continue
+            bounds = pass_bounds_for(g, int(a), int(b_))
+            if all_hits:
+                from calitas_tpu.ops.pair_screen import PairScreen as PS
+
+                min_score = aligner.min_guide_score(
+                    g, align_kwargs["max_guide_diffs"]
+                )
+                passes = tuple(
+                    p for p in ("fwd", "rev")
+                    if bounds[p] == PS.NO_SCREEN or bounds[p] >= min_score
+                )
+                out.append((*task, passes))
+            else:
+                out.append((*task, bounds))
+        return out
+
     for batch_start in range(0, len(tasks), BATCH_SIZE):
         batch = tasks[batch_start : batch_start + BATCH_SIZE]
+        if pair_screen is not None:
+            batch = _screen_batch(batch)
         results: list[ReferenceHit] = []
-        for (task_id, _q, _c, _p), (guide, alns) in map_items_mp(
+        for (task_id, _q, _c, _p, *_extra), (guide, alns) in map_items_mp(
             batch, spec, threads,
             worker_fn=_mp_a2r_chunk, to_payload=lambda t: t,
         ):

@@ -33,9 +33,9 @@ def run(
     pam_mismatch_net_cost: int = Defaults.PAM_MISMATCH_NET_COST,
     genome_gap_net_cost: int = Defaults.GENOME_GAP_NET_COST,
     guide_gap_net_cost: int = Defaults.GUIDE_GAP_NET_COST,
-    use_device: bool = False,
+    engine: str = "auto",  # 'auto' | 'host' | 'tpu'
 ) -> None:
-    tasks = []
+    tasks: list = []
     with open(input) as fh:
         for line in fh:
             line = line.strip()
@@ -55,6 +55,39 @@ def run(
         guide_gap_net_cost=guide_gap_net_cost,
     )
 
+    from calitas_tpu.tools.search_reference import _resolve_engine
+
+    if _resolve_engine(engine):
+        # Device batching (SURVEY.md §7 step 4): one dispatch computes
+        # both chains' exact DP maxima for every pair; the host finish
+        # then skips the rev pass whenever it provably cannot beat the
+        # fwd result (engine.align_best pass_dp_bounds — output-identical).
+        from calitas_tpu.ops.pair_screen import PairScreen, pass_bounds_for
+
+        dp_queries: list[str] = []
+        guides: list = []
+        for query, _target in tasks:
+            try:
+                g = Guide.parse(query)
+            except Exception:
+                g = None  # the worker re-parses and reports the error
+            guides.append(g)
+            dp_queries.append(
+                "" if g is None
+                else (g.guide_rc if g.pam_is_5prime else g.guide_fw)
+            )
+        screen = PairScreen(aligner.scorer)
+        chain_a, chain_b = screen.chain_maxima(
+            dp_queries, [t for _q, t in tasks]
+        )
+        tasks = [
+            (
+                q, t,
+                pass_bounds_for(g, int(a), int(b)) if g is not None else None,
+            )
+            for (q, t), g, a, b in zip(tasks, guides, chain_a, chain_b)
+        ]
+
     from calitas_tpu.parallel.host_pool import _mp_pairwise_chunk, map_items_mp
 
     s = aligner.scorer
@@ -71,7 +104,7 @@ def run(
 
     out = open_output(output)
     out.write("\t".join(COLUMNS) + "\n")
-    for (query, target), aln in map_items_mp(
+    for (query, target, *_extra), aln in map_items_mp(
         tasks, spec, threads,
         worker_fn=_mp_pairwise_chunk, to_payload=lambda t: t,
     ):
