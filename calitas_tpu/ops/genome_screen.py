@@ -121,13 +121,30 @@ def _unpack_flag_bits(packed: np.ndarray, n: int) -> np.ndarray:
     return flat[..., :n].astype(bool)
 
 
-@jax.jit
-def _unpack_staged(packed):
-    """Expand a two-masks-per-byte staged contig back to one mask per
-    base: byte k holds base 2k in its low nibble, base 2k+1 in its high."""
-    lo = packed & jnp.uint8(15)
-    hi = packed >> jnp.uint8(4)
-    return jnp.stack([lo, hi], axis=-1).reshape(-1)
+@partial(jax.jit, static_argnames=("padded_len",))
+def _encode_staged(raw, padded_len: int):
+    """Raw contig bytes -> 4-bit IUPAC target masks, on device.
+
+    Equivalent to ``TARGET_MASK_TABLE[raw]`` (core/sequence.py:50-57:
+    case-insensitive, N and unknown bytes -> 0) but computed as an
+    arithmetic select chain on the VPU: the host-side 256-entry table
+    gather is the single most expensive staging step on low-memory-
+    bandwidth hosts, while on device the 15 compares are free next to
+    the H2D transfer.  ``x & 0xDF`` folds case (x&0xDF == L iff
+    x in {L, L|0x20} for an uppercase letter L, so non-letters can't
+    alias).  Zero-pads to ``padded_len``."""
+    from calitas_tpu.core.sequence import IUPAC_MASK
+
+    u = raw & jnp.uint8(0xDF)
+    m = jnp.zeros_like(u)
+    for ch, mask in IUPAC_MASK.items():
+        if ch == "N":
+            continue  # target N -> 0 (always mismatch)
+        m = jnp.where(u == jnp.uint8(ord(ch)), jnp.uint8(mask), m)
+    pad = padded_len - raw.shape[0]
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros(pad, jnp.uint8)])
+    return m
 
 
 def _rc_mask(m: int) -> int:
@@ -305,34 +322,32 @@ class GenomeScreen:
     def stage(self, contig_bases: np.ndarray) -> jax.Array:
         """Upload a contig (raw bytes) as a zero-padded device mask array.
 
-        The 4-bit IUPAC masks are packed two-per-byte for the transfer and
-        unpacked on device (pure shifts), halving H2D volume — staging is
-        the dominant per-contig transfer of a search.  Chunked with
-        progress logging so long transfers are observable."""
+        The raw bytes ship as-is and the 4-bit IUPAC encoding happens on
+        device (:func:`_encode_staged`) — the host does NO per-base work
+        at all (the former host-side table gather dominated staging on
+        low-bandwidth hosts).  Chunked with progress logging so long
+        transfers are observable."""
         import logging
 
         log = logging.getLogger("calitas_tpu.stage")
-        masks = TARGET_MASK_TABLE[contig_bases]
-        padded_len = 1 << (len(masks) + self.window - 1).bit_length()
-        masks = np.concatenate(
-            [masks, np.zeros(padded_len - len(masks), np.uint8)]
-        )
-        packed = masks[0::2] | (masks[1::2] << 4)  # padded_len is even
-        n = len(packed)
+        padded_len = 1 << (len(contig_bases) + self.window - 1).bit_length()
+        n = len(contig_bases)
         if n <= self.STAGE_CHUNK:
-            packed_dev = jax.device_put(jnp.asarray(packed))
+            raw_dev = jax.device_put(jnp.asarray(contig_bases))
         else:
             parts = []
             for off in range(0, n, self.STAGE_CHUNK):
                 parts.append(
-                    jax.device_put(jnp.asarray(packed[off : off + self.STAGE_CHUNK]))
+                    jax.device_put(
+                        jnp.asarray(contig_bases[off : off + self.STAGE_CHUNK])
+                    )
                 )
                 parts[-1].block_until_ready()
                 log.info(
                     "staged %d/%d MB", min(off + self.STAGE_CHUNK, n) >> 20, n >> 20
                 )
-            packed_dev = jnp.concatenate(parts)
-        return _unpack_staged(packed_dev)
+            raw_dev = jnp.concatenate(parts)
+        return _encode_staged(raw_dev, padded_len)
 
     def window_starts(self, contig_len: int, step: int) -> np.ndarray:
         """The reference's window starts: range(0, len-1, step)
@@ -532,17 +547,12 @@ class ShardedGenomeScreen(GenomeScreen):
         return self._replicated
 
     def stage(self, contig_bases: np.ndarray):
-        """Upload the contig replicated to every mesh device (two 4-bit
-        masks per transferred byte, unpacked on device like the
-        single-device path)."""
-        masks = TARGET_MASK_TABLE[contig_bases]
-        padded_len = 1 << (len(masks) + self.window - 1).bit_length()
-        masks = np.concatenate(
-            [masks, np.zeros(padded_len - len(masks), np.uint8)]
-        )
-        packed = masks[0::2] | (masks[1::2] << 4)
-        packed_dev = jax.device_put(jnp.asarray(packed), self._sharding())
-        out = _unpack_staged(packed_dev)
+        """Upload the contig replicated to every mesh device; raw bytes
+        ship and the 4-bit encoding runs on device like the single-device
+        path."""
+        padded_len = 1 << (len(contig_bases) + self.window - 1).bit_length()
+        raw_dev = jax.device_put(jnp.asarray(contig_bases), self._sharding())
+        out = _encode_staged(raw_dev, padded_len)
         assert out.sharding.is_fully_replicated
         return out
 

@@ -276,6 +276,22 @@ class TestFlagBitPacking:
         assert not out.any()
 
 
+class TestDeviceEncoding:
+    def test_encode_staged_matches_host_table_all_bytes(self):
+        """The device-side arithmetic IUPAC encoder must agree with the
+        host 256-entry table (core/sequence.py:50-57) on every byte value,
+        and zero-pad the tail."""
+        import jax.numpy as jnp
+
+        from calitas_tpu.core.sequence import TARGET_MASK_TABLE
+        from calitas_tpu.ops.genome_screen import _encode_staged
+
+        raw = np.arange(256, dtype=np.uint8)
+        out = np.asarray(_encode_staged(jnp.asarray(raw), 512))
+        np.testing.assert_array_equal(out[:256], TARGET_MASK_TABLE)
+        assert not out[256:].any()
+
+
 class TestMultiBatchScreen:
     def test_flags_identical_across_batch_sizes(self):
         """The packed-flag batch offsets must agree between a single-batch
