@@ -121,8 +121,23 @@ def _unpack_flag_bits(packed: np.ndarray, n: int) -> np.ndarray:
     return flat[..., :n].astype(bool)
 
 
-@partial(jax.jit, static_argnames=("padded_len",))
-def _encode_staged(raw, padded_len: int):
+def _encode_block(u):
+    """The IUPAC select chain on a case-folded block (see _encode_staged)."""
+    from calitas_tpu.core.sequence import IUPAC_MASK
+
+    m = jnp.zeros_like(u)
+    for ch, mask in IUPAC_MASK.items():
+        if ch == "N":
+            continue  # target N -> 0 (always mismatch)
+        m = jnp.where(u == jnp.uint8(ord(ch)), jnp.uint8(mask), m)
+    return m
+
+
+_ENCODE_CHUNK = 1 << 22  # 4 MB per loop step: keeps per-op shapes small
+
+
+@jax.jit
+def _encode_staged(raw):
     """Raw contig bytes -> 4-bit IUPAC target masks, on device.
 
     Equivalent to ``TARGET_MASK_TABLE[raw]`` (core/sequence.py:50-57:
@@ -132,19 +147,25 @@ def _encode_staged(raw, padded_len: int):
     bandwidth hosts, while on device the 15 compares are free next to
     the H2D transfer.  ``x & 0xDF`` folds case (x&0xDF == L iff
     x in {L, L|0x20} for an uppercase letter L, so non-letters can't
-    alias).  Zero-pads to ``padded_len``."""
-    from calitas_tpu.core.sequence import IUPAC_MASK
+    alias).
 
-    u = raw & jnp.uint8(0xDF)
-    m = jnp.zeros_like(u)
-    for ch, mask in IUPAC_MASK.items():
-        if ch == "N":
-            continue  # target N -> 0 (always mismatch)
-        m = jnp.where(u == jnp.uint8(ord(ch)), jnp.uint8(mask), m)
-    pad = padded_len - raw.shape[0]
-    if pad:
-        m = jnp.concatenate([m, jnp.zeros(pad, jnp.uint8)])
-    return m
+    Callers zero-pad the raw array on the host (a memset) to a power of
+    two — zero bytes encode to mask 0.  Contig-sized (100M+) elementwise
+    programs compile pathologically slowly on remote-compile backends,
+    so like the screen itself this runs as a fori_loop over fixed-size
+    slices: per-op shapes stay small no matter the contig length."""
+    n = raw.shape[0]
+    if n <= _ENCODE_CHUNK:
+        return _encode_block(raw & jnp.uint8(0xDF))
+    # n is a power of two > _ENCODE_CHUNK, so it divides evenly.
+    n_chunks = n // _ENCODE_CHUNK
+
+    def body(i, out):
+        c = jax.lax.dynamic_slice(raw, (i * _ENCODE_CHUNK,), (_ENCODE_CHUNK,))
+        m = _encode_block(c & jnp.uint8(0xDF))
+        return jax.lax.dynamic_update_slice(out, m, (i * _ENCODE_CHUNK,))
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(raw))
 
 
 def _rc_mask(m: int) -> int:
@@ -331,23 +352,23 @@ class GenomeScreen:
 
         log = logging.getLogger("calitas_tpu.stage")
         padded_len = 1 << (len(contig_bases) + self.window - 1).bit_length()
-        n = len(contig_bases)
+        raw = np.zeros(padded_len, np.uint8)  # zero pad -> mask 0
+        raw[: len(contig_bases)] = contig_bases
+        n = padded_len
         if n <= self.STAGE_CHUNK:
-            raw_dev = jax.device_put(jnp.asarray(contig_bases))
+            raw_dev = jax.device_put(jnp.asarray(raw))
         else:
             parts = []
             for off in range(0, n, self.STAGE_CHUNK):
                 parts.append(
-                    jax.device_put(
-                        jnp.asarray(contig_bases[off : off + self.STAGE_CHUNK])
-                    )
+                    jax.device_put(jnp.asarray(raw[off : off + self.STAGE_CHUNK]))
                 )
                 parts[-1].block_until_ready()
                 log.info(
                     "staged %d/%d MB", min(off + self.STAGE_CHUNK, n) >> 20, n >> 20
                 )
             raw_dev = jnp.concatenate(parts)
-        return _encode_staged(raw_dev, padded_len)
+        return _encode_staged(raw_dev)
 
     def window_starts(self, contig_len: int, step: int) -> np.ndarray:
         """The reference's window starts: range(0, len-1, step)
@@ -551,21 +572,30 @@ class ShardedGenomeScreen(GenomeScreen):
         ship and the 4-bit encoding runs on device like the single-device
         path."""
         padded_len = 1 << (len(contig_bases) + self.window - 1).bit_length()
-        raw_dev = jax.device_put(jnp.asarray(contig_bases), self._sharding())
-        out = _encode_staged(raw_dev, padded_len)
+        raw = np.zeros(padded_len, np.uint8)  # zero pad -> mask 0
+        raw[: len(contig_bases)] = contig_bases
+        raw_dev = jax.device_put(jnp.asarray(raw), self._sharding())
+        out = _encode_staged(raw_dev)
         assert out.sharding.is_fully_replicated
         return out
 
     def _pad_replicated(self, genome_dev, need: int):
         extra = need - genome_dev.shape[0]
-        fn = self._fn_cache.get(("pad", extra))
+        fn = self._fn_cache.get("pad")
         if fn is None:
+            # The zero tail is built eagerly and passed as an argument:
+            # a jnp.zeros literal inside the jitted program would be
+            # constant-folded into a multi-MB constant whose compile
+            # takes minutes over a remote link.
             fn = jax.jit(
-                lambda g: jnp.concatenate([g, jnp.zeros(extra, jnp.uint8)]),
+                lambda g, z: jnp.concatenate([g, z]),
                 out_shardings=self._sharding(),
             )
-            self._fn_cache[("pad", extra)] = fn
-        return fn(genome_dev)
+            self._fn_cache["pad"] = fn
+        zeros = jax.device_put(
+            jnp.zeros(extra, jnp.uint8), self._sharding()
+        )
+        return fn(genome_dev, zeros)
 
     def screen_contig(
         self,

@@ -279,17 +279,30 @@ class TestFlagBitPacking:
 class TestDeviceEncoding:
     def test_encode_staged_matches_host_table_all_bytes(self):
         """The device-side arithmetic IUPAC encoder must agree with the
-        host 256-entry table (core/sequence.py:50-57) on every byte value,
-        and zero-pad the tail."""
+        host 256-entry table (core/sequence.py:50-57) on every byte value
+        (zero pad bytes therefore encode to mask 0)."""
         import jax.numpy as jnp
 
         from calitas_tpu.core.sequence import TARGET_MASK_TABLE
         from calitas_tpu.ops.genome_screen import _encode_staged
 
         raw = np.arange(256, dtype=np.uint8)
-        out = np.asarray(_encode_staged(jnp.asarray(raw), 512))
-        np.testing.assert_array_equal(out[:256], TARGET_MASK_TABLE)
-        assert not out[256:].any()
+        out = np.asarray(_encode_staged(jnp.asarray(raw)))
+        np.testing.assert_array_equal(out, TARGET_MASK_TABLE)
+        assert TARGET_MASK_TABLE[0] == 0
+
+    def test_encode_staged_chunked_path(self):
+        """Inputs above the per-step chunk run through the fori_loop body;
+        the result must still equal the host table everywhere."""
+        import jax.numpy as jnp
+
+        from calitas_tpu.core.sequence import TARGET_MASK_TABLE
+        from calitas_tpu.ops.genome_screen import _ENCODE_CHUNK, _encode_staged
+
+        rng = np.random.default_rng(11)
+        raw = rng.integers(0, 256, 2 * _ENCODE_CHUNK, dtype=np.uint8)
+        out = np.asarray(_encode_staged(jnp.asarray(raw)))
+        np.testing.assert_array_equal(out, TARGET_MASK_TABLE[raw])
 
 
 class TestMultiBatchScreen:
