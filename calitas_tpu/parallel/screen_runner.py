@@ -198,6 +198,11 @@ def screened_search(
             import logging
 
             log = logging.getLogger("calitas_tpu.SearchReference")
+            log.info(
+                "Screen %s/%s: %d of %d windows are candidates (%.2f%%).",
+                name, task.guide_id, len(hit_idx), len(starts),
+                100.0 * len(hit_idx) / max(len(starts), 1),
+            )
 
             if hit_spec is not None:
                 # Production path: workers materialize windows from the
