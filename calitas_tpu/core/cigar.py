@@ -117,6 +117,30 @@ class Cigar:
         return sum(e.length for e in self.elems if e.op != "=")
 
 
+def length_on_target_str(s: str) -> int:
+    """``Cigar(s).length_on_target`` without materializing elements.
+
+    The global overlap dedup recomputes alignment ends across the whole
+    hit table (ReferenceHit.scala:135-138); parsing element objects there
+    dominated dedup time on 100k+-row tables."""
+    total = 0
+    n = 0
+    for ch in s:
+        if "0" <= ch <= "9":
+            n = n * 10 + (ord(ch) - 48)
+        else:
+            if n == 0:
+                raise ValueError(f"Malformed cigar string: {s!r}")
+            if ch in _CONSUMES_TARGET:
+                total += n
+            elif ch not in _VALID_OPS:
+                raise ValueError(f"Invalid cigar operator: {ch!r}")
+            n = 0
+    if n != 0:
+        raise ValueError(f"Malformed cigar string: {s!r}")
+    return total
+
+
 def _parse(s: str) -> Iterator[CigarElem]:
     n = 0
     for ch in s:

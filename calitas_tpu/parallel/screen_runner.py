@@ -79,17 +79,21 @@ def screened_search(
                 aligner.scorer, window=window_size, batch_windows=batch_windows
             )
 
-    contigs = (
-        [(chrom, fasta.get_bases(chrom))] if chrom is not None else fasta.iter_contigs()
-    )
-    for name, bases in contigs:
-        if len(bases) < 2:
+    names = [chrom] if chrom is not None else fasta.names
+    for name in names:
+        contig_len = fasta.sequence_length(name) or 0
+        if contig_len < 2:
             continue
         # Callers that keep a genome resident across runs (multi-run
         # serving, benchmarks) can pass ``prestaged={name: staged}`` to
-        # skip the one-time per-contig H2D staging.
+        # skip the one-time per-contig H2D staging.  Contig bases are
+        # loaded lazily: the production (hit_spec) path only needs them
+        # for staging — workers materialize candidate windows from the
+        # mmap'd reference themselves.
         genome_dev = (prestaged or {}).get(name)
+        bases = None
         if genome_dev is None:
+            bases = fasta.get_bases(name)
             genome_dev = screen.stage(bases)
 
         # Group same-length guides: one window-extraction pass per group
@@ -119,7 +123,7 @@ def screened_search(
                     )
                 try:
                     flags_g = screen_contig_multi(
-                        screen, genome_dev, len(bases), step_size, dq, ms
+                        screen, genome_dev, contig_len, step_size, dq, ms
                     )
                 except Exception:
                     # fall back to per-guide screening (correctness is
@@ -164,14 +168,14 @@ def screened_search(
                 flags = chain_flags.any(axis=0)
             elif want_ranges:
                 chain_flags, cranges = screen.screen_contig(
-                    genome_dev, len(bases), task.step_size,
+                    genome_dev, contig_len, task.step_size,
                     dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
                     return_ranges=True,
                 )
                 flags = chain_flags.any(axis=0)
             else:
                 chain_flags = screen.screen_contig(
-                    genome_dev, len(bases), task.step_size,
+                    genome_dev, contig_len, task.step_size,
                     dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
                     return_chains=True,
                 )
@@ -183,7 +187,7 @@ def screened_search(
             # (a skipped pass would contribute no alignments anyway).
             chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
             chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
-            starts = screen.window_starts(len(bases), task.step_size)
+            starts = screen.window_starts(contig_len, task.step_size)
             hit_idx = np.nonzero(flags)[0]
             win_passes = {}
             if chain_flags is not None:
@@ -254,6 +258,8 @@ def screened_search(
                         yield task, c, s0 + 1, rows
                 continue
 
+            if bases is None:
+                bases = fasta.get_bases(name)
             cand_pairs = (
                 (
                     materialize_window(name, bases, int(starts[i]), window_size),

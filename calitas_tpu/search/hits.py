@@ -14,7 +14,7 @@ from pathlib import Path
 from typing import Optional, Sequence
 
 from calitas_tpu.version import aligner_version
-from calitas_tpu.core.cigar import Cigar
+from calitas_tpu.core.cigar import Cigar, length_on_target_str
 from calitas_tpu.core.guide import Guide
 from calitas_tpu.core.sequence import revcomp
 from calitas_tpu.align.guide_alignment import GuideAlignment
@@ -73,7 +73,7 @@ class ReferenceHit:
             return object.__getattribute__(self, "_end")
         except AttributeError:
             pass
-        end = self.coordinate_start + Cigar(self.cigar).length_on_target - 1
+        end = self.coordinate_start + length_on_target_str(self.cigar) - 1
         object.__setattr__(self, "_end", end)
         return end
 
