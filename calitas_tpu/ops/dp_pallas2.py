@@ -133,9 +133,11 @@ class PallasScreenKernelV2:
     def supports(q_len: int) -> bool:
         return q_len <= 48  # unroll budget
 
-    def max_scores(
+    def max_scores_async(
         self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
-    ) -> np.ndarray:
+    ):
+        """Dispatch the screen and return a zero-arg resolver (see
+        ScreenKernel.max_scores_async)."""
         Q = len(qmask)
         B, T = tmasks.shape
         pad_b = (-B) % BLOCK_W
@@ -166,7 +168,12 @@ class PallasScreenKernelV2:
             tgap=s.target_gap_score,
             interpret=self.interpret,
         )
-        return np.asarray(out).reshape(-1)[:B]
+        return lambda: np.asarray(out).reshape(-1)[:B]
+
+    def max_scores(
+        self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
+    ) -> np.ndarray:
+        return self.max_scores_async(qmask, tmasks, lengths)()
 
 
 # ---------------------------------------------------------------------------

@@ -151,21 +151,28 @@ class ScreenKernel:
     def __init__(self, scorer: Scorer):
         self.scorer = scorer
 
+    def max_scores_async(
+        self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
+    ):
+        """Dispatch the screen and return a zero-arg resolver: the device
+        computes while the host prepares the next batch (the variant
+        pass double-buffers through this)."""
+        s = self.scorer
+        out = _screen_scores(
+            jnp.asarray(qmask),
+            jnp.asarray(tmasks),
+            jnp.asarray(lengths, dtype=jnp.int32),
+            match=s.match_score,
+            mismatch=s.mismatch_score,
+            qgap=s.query_gap_score,
+            tgap=s.target_gap_score,
+        )
+        return lambda: np.asarray(out)
+
     def max_scores(
         self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
     ) -> np.ndarray:
-        s = self.scorer
-        return np.asarray(
-            _screen_scores(
-                jnp.asarray(qmask),
-                jnp.asarray(tmasks),
-                jnp.asarray(lengths, dtype=jnp.int32),
-                match=s.match_score,
-                mismatch=s.mismatch_score,
-                qgap=s.query_gap_score,
-                tgap=s.target_gap_score,
-            )
-        )
+        return self.max_scores_async(qmask, tmasks, lengths)()
 
     def final_rows(self, qmask: np.ndarray, tmasks: np.ndarray) -> np.ndarray:
         s = self.scorer

@@ -427,27 +427,44 @@ def screened_variant_windows_multi(
 
     all_keys = frozenset(k for k, *_ in per_guide)
     batch: list = []
+    pending = None  # (windows, [(key, min_score, resolve_fw, resolve_rc)])
 
-    def flush():
-        if not batch:
-            return
+    def dispatch():
+        """Pack the current batch and launch all kernels asynchronously;
+        the device screens this batch while the host materializes and
+        packs the next one (double-buffering)."""
+        nonlocal batch
         tmasks = np.zeros((batch_slots, slot), dtype=np.uint8)
         lengths = np.zeros(batch_slots, dtype=np.int32)
         for i, w in enumerate(batch):
             masks = TARGET_MASK_TABLE[w.bases]
             tmasks[i, : len(masks)] = masks
             lengths[i] = len(masks)
-        flagged = [set() for _ in batch]
-        for key, qmask_fw, qmask_rc, min_score, kernel in per_guide:
-            best_fw = kernel.max_scores(qmask_fw, tmasks, lengths)
-            best_rc = kernel.max_scores(qmask_rc, tmasks, lengths)
-            for i in range(len(batch)):
+        launched = [
+            (
+                key,
+                min_score,
+                kernel.max_scores_async(qmask_fw, tmasks, lengths),
+                kernel.max_scores_async(qmask_rc, tmasks, lengths),
+            )
+            for key, qmask_fw, qmask_rc, min_score, kernel in per_guide
+        ]
+        out = (batch, launched)
+        batch = []
+        return out
+
+    def resolve(p):
+        windows, launched = p
+        flagged = [set() for _ in windows]
+        for key, min_score, res_fw, res_rc in launched:
+            best_fw = res_fw()
+            best_rc = res_rc()
+            for i in range(len(windows)):
                 if best_fw[i] >= min_score or best_rc[i] >= min_score:
                     flagged[i].add(key)
-        for w, keys in zip(batch, flagged):
+        for w, keys in zip(windows, flagged):
             if keys:
                 yield w, keys
-        batch.clear()
 
     for w in window_iter:
         if w.length > slot:
@@ -455,8 +472,15 @@ def screened_variant_windows_multi(
             continue
         batch.append(w)
         if len(batch) == batch_slots:
-            yield from flush()
-    yield from flush()
+            prev, pending = pending, dispatch()
+            if prev is not None:
+                yield from resolve(prev)
+    if batch:
+        prev, pending = pending, dispatch()
+        if prev is not None:
+            yield from resolve(prev)
+    if pending is not None:
+        yield from resolve(pending)
 
 
 def screened_variant_windows(
