@@ -21,7 +21,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from calitas_tpu.core.cigar import Cigar
+from calitas_tpu.core.cigar import LazyCigar
 from calitas_tpu.core.guide import Guide
 from calitas_tpu.core.sequence import revcomp
 from calitas_tpu.align.guide_alignment import GuideAlignment
@@ -224,7 +224,7 @@ def finish_windows(
             guide_end_offset=toff + ge,
             strand="+" if strandc == 0 else "-",
             score=score,
-            cigar=Cigar(cig),
+            cigar=LazyCigar(cig),
             padded_guide=pg,
             padded_alignment=pa,
             padded_target=pt,

@@ -117,6 +117,32 @@ class Cigar:
         return sum(e.length for e in self.elems if e.op != "=")
 
 
+class LazyCigar(Cigar):
+    """A Cigar that defers parsing its string form until elements are
+    actually needed.  The batched native finish emits cigar strings and
+    most downstream consumers only re-render (`str`) or measure them —
+    parsing every row's cigar into element objects was a measurable
+    share of the per-hit cost."""
+
+    __slots__ = ("_raw",)
+
+    def __init__(self, raw: str):
+        self._raw = raw
+
+    @property
+    def elems(self) -> tuple[CigarElem, ...]:  # type: ignore[override]
+        slot = Cigar.__dict__["elems"]
+        try:
+            return slot.__get__(self)
+        except AttributeError:
+            e = tuple(_parse(self._raw))
+            slot.__set__(self, e)
+            return e
+
+    def __str__(self) -> str:
+        return self._raw
+
+
 def length_on_target_str(s: str) -> int:
     """``Cigar(s).length_on_target`` without materializing elements.
 

@@ -162,10 +162,33 @@ class HitBuilder:
         ]
 
         neg = aln.is_negative_strand
-        ten_left = self._fetch(aln.chrom, aln.guide_start_offset + 1 - 10, aln.guide_start_offset, neg)
-        ten_right = self._fetch(aln.chrom, aln.guide_end_offset + 1, aln.guide_end_offset + 10, neg)
-        eight_left = self._fetch(aln.chrom, aln.start_offset + 1 - 8, aln.start_offset, neg)
-        eight_right = self._fetch(aln.chrom, aln.end_offset + 1, aln.end_offset + 8, neg)
+        # One span fetch serves all four flanks (same semantics as four
+        # _fetch calls — N-padding past contig ends, uppercase, rc per
+        # flank): random-access reads per hit were a measurable share of
+        # the batched finish.
+        lo1 = min(aln.guide_start_offset - 9, aln.start_offset - 7)
+        hi1 = max(aln.guide_end_offset + 10, aln.end_offset + 8)
+        span = None  # fetched on first flank that isn't window-sourced
+
+        def flank(s1: int, e1: int) -> str:
+            nonlocal span
+            if span is None:
+                span = self._fetch(aln.chrom, lo1, hi1, False)
+            sub = span[s1 - lo1 : e1 - lo1 + 1]
+            return revcomp(sub) if neg else sub
+
+        need_ref_flanks = (
+            aln.left_of_guide_10bp is None
+            or aln.right_of_guide_10bp is None
+            or aln.left_of_full_aln_8bp is None
+            or aln.right_of_full_aln_8bp is None
+        )
+        ten_left = ten_right = eight_left = eight_right = ""
+        if need_ref_flanks:
+            ten_left = flank(aln.guide_start_offset - 9, aln.guide_start_offset)
+            ten_right = flank(aln.guide_end_offset + 1, aln.guide_end_offset + 10)
+            eight_left = flank(aln.start_offset - 7, aln.start_offset)
+            eight_right = flank(aln.end_offset + 1, aln.end_offset + 8)
 
         pam_used = "".join(c for c in aln.guide if c.islower()) or None
         pos_strand = aln.is_positive_strand

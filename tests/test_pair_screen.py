@@ -5,6 +5,8 @@ vs their host-only runs (VERDICT r1 item 6 / SURVEY.md §7 step 4)."""
 import numpy as np
 import pytest
 
+from tests.test_engine_differential import table_without_timestamp
+
 from calitas_tpu.core.scoring import derive_scorer
 from calitas_tpu.core.sequence import encode_query, encode_target, revcomp
 from calitas_tpu.align.oracle import dp_matrix
@@ -152,7 +154,7 @@ class TestA2RDeviceParity:
         kw = dict(input=inp, ref=ref, threads=2)
         align_to_reference.run(output=host, engine="host", **kw)
         align_to_reference.run(output=dev, engine="tpu", **kw)
-        assert dev.read_bytes() == host.read_bytes()
+        assert table_without_timestamp(dev) == table_without_timestamp(host)
         assert len(host.read_text().splitlines()) == 13
 
     def test_all_hits_mode_byte_identical(self, tmp_path, ref):
@@ -169,5 +171,5 @@ class TestA2RDeviceParity:
         )
         align_to_reference.run(output=host, engine="host", **kw)
         align_to_reference.run(output=dev, engine="tpu", **kw)
-        assert dev.read_bytes() == host.read_bytes()
+        assert table_without_timestamp(dev) == table_without_timestamp(host)
         assert len(host.read_text().splitlines()) > 1
