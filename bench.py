@@ -161,6 +161,23 @@ def main() -> None:
     )
     ref_file = IndexedFasta(fa)
 
+    # Host-engine baseline: exact NumPy DP on a window sample,
+    # extrapolated to 8 threads (the reference default).  Measured
+    # before any worker pool exists so nothing contends for the cores.
+    from calitas_tpu.align.oracle import dp_matrix
+
+    dp_query = guide.guide_fw
+    qmask = encode_query(dp_query)
+    rng = np.random.default_rng(7)
+    sample = rng.integers(1, 15, size=(24, window_size), dtype=np.uint8)
+    host_elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for row in sample:
+            dp_matrix(qmask, row, aligner.scorer)  # one strand
+        host_elapsed = min(host_elapsed, time.perf_counter() - t0)
+    host_bps = (len(sample) * step) / (host_elapsed * 2) * 8  # both strands
+
     # Absorb the per-process first-dispatch tunnel stall before anything
     # is timed (dev-environment quirk; no-op on directly-attached TPUs).
     np.asarray(jnp.arange(8).sum())
@@ -217,7 +234,6 @@ def main() -> None:
     # used, re-dispatched warm).
     from calitas_tpu.core.sequence import revcomp
 
-    dp_query = guide.guide_fw
     min_score = aligner.min_guide_score(guide, align_kwargs["max_guide_diffs"])
     pam_spec = (tuple(guide.pams_fw), 1, 3)
     t0 = time.perf_counter()
@@ -226,21 +242,6 @@ def main() -> None:
         pam_spec=pam_spec, return_ranges=True,
     )
     screen_s = time.perf_counter() - t0
-
-    # Host-engine baseline: exact NumPy DP on a window sample, extrapolated
-    # to 8 threads (the reference default).
-    from calitas_tpu.align.oracle import dp_matrix
-
-    qmask = encode_query(dp_query)
-    rng = np.random.default_rng(7)
-    sample = rng.integers(1, 15, size=(24, window_size), dtype=np.uint8)
-    host_elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for row in sample:
-            dp_matrix(qmask, row, aligner.scorer)  # one strand
-        host_elapsed = min(host_elapsed, time.perf_counter() - t0)
-    host_bps = (len(sample) * step) / (host_elapsed * 2) * 8  # both strands
 
     print(
         json.dumps(
