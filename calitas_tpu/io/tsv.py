@@ -92,8 +92,12 @@ class MetricWriter:
         self._fh.write("\t".join(self._fields) + "\n")
 
     def write(self, row) -> None:
-        vals = [format_value(getattr(row, f)) for f in self._fields]
-        self._fh.write("\t".join(vals) + "\n")
+        # Workers pre-render rows (render_row below) so large tables
+        # serialize in parallel; fall back to rendering here.
+        line = getattr(row, "_line", None)
+        if line is None:
+            line = render_row(row, self._fields)
+        self._fh.write(line)
 
     def write_all(self, rows: Iterable) -> None:
         for r in rows:
@@ -104,6 +108,13 @@ class MetricWriter:
             self._fh.close()
         else:
             self._fh.flush()
+
+
+def render_row(row, fields: list[str]) -> str:
+    """One TSV line (newline included) for a metric row — the single
+    rendering path shared by MetricWriter and the worker-side
+    pre-rendering."""
+    return "\t".join(format_value(getattr(row, f)) for f in fields) + "\n"
 
 
 def open_output(path: str | Path | None) -> IO[str]:

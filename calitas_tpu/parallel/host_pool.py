@@ -397,8 +397,19 @@ def _mp_finish_chunk(spec: dict, chunk: list):
                 )
                 for _, w, ps, _ in mat
             ]
+        from calitas_tpu.io.tsv import fields_of, render_row
+        from calitas_tpu.search.hits import ReferenceHit
+
+        fields = fields_of(ReferenceHit)
         for (i, w, _, _), alns in zip(mat, per_window):
-            out[i] = [builder.build(a) for a in alns]
+            rows = [builder.build(a) for a in alns]
+            for h in rows:
+                # Pre-render the TSV line and cache the dedup end here in
+                # the worker (parallel) so the parent only concatenates;
+                # both ride the pickle as instance-dict extras.
+                _ = h.end
+                object.__setattr__(h, "_line", render_row(h, fields))
+            out[i] = rows
     except Exception as ex:
         return [("__error__", repr(ex))] * len(chunk)
     return out
