@@ -20,6 +20,13 @@ _INF = float("inf")
 
 
 def format_value(v) -> str:
+    # Ordered by frequency in real tables (str >> int >> None >> rest);
+    # exact type checks dodge isinstance's mro walk on the hot path.
+    t = type(v)
+    if t is str:
+        return v
+    if t is int:
+        return str(v)
     if v is None:
         return ""
     if isinstance(v, bool):
@@ -114,7 +121,7 @@ def render_row(row, fields: list[str]) -> str:
     """One TSV line (newline included) for a metric row — the single
     rendering path shared by MetricWriter and the worker-side
     pre-rendering."""
-    return "\t".join(format_value(getattr(row, f)) for f in fields) + "\n"
+    return "\t".join([format_value(getattr(row, f)) for f in fields]) + "\n"
 
 
 def open_output(path: str | Path | None) -> IO[str]:
