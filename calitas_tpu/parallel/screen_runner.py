@@ -251,6 +251,9 @@ def screened_search(
                     cand, spec, threads,
                     worker_fn=_mp_finish_chunk,
                     to_payload=lambda t: t,
+                    # larger chunks amortize the native call's buffer
+                    # setup and the per-chunk IPC round trip
+                    chunk=256,
                     swallow_errors=swallow_errors,
                     logger=log,
                 ):
