@@ -153,6 +153,10 @@ def main() -> None:
         n = min(1 << 26, G - off)
         bases[off : off + n] = letters[host_genome_codes(off, n)]
     tmpdir = tempfile.mkdtemp(prefix="calitas_bench_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, tmpdir, True)
     fa = os.path.join(tmpdir, "ref.fa")
     write_fasta(fa, bases)
     build_fai(fa)
