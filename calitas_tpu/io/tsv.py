@@ -147,6 +147,14 @@ def read_metrics(path: str | Path, cls: Type[T]) -> list[T]:
     return rows
 
 
+def parse_row(line: str, cls: Type[T]) -> T:
+    """One rendered TSV line (field order = dataclass order) back into a
+    dataclass instance — the exact inverse of :func:`render_row`."""
+    fs = dataclasses.fields(cls)
+    vals = line.rstrip("\n").split("\t")
+    return cls(**{f.name: _parse(raw, f.type) for f, raw in zip(fs, vals)})
+
+
 def _parse(raw: str, hint) -> object:
     h = str(hint)
     optional = "Optional" in h or "None" in h

@@ -398,18 +398,17 @@ def _mp_finish_chunk(spec: dict, chunk: list):
                 for _, w, ps, _ in mat
             ]
         from calitas_tpu.io.tsv import fields_of, render_row
-        from calitas_tpu.search.hits import ReferenceHit
+        from calitas_tpu.search.hits import ReferenceHit, RenderedHit
 
         fields = fields_of(ReferenceHit)
         for (i, w, _, _), alns in zip(mat, per_window):
-            rows = [builder.build(a) for a in alns]
-            for h in rows:
-                # Pre-render the TSV line and cache the dedup end here in
-                # the worker (parallel) so the parent only concatenates;
-                # both ride the pickle as instance-dict extras.
-                _ = h.end
-                object.__setattr__(h, "_line", render_row(h, fields))
-            out[i] = rows
+            # Render each row to its final TSV line here in the worker
+            # (parallel across cores) and ship only the line + dedup
+            # keys; the parent never rebuilds a 34-field dataclass.
+            out[i] = [
+                RenderedHit.of(h, render_row(h, fields))
+                for h in (builder.build(a) for a in alns)
+            ]
     except Exception as ex:
         return [("__error__", repr(ex))] * len(chunk)
     return out

@@ -52,9 +52,17 @@ class CheckpointState:
                         state.timestamp = meta.get("timestamp")
                     else:
                         state.done.add(rec["chrom"])
-                        state.hits.extend(
-                            ReferenceHit(**h) for h in rec["hits"]
-                        )
+                        for h in rec["hits"]:
+                            if "l" in h:  # pre-rendered TSV line
+                                from calitas_tpu.io.tsv import parse_row
+
+                                state.hits.append(
+                                    parse_row(h["l"], ReferenceHit)
+                                )
+                            else:
+                                state.hits.append(
+                                    ReferenceHit(**h.get("d", h))
+                                )
         state._fh = open(state.path, "a")
         if not state.done and state.timestamp is None and state._fh.tell() == 0:
             pass  # meta written via set_timestamp
@@ -67,10 +75,19 @@ class CheckpointState:
     def is_done(self, chrom: str) -> bool:
         return chrom in self.done
 
-    def record(self, chrom: str, hits: list[ReferenceHit]) -> None:
-        self._write(
-            {"chrom": chrom, "hits": [dataclasses.asdict(h) for h in hits]}
-        )
+    def record(self, chrom: str, hits: list) -> None:
+        """Append a completed contig's hits.  Pre-rendered rows
+        (search.hits.RenderedHit) persist as their TSV line; full
+        dataclass rows as field dicts — in hit order, so a resumed run
+        rebuilds the exact pre-dedup sequence."""
+        recs = []
+        for h in hits:
+            line = getattr(h, "_line", None)
+            if line is not None:
+                recs.append({"l": line})
+            else:
+                recs.append({"d": dataclasses.asdict(h)})
+        self._write({"chrom": chrom, "hits": recs})
         self.done.add(chrom)
 
     def _write(self, rec: dict) -> None:

@@ -89,6 +89,67 @@ class ReferenceHit:
         )
 
 
+class RenderedHit:
+    """A pre-rendered output row: the finished TSV line plus the fields
+    the global dedup/sort reads, eagerly.  Duck-types ReferenceHit —
+    any other field access lazily parses the line back into a full
+    ReferenceHit (io/tsv.py::parse_row, the exact render inverse).
+
+    The finish workers ship these instead of full dataclasses: the
+    parent's per-row cost is then one small tuple unpickle, and the
+    writer concatenates lines."""
+
+    __slots__ = (
+        "guide_id", "chromosome", "strand", "variant_description",
+        "coordinate_start", "score", "end", "_line", "_full",
+    )
+
+    def __init__(
+        self, guide_id, chromosome, strand, variant_description,
+        coordinate_start, score, end, line,
+    ):
+        self.guide_id = guide_id
+        self.chromosome = chromosome
+        self.strand = strand
+        self.variant_description = variant_description
+        self.coordinate_start = coordinate_start
+        self.score = score
+        self.end = end
+        self._line = line
+        self._full = None
+
+    @classmethod
+    def of(cls, hit: ReferenceHit, line: str) -> "RenderedHit":
+        r = cls(
+            hit.guide_id, hit.chromosome, hit.strand,
+            hit.variant_description, hit.coordinate_start, hit.score,
+            hit.end, line,
+        )
+        r._full = hit
+        return r
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        full = self._full
+        if full is None:
+            from calitas_tpu.io.tsv import parse_row
+
+            full = parse_row(self._line, ReferenceHit)
+            self._full = full
+        return getattr(full, name)
+
+    def __reduce__(self):
+        return (
+            RenderedHit,
+            (
+                self.guide_id, self.chromosome, self.strand,
+                self.variant_description, self.coordinate_start,
+                self.score, self.end, self._line,
+            ),
+        )
+
+
 def now_timestamp() -> str:
     """UTC run-start timestamp, format ``EEE MMM dd HH:mm:ss z yyyy``
     (ReferenceHit.scala:169-173)."""
