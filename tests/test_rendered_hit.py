@@ -1,0 +1,98 @@
+"""RenderedHit: the light pre-rendered row the finish workers ship.
+Pins that (a) lazy field access parses the line back to the exact
+ReferenceHit, (b) the pickle roundtrip is small and faithful, and
+(c) render -> parse -> render is the identity on realistic rows."""
+
+import dataclasses
+import pickle
+
+from calitas_tpu.io.tsv import fields_of, parse_row, render_row
+from calitas_tpu.search.hits import ReferenceHit, RenderedHit
+
+FIELDS = fields_of(ReferenceHit)
+
+
+def make_hit(**over) -> ReferenceHit:
+    base = dict(
+        guide_id="g1",
+        unpadded_guide_sequence="ACGTACGTACGTACGTACGT",
+        genome_build="hg38",
+        chromosome="chr2",
+        coordinate_start=1234,
+        coordinate_end=1254,
+        strand="-",
+        unpadded_target_sequence="ACGTACGTACGTACGTACGA",
+        ten_bases_5_prime="TTTTTTTTTT",
+        ten_bases_3_prime="GGGGGGGGGG",
+        pam_used="ngg",
+        variant_id=None,
+        variant_description=None,
+        variant_vcf=None,
+        allele_frequency=None,
+        score=1350,
+        guide_mm=1,
+        guide_gaps=0,
+        guide_mm_plus_gaps=1,
+        pam_mm=0,
+        total_mm_plus_gaps=1,
+        padded_guide="ACGTACGTACGTACGTACGTngg",
+        padded_alignment="|||||||||||||||||||.|||",
+        padded_target="ACGTACGTACGTACGTACGATGG",
+        padded_extra_8_bases_5_prime="AAAAAAAA",
+        padded_extra_8_bases_3_prime="CCCCCCCC",
+        cigar="19=1X",
+        unpadded_guide_sequence_length=20,
+        unpadded_target_sequence_length=20,
+        aligner="CALITAS:SearchReference",
+        aligner_version="20260817-abc",
+        aligner_search_pam="ngg",
+        aligner_other_parameters="a=b",
+        time_stamp="Mon Jan 01 00:00:00 UTC 2026",
+    )
+    base.update(over)
+    return ReferenceHit(**base)
+
+
+def rendered(hit: ReferenceHit) -> RenderedHit:
+    r = RenderedHit.of(hit, render_row(hit, FIELDS))
+    # Drop the eagerly-attached full object to force the lazy parse the
+    # parent side would perform.
+    r._full = None
+    return r
+
+
+def test_eager_key_fields_and_lazy_parse():
+    hit = make_hit()
+    r = rendered(hit)
+    assert (r.guide_id, r.chromosome, r.strand) == ("g1", "chr2", "-")
+    assert r.coordinate_start == 1234 and r.score == 1350
+    assert r.end == hit.end
+    # lazy fields parse from the line
+    assert r.padded_target == hit.padded_target
+    assert r.allele_frequency is None
+    assert dataclasses.asdict(r._full) == dataclasses.asdict(hit)
+
+
+def test_pickle_roundtrip_is_light_and_faithful():
+    hit = make_hit(allele_frequency=1e-4, variant_id="rs1",
+                   variant_description="rs1:9:A>T:0.000", variant_vcf="v:md5")
+    r = rendered(hit)
+    blob = pickle.dumps([r] * 100)
+    assert len(blob) / 100 < 700  # line + keys, not a 34-field dict
+    r2 = pickle.loads(blob)[0]
+    assert r2.end == hit.end
+    assert dataclasses.asdict(
+        parse_row(r2._line, ReferenceHit)
+    ) == dataclasses.asdict(hit)
+
+
+def test_render_parse_render_identity():
+    for hit in (
+        make_hit(),
+        make_hit(allele_frequency=1e-4),
+        make_hit(allele_frequency=0.30000000000000004),
+        make_hit(pam_used=None, padded_extra_8_bases_5_prime=""),
+    ):
+        line = render_row(hit, FIELDS)
+        again = render_row(parse_row(line, ReferenceHit), FIELDS)
+        assert again == line
