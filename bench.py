@@ -174,13 +174,16 @@ def main() -> None:
     qmask = encode_query(dp_query)
     rng = np.random.default_rng(7)
     sample = rng.integers(1, 15, size=(24, window_size), dtype=np.uint8)
-    host_elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for row in sample:
-            dp_matrix(qmask, row, aligner.scorer)  # one strand
-        host_elapsed = min(host_elapsed, time.perf_counter() - t0)
-    host_bps = (len(sample) * step) / (host_elapsed * 2) * 8  # both strands
+    def measure_host() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for row in sample:
+                dp_matrix(qmask, row, aligner.scorer)  # one strand
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    host_elapsed = measure_host()
 
     # Absorb the per-process first-dispatch tunnel stall before anything
     # is timed (dev-environment quirk; no-op on directly-attached TPUs).
@@ -246,6 +249,12 @@ def main() -> None:
         pam_spec=pam_spec, return_ranges=True,
     )
     screen_s = time.perf_counter() - t0
+
+    # Second baseline block: the container's effective CPU speed drifts
+    # (shared VM); sampling before AND after the run and taking the
+    # faster keeps the ratio's denominator honest-but-stable.
+    host_elapsed = min(host_elapsed, measure_host())
+    host_bps = (len(sample) * step) / (host_elapsed * 2) * 8  # both strands
 
     print(
         json.dumps(
