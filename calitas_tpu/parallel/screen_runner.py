@@ -80,215 +80,246 @@ def screened_search(
             )
 
     names = [chrom] if chrom is not None else fasta.names
-    for name in names:
+
+    # Contig pipeline: a one-slot staging thread reads + uploads contig
+    # N+1 while contig N is screened and finished, hiding the per-contig
+    # disk read + H2D behind compute (at most two staged contigs live in
+    # HBM at once).  Callers that keep a genome resident across runs
+    # (serving, benchmarks) can pass ``prestaged={name: staged}`` to
+    # skip staging entirely.  Contig bases are only loaded for staging —
+    # the production (hit_spec) path's workers materialize candidate
+    # windows from the mmap'd reference themselves.
+    def stage_contig(name: str):
         contig_len = fasta.sequence_length(name) or 0
         if contig_len < 2:
-            continue
-        # Callers that keep a genome resident across runs (multi-run
-        # serving, benchmarks) can pass ``prestaged={name: staged}`` to
-        # skip the one-time per-contig H2D staging.  Contig bases are
-        # loaded lazily: the production (hit_spec) path only needs them
-        # for staging — workers materialize candidate windows from the
-        # mmap'd reference themselves.
+            return name, contig_len, None
         genome_dev = (prestaged or {}).get(name)
-        bases = None
         if genome_dev is None:
-            bases = fasta.get_bases(name)
-            genome_dev = screen.stage(bases)
+            genome_dev = screen.stage(fasta.get_bases(name))
+        return name, contig_len, genome_dev
 
-        # Group same-length guides: one window-extraction pass per group
-        # (the multi-guide kernel re-uses each window block across guides).
-        groups: dict[tuple[int, int], list[GuideTask]] = {}
-        for task in tasks:
-            g = task.guide
-            dp_q = g.guide_rc if g.pam_is_5prime else g.guide_fw
-            groups.setdefault((len(dp_q), task.step_size), []).append(task)
-        multi_flags: dict[str, np.ndarray] = {}
-        if type(screen) is GenomeScreen:  # sharded subclass screens per guide
-            from calitas_tpu.ops.genome_screen import screen_contig_multi
+    from concurrent.futures import ThreadPoolExecutor
 
-            for (_, step_size), group in groups.items():
-                if len(group) < 2:
-                    continue
-                dq = []
-                ms = []
-                for t in group:
-                    g = t.guide
-                    q = g.guide_rc if g.pam_is_5prime else g.guide_fw
-                    dq.append((q, revcomp(q)))
-                    ms.append(
-                        aligner.min_guide_score(
-                            g, align_kwargs["max_guide_diffs"]
-                        )
-                    )
-                try:
-                    flags_g = screen_contig_multi(
-                        screen, genome_dev, contig_len, step_size, dq, ms
-                    )
-                except Exception:
-                    # fall back to per-guide screening (correctness is
-                    # unaffected; only the feed amortization is lost)
-                    import logging
-
-                    logging.getLogger("calitas_tpu.SearchReference").warning(
-                        "multi-guide screen unavailable; falling back to "
-                        "per-guide screening", exc_info=True,
-                    )
-                    continue
-                for i, t in enumerate(group):
-                    multi_flags[t.guide_id] = flags_g[i]
-
-        for task in tasks:
-            guide = task.guide
-            min_score = aligner.min_guide_score(
-                guide, align_kwargs["max_guide_diffs"]
-            )
-            dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
-            # DP-orientation PAMs enable the kernel's PAM prefilter: for
-            # 5'-PAM guides the DP query is the revcomp'd guide, whose
-            # PAMs in DP space are the revcomp'd PAMs.
-            dp_pams = guide.pams_rc if guide.pam_is_5prime else guide.pams_fw
-            pam_spec = (
-                (
-                    tuple(dp_pams),
-                    align_kwargs["max_pam_diffs"],
-                    align_kwargs["max_gaps_between_guide_and_pam"],
-                )
-                if dp_pams
+    stager = ThreadPoolExecutor(max_workers=1)
+    try:
+        nxt = stager.submit(stage_contig, names[0]) if names else None
+        for idx in range(len(names)):
+            name, contig_len, genome_dev = nxt.result()
+            nxt = (
+                stager.submit(stage_contig, names[idx + 1])
+                if idx + 1 < len(names)
                 else None
             )
-            chain_flags = None
-            cranges = None  # [2, n, 2] uint8 coarse end-column blocks
-            # Ranges let the native finish run the DP on a column slice
-            # instead of the whole window; uint8 8-column blocks cover
-            # windows up to 2048 columns.
-            want_ranges = hit_spec is not None and window_size <= 2048
-            if task.guide_id in multi_flags:
-                chain_flags = multi_flags[task.guide_id]  # [2, n]
-                flags = chain_flags.any(axis=0)
-            elif want_ranges:
-                chain_flags, cranges = screen.screen_contig(
-                    genome_dev, contig_len, task.step_size,
-                    dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
-                    return_ranges=True,
-                )
-                flags = chain_flags.any(axis=0)
-            else:
-                chain_flags = screen.screen_contig(
-                    genome_dev, contig_len, task.step_size,
-                    dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
-                    return_chains=True,
-                )
-                flags = chain_flags.any(axis=0)
-            # chain A (DP-orientation query over the forward genome) IS the
-            # engine's fwd pass for 3'/PAM-less guides and the rev pass for
-            # 5'-PAM guides; chain B is the mirror-equivalent of the other
-            # pass, so a chain below threshold lets the host skip that pass
-            # (a skipped pass would contribute no alignments anyway).
-            chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
-            chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
-            starts = screen.window_starts(contig_len, task.step_size)
-            hit_idx = np.nonzero(flags)[0]
-            win_passes = {}
-            if chain_flags is not None:
-                for i in hit_idx:
-                    p = []
-                    if chain_flags[0, i]:
-                        p.append(chain_a_pass)
-                    if chain_flags[1, i]:
-                        p.append(chain_b_pass)
-                    win_passes[int(starts[i])] = tuple(p)
-
-            import logging
-
-            log = logging.getLogger("calitas_tpu.SearchReference")
-            log.info(
-                "Screen %s/%s: %d of %d windows are candidates (%.2f%%).",
-                name, task.guide_id, len(hit_idx), len(starts),
-                100.0 * len(hit_idx) / max(len(starts), 1),
-            )
-
-            if hit_spec is not None:
-                # Production path: workers materialize windows from the
-                # mmap'd reference, finish the chunk in one native call
-                # and build the output rows themselves.
-                from calitas_tpu.parallel.host_pool import (
-                    _mp_finish_chunk,
-                    make_finish_spec,
-                    map_items_mp,
-                )
-
-                spec = make_finish_spec(
-                    guide, aligner, align_kwargs,
-                    guide_id=task.guide_id,
-                    window_size=window_size,
-                    guide_length=task.guide_length,
-                    **hit_spec,
-                )
-                def crange_for(i):
-                    # Widen the coarse 8-column blocks back to 1-based
-                    # column bounds (the worker trim-shifts, mirrors chain
-                    # B and clips — align/batch.py::chain_ranges_to_pass).
-                    if cranges is None:
-                        return None
-                    return (
-                        int(cranges[0, i, 0]) * 8 + 1,
-                        int(cranges[0, i, 1]) * 8 + 8,
-                        int(cranges[1, i, 0]) * 8 + 1,
-                        int(cranges[1, i, 1]) * 8 + 8,
-                    )
-
-                cand = (
-                    (
-                        name,
-                        int(starts[i]),
-                        win_passes.get(int(starts[i]), ("fwd", "rev")),
-                        crange_for(i),
-                    )
-                    for i in hit_idx
-                )
-                for (c, s0, *_rest), rows in map_items_mp(
-                    cand, spec, threads,
-                    worker_fn=_mp_finish_chunk,
-                    to_payload=lambda t: t,
-                    # larger chunks amortize the native call's buffer
-                    # setup and the per-chunk IPC round trip
-                    chunk=256,
-                    swallow_errors=swallow_errors,
-                    logger=log,
-                ):
-                    if rows:
-                        yield task, c, s0 + 1, rows
+            if genome_dev is None:
                 continue
+            bases = None
+            yield from _search_contig(
+                fasta, name, contig_len, genome_dev, bases, tasks, aligner,
+                screen, window_size, threads, swallow_errors, hit_spec,
+                align_kwargs,
+            )
+    finally:
+        stager.shutdown(wait=False, cancel_futures=True)
 
-            if bases is None:
-                bases = fasta.get_bases(name)
-            cand_pairs = (
-                (
-                    materialize_window(name, bases, int(starts[i]), window_size),
-                    win_passes.get(int(starts[i]), ("fwd", "rev")),
+
+def _search_contig(
+    fasta, name, contig_len, genome_dev, bases, tasks, aligner, screen,
+    window_size, threads, swallow_errors, hit_spec, align_kwargs,
+):
+
+    # Group same-length guides: one window-extraction pass per group
+    # (the multi-guide kernel re-uses each window block across guides).
+    groups: dict[tuple[int, int], list[GuideTask]] = {}
+    for task in tasks:
+        g = task.guide
+        dp_q = g.guide_rc if g.pam_is_5prime else g.guide_fw
+        groups.setdefault((len(dp_q), task.step_size), []).append(task)
+    multi_flags: dict[str, np.ndarray] = {}
+    if type(screen) is GenomeScreen:  # sharded subclass screens per guide
+        from calitas_tpu.ops.genome_screen import screen_contig_multi
+
+        for (_, step_size), group in groups.items():
+            if len(group) < 2:
+                continue
+            dq = []
+            ms = []
+            for t in group:
+                g = t.guide
+                q = g.guide_rc if g.pam_is_5prime else g.guide_fw
+                dq.append((q, revcomp(q)))
+                ms.append(
+                    aligner.min_guide_score(
+                        g, align_kwargs["max_guide_diffs"]
+                    )
                 )
-                for i in hit_idx
-            )
-            cand_pairs = (
-                (w, ps)
-                for (w, ps) in cand_pairs
-                if len(w.bases) >= task.guide_length
-            )
+            try:
+                flags_g = screen_contig_multi(
+                    screen, genome_dev, contig_len, step_size, dq, ms
+                )
+            except Exception:
+                # fall back to per-guide screening (correctness is
+                # unaffected; only the feed amortization is lost)
+                import logging
 
+                logging.getLogger("calitas_tpu.SearchReference").warning(
+                    "multi-guide screen unavailable; falling back to "
+                    "per-guide screening", exc_info=True,
+                )
+                continue
+            for i, t in enumerate(group):
+                multi_flags[t.guide_id] = flags_g[i]
+
+    for task in tasks:
+        guide = task.guide
+        min_score = aligner.min_guide_score(
+            guide, align_kwargs["max_guide_diffs"]
+        )
+        dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
+        # DP-orientation PAMs enable the kernel's PAM prefilter: for
+        # 5'-PAM guides the DP query is the revcomp'd guide, whose
+        # PAMs in DP space are the revcomp'd PAMs.
+        dp_pams = guide.pams_rc if guide.pam_is_5prime else guide.pams_fw
+        pam_spec = (
+            (
+                tuple(dp_pams),
+                align_kwargs["max_pam_diffs"],
+                align_kwargs["max_gaps_between_guide_and_pam"],
+            )
+            if dp_pams
+            else None
+        )
+        chain_flags = None
+        cranges = None  # [2, n, 2] uint8 coarse end-column blocks
+        # Ranges let the native finish run the DP on a column slice
+        # instead of the whole window; uint8 8-column blocks cover
+        # windows up to 2048 columns.
+        want_ranges = hit_spec is not None and window_size <= 2048
+        if task.guide_id in multi_flags:
+            chain_flags = multi_flags[task.guide_id]  # [2, n]
+            flags = chain_flags.any(axis=0)
+        elif want_ranges:
+            chain_flags, cranges = screen.screen_contig(
+                genome_dev, contig_len, task.step_size,
+                dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
+                return_ranges=True,
+            )
+            flags = chain_flags.any(axis=0)
+        else:
+            chain_flags = screen.screen_contig(
+                genome_dev, contig_len, task.step_size,
+                dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
+                return_chains=True,
+            )
+            flags = chain_flags.any(axis=0)
+        # chain A (DP-orientation query over the forward genome) IS the
+        # engine's fwd pass for 3'/PAM-less guides and the rev pass for
+        # 5'-PAM guides; chain B is the mirror-equivalent of the other
+        # pass, so a chain below threshold lets the host skip that pass
+        # (a skipped pass would contribute no alignments anyway).
+        chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
+        chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
+        starts = screen.window_starts(contig_len, task.step_size)
+        hit_idx = np.nonzero(flags)[0]
+        win_passes = {}
+        if chain_flags is not None:
+            for i in hit_idx:
+                p = []
+                if chain_flags[0, i]:
+                    p.append(chain_a_pass)
+                if chain_flags[1, i]:
+                    p.append(chain_b_pass)
+                win_passes[int(starts[i])] = tuple(p)
+
+        import logging
+
+        log = logging.getLogger("calitas_tpu.SearchReference")
+        log.info(
+            "Screen %s/%s: %d of %d windows are candidates (%.2f%%).",
+            name, task.guide_id, len(hit_idx), len(starts),
+            100.0 * len(hit_idx) / max(len(starts), 1),
+        )
+
+        if hit_spec is not None:
+            # Production path: workers materialize windows from the
+            # mmap'd reference, finish the chunk in one native call
+            # and build the output rows themselves.
             from calitas_tpu.parallel.host_pool import (
-                _mp_align_chunk,
-                make_align_spec,
+                _mp_finish_chunk,
+                make_finish_spec,
                 map_items_mp,
             )
 
-            spec = make_align_spec(guide, aligner, align_kwargs)
-            for (w, _ps), results in map_items_mp(
-                cand_pairs, spec, threads,
-                worker_fn=_mp_align_chunk,
-                to_payload=lambda t: (t[0].chrom, t[0].start, t[0].bases, t[1]),
+            spec = make_finish_spec(
+                guide, aligner, align_kwargs,
+                guide_id=task.guide_id,
+                window_size=window_size,
+                guide_length=task.guide_length,
+                **hit_spec,
+            )
+            def crange_for(i):
+                # Widen the coarse 8-column blocks back to 1-based
+                # column bounds (the worker trim-shifts, mirrors chain
+                # B and clips — align/batch.py::chain_ranges_to_pass).
+                if cranges is None:
+                    return None
+                return (
+                    int(cranges[0, i, 0]) * 8 + 1,
+                    int(cranges[0, i, 1]) * 8 + 8,
+                    int(cranges[1, i, 0]) * 8 + 1,
+                    int(cranges[1, i, 1]) * 8 + 8,
+                )
+
+            cand = (
+                (
+                    name,
+                    int(starts[i]),
+                    win_passes.get(int(starts[i]), ("fwd", "rev")),
+                    crange_for(i),
+                )
+                for i in hit_idx
+            )
+            for (c, s0, *_rest), rows in map_items_mp(
+                cand, spec, threads,
+                worker_fn=_mp_finish_chunk,
+                to_payload=lambda t: t,
+                # larger chunks amortize the native call's buffer
+                # setup and the per-chunk IPC round trip
+                chunk=256,
                 swallow_errors=swallow_errors,
                 logger=log,
             ):
-                if results:
-                    yield task, w, results
+                if rows:
+                    yield task, c, s0 + 1, rows
+            continue
+
+        if bases is None:
+            bases = fasta.get_bases(name)
+        cand_pairs = (
+            (
+                materialize_window(name, bases, int(starts[i]), window_size),
+                win_passes.get(int(starts[i]), ("fwd", "rev")),
+            )
+            for i in hit_idx
+        )
+        cand_pairs = (
+            (w, ps)
+            for (w, ps) in cand_pairs
+            if len(w.bases) >= task.guide_length
+        )
+
+        from calitas_tpu.parallel.host_pool import (
+            _mp_align_chunk,
+            make_align_spec,
+            map_items_mp,
+        )
+
+        spec = make_align_spec(guide, aligner, align_kwargs)
+        for (w, _ps), results in map_items_mp(
+            cand_pairs, spec, threads,
+            worker_fn=_mp_align_chunk,
+            to_payload=lambda t: (t[0].chrom, t[0].start, t[0].bases, t[1]),
+            swallow_errors=swallow_errors,
+            logger=log,
+        ):
+            if results:
+                yield task, w, results
