@@ -159,7 +159,7 @@ def run(
 
     from calitas_tpu.tools.search_reference import _resolve_engine
 
-    use_tpu = _resolve_engine(engine)
+    use_tpu = _resolve_engine(engine, n_tasks=len(tasks))
     pair_screen = None
     if use_tpu:
         from calitas_tpu.ops.pair_screen import PairScreen

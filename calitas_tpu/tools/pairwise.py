@@ -57,7 +57,7 @@ def run(
 
     from calitas_tpu.tools.search_reference import _resolve_engine
 
-    if _resolve_engine(engine):
+    if _resolve_engine(engine, n_tasks=len(tasks)):
         # Device batching (SURVEY.md §7 step 4): one dispatch computes
         # both chains' exact DP maxima for every pair; the host finish
         # then skips the rev pass whenever it provably cannot beat the

@@ -438,12 +438,22 @@ def _finalize(
     )
 
 
-def _resolve_engine(engine: str) -> bool:
+#: below this many items the list-driven tools' auto engine stays on the
+#: host: the device pair screen's one-time compilation only pays for
+#: itself on large batches (the host engine is ~10 ms/item)
+AUTO_DEVICE_MIN_TASKS = 1000
+
+
+def _resolve_engine(engine: str, n_tasks: Optional[int] = None) -> bool:
     if engine == "host":
         return False
     if engine == "tpu":
         return True
-    # auto: use the device screen if an accelerator is present
+    # auto: use the device screen if an accelerator is present (and, for
+    # the list-driven tools, the batch is large enough to amortize the
+    # device compilation)
+    if n_tasks is not None and n_tasks < AUTO_DEVICE_MIN_TASKS:
+        return False
     try:
         import jax
 
