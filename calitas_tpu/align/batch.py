@@ -85,21 +85,21 @@ def cpp_pass_for(engine_pass: str, is5prime: bool) -> int:
     return 0 if is5prime else 1
 
 
-def finish_windows(
+def _native_finish_raw(
     guide: Guide,
     aligner,  # SequentialAligner (scorer + min_guide_score)
     windows: Sequence[tuple[str, int, np.ndarray]],  # (chrom, start1, bases)
     passes_list: Sequence[tuple[str, ...]],
-    ranges: Optional[np.ndarray] = None,  # int32 [n, 4]: lo0,hi0,lo1,hi1
+    ranges: Optional[np.ndarray],
     *,
     max_guide_diffs: int,
     max_pam_diffs: int,
     max_gaps_between_guide_and_pam: int,
     max_total_diffs: int,
     max_overlap: int,
-) -> Optional[list[list[GuideAlignment]]]:
-    """Finish a batch of windows; returns per-window GuideAlignment lists
-    in the engine's order, or None when the native library is missing."""
+):
+    """One native finish_batch call; returns the raw result buffers (or
+    None when the native library is missing)."""
     from calitas_tpu import native
 
     lib = native.get_lib()
@@ -196,8 +196,30 @@ def finish_windows(
             guide_cache[pam_idx] = gstr
         return gstr
 
-    str_view = out_str.tobytes()
-    cig_view = out_cig.tobytes()
+    return (
+        n_out, meta, out_str.tobytes(), out_cig.tobytes(), str_off, plen,
+        ulen, cig_off, cig_len, guide_str,
+    )
+
+
+def finish_windows(
+    guide: Guide,
+    aligner,
+    windows: Sequence[tuple[str, int, np.ndarray]],
+    passes_list: Sequence[tuple[str, ...]],
+    ranges: Optional[np.ndarray] = None,  # int32 [n, 4]: lo0,hi0,lo1,hi1
+    **limits,
+) -> Optional[list[list[GuideAlignment]]]:
+    """Finish a batch of windows; returns per-window GuideAlignment lists
+    in the engine's order, or None when the native library is missing."""
+    raw = _native_finish_raw(
+        guide, aligner, windows, passes_list, ranges, **limits
+    )
+    if raw is None:
+        return None
+    (n_out, meta, str_view, cig_view, str_off, plen, ulen, cig_off,
+     cig_len, guide_str) = raw
+    n = len(windows)
     out: list[list[GuideAlignment]] = [[] for _ in range(n)]
     for k in range(n_out):
         (widx, strandc, pam_idx, score, s0, e0, gs, ge,
@@ -244,3 +266,123 @@ def finish_windows(
         object.__setattr__(ga, "_unpadded_target", ut)
         out[widx].append(ga)
     return out
+
+
+def finish_rendered(
+    guide: Guide,
+    aligner,
+    windows: Sequence[tuple[str, int, np.ndarray]],
+    passes_list: Sequence[tuple[str, ...]],
+    ranges: Optional[np.ndarray],
+    consts: dict,  # prebuilt constant columns, see make_render_consts
+    fetch,  # (chrom, start1, end1) -> N-padded uppercase bases
+    **limits,
+) -> Optional[list[list]]:
+    """Finish a batch of windows straight into RenderedHit rows (the
+    production reference-pass path): the native buffers are decoded
+    directly into the final TSV line plus the dedup keys, skipping the
+    per-row GuideAlignment and ReferenceHit objects entirely.
+
+    Field-for-field identical to
+    ``render_row(HitBuilder.build(aln), fields)`` — pinned by the
+    differential fuzz in tests/test_batch_finish.py.  Variant-pass rows
+    never come through here (they need variant columns), so the variant
+    columns are always empty."""
+    raw = _native_finish_raw(
+        guide, aligner, windows, passes_list, ranges, **limits
+    )
+    if raw is None:
+        return None
+    (n_out, meta, str_view, cig_view, str_off, plen, ulen, cig_off,
+     cig_len, guide_str) = raw
+    from calitas_tpu.search.hits import RenderedHit
+
+    c_guide_id = consts["guide_id"]
+    c_guide = consts["unpadded_guide"]
+    c_build = consts["genome_build"]
+    c_guide_len = consts["guide_len"]
+    c_tail = consts["tail"]  # aligner..time_stamp, pre-joined
+    pam_used_cache: dict[int, str] = {}
+
+    out: list[list] = [[] for _ in range(len(windows))]
+    for k in range(n_out):
+        (widx, strandc, pam_idx, score, s0, e0, gs, ge,
+         mism, gapb, gmm, ggap, pmm, _pgap, _kind, _r) = (
+            int(x) for x in meta[k]
+        )
+        chrom, start1, _b = windows[widx]
+        toff = start1 - 1
+        cs = toff + gs
+        ce = toff + ge
+        sf = toff + s0
+        ef = toff + e0
+        pos = strandc == 0
+        strand = "+" if pos else "-"
+        so = int(str_off[k])
+        pl = int(plen[k])
+        pg = str_view[so : so + pl].decode("ascii")
+        pa = str_view[so + pl : so + 2 * pl].decode("ascii")
+        pt = str_view[so + 2 * pl : so + 3 * pl].decode("ascii")
+        ut = str_view[so + 3 * pl : so + 3 * pl + int(ulen[k])].decode("ascii")
+        cig = cig_view[
+            int(cig_off[k]) : int(cig_off[k]) + int(cig_len[k])
+        ].decode("ascii")
+        pam_used = pam_used_cache.get(pam_idx)
+        if pam_used is None:
+            pam_used = "".join(c for c in guide_str(pam_idx) if c.islower())
+            pam_used_cache[pam_idx] = pam_used
+
+        # Flanks: one span fetch, slices per flank, rc on minus strand,
+        # 5'/3' labels strand-swapped (HitBuilder.build semantics).
+        lo1 = min(cs - 9, sf - 7)
+        hi1 = max(ce + 10, ef + 8)
+        span = fetch(chrom, lo1, hi1)
+
+        def fl(a: int, b: int) -> str:
+            sub = span[a - lo1 : b - lo1 + 1]
+            return sub if pos else revcomp(sub)
+
+        ten_l = fl(cs - 9, cs)
+        ten_r = fl(ce + 1, ce + 10)
+        eight_l = fl(sf - 7, sf)
+        eight_r = fl(ef + 1, ef + 8)
+
+        line = "\t".join((
+            c_guide_id, c_guide, c_build, chrom, str(cs), str(ce), strand,
+            ut,
+            ten_l if pos else ten_r,
+            ten_r if pos else ten_l,
+            pam_used,
+            "", "", "", "",  # variant_id/description/vcf/allele_frequency
+            str(score), str(gmm), str(ggap), str(gmm + ggap), str(pmm),
+            str(mism + gapb),
+            pg, pa, pt,
+            eight_l if pos else eight_r,
+            eight_r if pos else eight_l,
+            cig, c_guide_len, str(len(ut)), c_tail,
+        )) + "\n"
+        # ReferenceHit.end quirk preserved: guide-only start + full-cigar
+        # length-on-target (= e0 - s0) - 1 (ReferenceHit.scala:135-138).
+        out[widx].append(RenderedHit(
+            c_guide_id, chrom, strand, None, cs, score, cs + (e0 - s0) - 1,
+            line,
+        ))
+    return out
+
+
+def make_render_consts(builder, guide: Guide) -> dict:
+    """The constant output columns of a reference-pass row, prebuilt once
+    per worker (mirrors the constant fields of HitBuilder.build)."""
+    from calitas_tpu.search.hits import ALIGNER_VERSION
+
+    return {
+        "guide_id": builder.guide_id,
+        "unpadded_guide": guide.guide,
+        "genome_build": builder.genome_build,
+        "guide_len": str(len(guide.guide)),
+        "tail": "\t".join((
+            builder.aligner_id, ALIGNER_VERSION,
+            builder.aligner_search_pam, builder.arguments,
+            builder.timestamp,
+        )),
+    }

@@ -326,7 +326,6 @@ def _mp_finish_chunk(spec: dict, chunk: list):
 
     from calitas_tpu.align.batch import (
         chain_ranges_to_pass,
-        finish_windows,
         max_target_span,
     )
     from calitas_tpu.search.windows import materialize_window
@@ -373,6 +372,8 @@ def _mp_finish_chunk(spec: dict, chunk: list):
     if not mat:
         return out
     try:
+        from calitas_tpu.align.batch import finish_rendered, make_render_consts
+
         windows = [(w.chrom, w.start, w.bases) for _, w, _, _ in mat]
         passes_list = [ps for _, _, ps, _ in mat]
         ranges_arr = None
@@ -381,30 +382,46 @@ def _mp_finish_chunk(spec: dict, chunk: list):
             for k, (_, _, _, r) in enumerate(mat):
                 if r is not None:
                     ranges_arr[k] = r
-        per_window = finish_windows(
-            guide, aligner, windows, passes_list, ranges=ranges_arr,
+        limits = dict(
             max_guide_diffs=kw["max_guide_diffs"],
             max_pam_diffs=kw["max_pam_diffs"],
             max_gaps_between_guide_and_pam=kw["max_gaps_between_guide_and_pam"],
             max_total_diffs=kw["max_total_diffs"],
             max_overlap=kw["max_overlap"],
         )
-        if per_window is None:  # no native lib: engine fallback
-            per_window = [
-                aligner.align(
-                    guide, w.bases, target_name=w.chrom,
-                    target_offset=w.start - 1, passes=ps, **kw,
-                )
-                for _, w, ps, _ in mat
-            ]
+        cache_key = (spec["key"], spec["guide_id"], spec["ref_path"], "rc")
+        consts = _MP_FINISH_CACHE.get(cache_key)
+        if consts is None:
+            consts = make_render_consts(builder, guide)
+            _MP_FINISH_CACHE[cache_key] = consts
+
+        def fetch(chrom, a, b):
+            return builder._fetch(chrom, a, b, False)
+
+        # Fast path: native buffers -> final TSV lines + dedup keys,
+        # no per-row GuideAlignment/ReferenceHit objects.
+        per_window = finish_rendered(
+            guide, aligner, windows, passes_list, ranges_arr, consts,
+            fetch, **limits,
+        )
+        if per_window is not None:
+            for (i, _w, _, _), rows in zip(mat, per_window):
+                out[i] = rows
+            return out
+
+        # No native lib: engine fallback builds full rows.
         from calitas_tpu.io.tsv import fields_of, render_row
         from calitas_tpu.search.hits import ReferenceHit, RenderedHit
 
         fields = fields_of(ReferenceHit)
+        per_window = [
+            aligner.align(
+                guide, w.bases, target_name=w.chrom,
+                target_offset=w.start - 1, passes=ps, **kw,
+            )
+            for _, w, ps, _ in mat
+        ]
         for (i, w, _, _), alns in zip(mat, per_window):
-            # Render each row to its final TSV line here in the worker
-            # (parallel across cores) and ship only the line + dedup
-            # keys; the parent never rebuilds a 34-field dataclass.
             out[i] = [
                 RenderedHit.of(h, render_row(h, fields))
                 for h in (builder.build(a) for a in alns)

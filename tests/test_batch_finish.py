@@ -157,3 +157,57 @@ def test_explicit_full_ranges_equal_default():
         assert len(la) == len(lb)
         for ga, gb in zip(la, lb):
             assert_same(ga, gb)
+
+
+@pytest.mark.parametrize("gi", range(len(GUIDES)))
+def test_rendered_rows_match_object_path(gi, tmp_path):
+    """finish_rendered's direct line assembly == render_row(build(aln))
+    for every row, including contig-edge flank N-padding and both
+    strands (the production reference-pass path vs the object path)."""
+    from calitas_tpu.align.batch import finish_rendered, make_render_consts
+    from calitas_tpu.io.fasta import ReferenceSetBuilder, IndexedFasta
+    from calitas_tpu.io.tsv import fields_of, render_row
+    from calitas_tpu.search.hits import HitBuilder, ReferenceHit
+
+    guide = GUIDES[gi]
+    rng = np.random.default_rng(100 + gi)
+    # A short contig so flanks run off both ends (N-padding exercised).
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    contig = rng.choice(alpha, size=600)
+    plant = (guide.guide + (guide.pams_3prime[0].upper() if guide.pams_3prime else "")) \
+        if not guide.pams_5prime else (guide.pams_5prime[0].upper() + guide.guide)
+    pb = np.frombuffer(plant.encode(), dtype=np.uint8)
+    contig[5 : 5 + len(pb)] = pb        # hit at the very start
+    contig[560 : 560 + len(pb)] = pb    # hit near the end
+    contig[260 : 260 + len(pb)] = pb
+    b = ReferenceSetBuilder(assembly="rr")
+    b.add("chrR").add(contig.tobytes().decode())
+    fa = b.to_file(tmp_path / "r.fa")
+    ref = IndexedFasta(fa)
+
+    aligner = SequentialAligner()
+    builder = HitBuilder(
+        guide_id="gid", guide=guide, ref=ref, vcf=None,
+        aligner_id="CALITAS:SearchReference", arguments="args",
+    )
+    windows = [("chrR", 1, contig)]
+    passes = [("fwd", "rev")]
+    consts = make_render_consts(builder, guide)
+    rendered = finish_rendered(
+        guide, aligner, windows, passes, None, consts,
+        lambda c, a, z: builder._fetch(c, a, z, False), **KW,
+    )
+    objs = finish_windows(guide, aligner, windows, passes, **KW)
+    fields = fields_of(ReferenceHit)
+    assert rendered is not None and objs is not None
+    got = rendered[0]
+    want = [builder.build(a) for a in objs[0]]
+    assert len(got) == len(want) and len(want) >= 2
+    for r, h in zip(got, want):
+        assert r._line == render_row(h, fields)
+        assert (r.guide_id, r.chromosome, r.strand) == (
+            h.guide_id, h.chromosome, h.strand,
+        )
+        assert (r.coordinate_start, r.score, r.end) == (
+            h.coordinate_start, h.score, h.end,
+        )
