@@ -89,13 +89,26 @@ def screened_search(
     # skip staging entirely.  Contig bases are only loaded for staging —
     # the production (hit_spec) path's workers materialize candidate
     # windows from the mmap'd reference themselves.
+    _SKIP = object()  # contig too short to search at all
+
     def stage_contig(name: str):
         contig_len = fasta.sequence_length(name) or 0
         if contig_len < 2:
-            return name, contig_len, None
+            return name, contig_len, _SKIP
         genome_dev = (prestaged or {}).get(name)
         if genome_dev is None:
-            genome_dev = screen.stage(fasta.get_bases(name))
+            try:
+                genome_dev = screen.stage(fasta.get_bases(name))
+            except Exception:
+                # Device staging failure degrades to the host-only path
+                # for this contig (None genome_dev -> all-candidates).
+                import logging
+
+                logging.getLogger("calitas_tpu.SearchReference").warning(
+                    "Device staging failed for %s; falling back to host "
+                    "alignment.", name, exc_info=True,
+                )
+                genome_dev = None
         return name, contig_len, genome_dev
 
     from concurrent.futures import ThreadPoolExecutor
@@ -110,7 +123,7 @@ def screened_search(
                 if idx + 1 < len(names)
                 else None
             )
-            if genome_dev is None:
+            if genome_dev is _SKIP:
                 continue
             bases = None
             yield from _search_contig(
@@ -194,23 +207,43 @@ def _search_contig(
         # instead of the whole window; uint8 8-column blocks cover
         # windows up to 2048 columns.
         want_ranges = hit_spec is not None and window_size <= 2048
-        if task.guide_id in multi_flags:
-            chain_flags = multi_flags[task.guide_id]  # [2, n]
-            flags = chain_flags.any(axis=0)
-        elif want_ranges:
-            chain_flags, cranges = screen.screen_contig(
-                genome_dev, contig_len, task.step_size,
-                dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
-                return_ranges=True,
+        starts = screen.window_starts(contig_len, task.step_size)
+        try:
+            if genome_dev is None:  # staging failed: degrade to host-only
+                raise RuntimeError("no staged genome")
+            if task.guide_id in multi_flags:
+                chain_flags = multi_flags[task.guide_id]  # [2, n]
+                flags = chain_flags.any(axis=0)
+            elif want_ranges:
+                chain_flags, cranges = screen.screen_contig(
+                    genome_dev, contig_len, task.step_size,
+                    dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
+                    return_ranges=True,
+                )
+                flags = chain_flags.any(axis=0)
+            else:
+                chain_flags = screen.screen_contig(
+                    genome_dev, contig_len, task.step_size,
+                    dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
+                    return_chains=True,
+                )
+                flags = chain_flags.any(axis=0)
+            hit_idx = np.nonzero(flags)[0]
+        except Exception:
+            # Device failure degrades, not aborts: align EVERY window of
+            # this contig on the host (the screen is a pure accelerator —
+            # all-candidates is exactly the host engine's work list, so
+            # output is unchanged).  Mirrors the reference's log-and-
+            # continue failure policy (SearchReference.scala:555-559).
+            import logging
+
+            logging.getLogger("calitas_tpu.SearchReference").warning(
+                "Device screen unavailable for %s/%s; aligning every "
+                "window on the host.", name, task.guide_id, exc_info=True,
             )
-            flags = chain_flags.any(axis=0)
-        else:
-            chain_flags = screen.screen_contig(
-                genome_dev, contig_len, task.step_size,
-                dp_query, revcomp(dp_query), min_score, pam_spec=pam_spec,
-                return_chains=True,
-            )
-            flags = chain_flags.any(axis=0)
+            chain_flags = None
+            cranges = None
+            hit_idx = np.arange(len(starts))
         # chain A (DP-orientation query over the forward genome) IS the
         # engine's fwd pass for 3'/PAM-less guides and the rev pass for
         # 5'-PAM guides; chain B is the mirror-equivalent of the other
@@ -218,8 +251,6 @@ def _search_contig(
         # (a skipped pass would contribute no alignments anyway).
         chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
         chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
-        starts = screen.window_starts(contig_len, task.step_size)
-        hit_idx = np.nonzero(flags)[0]
         win_passes = {}
         if chain_flags is not None:
             for i in hit_idx:

@@ -1,0 +1,74 @@
+"""Device-failure degradation: when staging or the screen throws, the
+search must fall back to host alignment of every window for that contig
+and still produce the exact table (the screen is a pure accelerator)."""
+
+import numpy as np
+import pytest
+
+from calitas_tpu.align.engine import SequentialAligner
+from calitas_tpu.core.guide import Guide
+from calitas_tpu.io.fasta import ReferenceSetBuilder, IndexedFasta
+from calitas_tpu.ops.genome_screen import GenomeScreen
+from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
+
+KW = dict(
+    max_guide_diffs=5, max_pam_diffs=1, max_gaps_between_guide_and_pam=3,
+    max_total_diffs=9, max_overlap=10,
+)
+
+
+class StageFails(GenomeScreen):
+    def stage(self, bases):
+        raise RuntimeError("injected staging failure")
+
+
+class ScreenFails(GenomeScreen):
+    def screen_contig(self, *a, **k):
+        raise RuntimeError("injected screen failure")
+
+
+@pytest.fixture()
+def ref(tmp_path):
+    rng = np.random.default_rng(11)
+    proto = "GACGCATAAAGATGAGACGC"
+    b = ReferenceSetBuilder(assembly="dg")
+    for c in ("chr1", "chr2"):
+        seq = list("".join(rng.choice(list("ACGT"), 30_000)))
+        for k in range(4):
+            p = 2000 + k * 6000
+            seq[p : p + 23] = list(proto + "TGG")
+        b.add(c).add("".join(seq))
+    return IndexedFasta(b.to_file(tmp_path / "ref.fa")), Guide.parse(proto + "nrg")
+
+
+def rows_of(ref, guide, screen):
+    fasta, g = ref, guide
+    task = GuideTask(guide_id="g", guide=g, guide_length=len(g.guide) + 3,
+                     step_size=970)
+    hs = dict(ref_path=str(fasta.path), aligner_id="A", arguments="x",
+              vcf_id=None, timestamp="t")
+    out = []
+    for _t, chrom, start, rows in screened_search(
+        fasta, None, [task], SequentialAligner(), window_size=1000,
+        threads=1, hit_spec=hs, screen=screen, **KW,
+    ):
+        for r in rows:
+            out.append((chrom, start, r._line))
+    return out
+
+
+def test_stage_failure_degrades_to_host(ref):
+    fasta, guide = ref
+    aligner = SequentialAligner()
+    good = rows_of(fasta, guide, GenomeScreen(aligner.scorer, window=1000))
+    degraded = rows_of(fasta, guide, StageFails(aligner.scorer, window=1000))
+    assert degraded == good
+    assert len(good) >= 8
+
+
+def test_screen_failure_degrades_to_host(ref):
+    fasta, guide = ref
+    aligner = SequentialAligner()
+    good = rows_of(fasta, guide, GenomeScreen(aligner.scorer, window=1000))
+    degraded = rows_of(fasta, guide, ScreenFails(aligner.scorer, window=1000))
+    assert degraded == good
