@@ -108,13 +108,20 @@ class VcfReader:
                 break
 
     def __iter__(self) -> Iterator[VcfVariant]:
+        for line in self.iter_lines():
+            yield _parse_record(line)
+
+    def iter_lines(self) -> Iterator[str]:
+        """Raw record lines (header consumed).  Streaming filters
+        (PrepareVcf) reject most lines on a partial split without paying
+        for full record objects."""
         if self._line is not None:
-            yield _parse_record(self._line)
+            yield self._line
             self._line = None
         for line in self._fh:
             line = line.rstrip("\n")
             if line:
-                yield _parse_record(line)
+                yield line
         self._fh.close()
 
     def query(self, chrom: str, start: int, end: int) -> Iterator[VcfVariant]:
@@ -246,6 +253,10 @@ class VcfWriter:
             fields.append(v.format or ".")
             fields.extend(v.genotypes)
         self._fh.write("\t".join(fields) + "\n")
+
+    def write_line(self, line: str) -> None:
+        """Write one pre-rendered record line (newline included)."""
+        self._fh.write(line)
 
     def close(self) -> None:
         self._fh.close()

@@ -55,29 +55,52 @@ def run(
 
     progress = ProgressLogger(logger, noun="variants", verb="wrote", unit=100_000)
     n = 0
+    from calitas_tpu.io.vcf import _SIMPLE_BASES
+
+    simple = _SIMPLE_BASES
     for vcf_in in input:
         logger.info("Processing file %s", vcf_in)
         reader = VcfReader(vcf_in)
-        for v in reader:
-            if v.filters != PASSING_FILTERS:
+        # Streaming fast path: the filters only need FILTER / INFO.AF /
+        # REF / ALT, so records are rejected from split fields without
+        # building variant objects, and survivors are re-rendered
+        # directly — behavior identical to filtering parsed records
+        # (PrepareVcf.scala:63-81; VcfWriter renders the same columns).
+        for line in reader.iter_lines():
+            f = line.split("\t", 8)  # genotype columns stay unsplit
+            if f[6] != "PASS" and frozenset(f[6].split(";")) != PASSING_FILTERS:
                 continue
-            afs = v.af()
-            if afs is None or not any(af >= min_af for af in afs):
+            info = f[7]
+            raw_af = None
+            if info != ".":
+                for item in info.split(";"):
+                    if item.startswith("AF="):
+                        raw_af = item[3:]  # last occurrence wins
+            if raw_af is None:
                 continue
-            if not v.alleles_are_simple():
+            afs = [float(x) for x in raw_af.split(",")]
+            if not any(af >= min_af for af in afs):
                 continue
-            kept = [
-                (alt, af) for alt, af in zip(v.alts, afs) if af >= min_af
-            ]
-            fixed = v.copy(
-                chrom=fix_chrom(v.chrom) if add_chr_prefix else v.chrom,
-                alts=tuple(alt for alt, _ in kept),
-                info=(("AF", format_af([af for _, af in kept])),),
-                format=None,
-                genotypes=(),
+            ref = f[3]
+            alts = [a for a in f[4].split(",") if a != "."]
+            if not (ref and all(c in simple for c in ref)) or not all(
+                a and all(c in simple for c in a) for a in alts
+            ):
+                continue
+            kept_alts = []
+            kept_afs = []
+            for alt, af in zip(alts, afs):
+                if af >= min_af:
+                    kept_alts.append(alt)
+                    kept_afs.append(af)
+            chrom = fix_chrom(f[0]) if add_chr_prefix else f[0]
+            pos = int(f[1])
+            out.write_line(
+                f"{chrom}\t{pos}\t{f[2]}\t{ref}\t"
+                f"{','.join(kept_alts) if kept_alts else '.'}\t{f[5]}\t"
+                f"PASS\tAF={format_af(kept_afs)}\n"
             )
-            out.write(fixed)
-            progress.record(v.chrom, v.pos)
+            progress.record(f[0], pos)
             n += 1
     out.close()
     logger.info("Wrote %d variants.", n)
