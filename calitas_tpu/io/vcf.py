@@ -136,40 +136,53 @@ class VcfReader:
 
 
 class VcfIndex:
-    """A whole-file parse of a (typically PrepareVcf'd) VCF into
-    per-chromosome variant lists, built ONCE per run.
+    """A once-per-run index of a (typically PrepareVcf'd) VCF: raw record
+    lines held as one bytes blob with per-chromosome position/offset
+    arrays; records parse lazily at query time.
 
     This is the TPU framework's stand-in for the reference's indexed
     per-chromosome query (SearchReference.scala:227-231): the reference
     opens a VariantSource backed by a tabix/contig index and pulls one
-    chromosome at a time; here the prepared VCF is small enough (PASS +
-    simple-allele + AF filtered) to parse once and hold in memory, so
-    ``query(chrom)`` is a dict lookup plus a binary search instead of a
-    linear re-scan of the file — and multi-guide / per-contig-checkpoint
-    runs never re-read the file at all.
+    chromosome at a time; here ``query(chrom)`` is a dict lookup plus a
+    binary search over an int array instead of a linear re-scan of the
+    file — and multi-guide / per-contig-checkpoint runs never re-read
+    the file.  Holding lines rather than parsed objects keeps
+    gnomAD-scale prepared VCFs (tens of millions of records) at
+    file-size memory instead of object-graph memory.
     """
 
     def __init__(self, path: str | Path):
         self.path = path
         reader = VcfReader(path)
         self.header = reader.header
-        self._chroms: dict[str, list[VcfVariant]] = {}
+        self._chroms: dict[str, list[tuple[int, int]]] = {}  # (start, end) byte spans
         self._order: list[str] = []
-        for v in reader:
-            lst = self._chroms.get(v.chrom)
+        blob = bytearray()
+        for line in reader.iter_lines():
+            tab = line.index("\t")
+            chrom = line[:tab]
+            lst = self._chroms.get(chrom)
             if lst is None:
-                lst = self._chroms[v.chrom] = []
-                self._order.append(v.chrom)
-            lst.append(v)
+                lst = self._chroms[chrom] = []
+                self._order.append(chrom)
+            raw = line.encode()
+            lst.append((len(blob), len(blob) + len(raw)))
+            blob += raw
+        self._blob = bytes(blob)
         # Sorted per-chrom position arrays enable bisect queries; a VCF
         # unsorted within a chromosome (malformed but tolerated, like the
         # streaming reader) falls back to a linear filter.
         self._pos: dict[str, list[int]] = {}
         self._sorted: dict[str, bool] = {}
-        for c, lst in self._chroms.items():
-            pos = [v.pos for v in lst]
+        for c, spans in self._chroms.items():
+            pos = [
+                int(self._blob[s:e].split(b"\t", 2)[1]) for s, e in spans
+            ]
             self._pos[c] = pos
             self._sorted[c] = all(a <= b for a, b in zip(pos, pos[1:]))
+
+    def _record(self, span: tuple[int, int]) -> VcfVariant:
+        return _parse_record(self._blob[span[0] : span[1]].decode())
 
     @property
     def chroms(self) -> list[str]:
@@ -177,7 +190,8 @@ class VcfIndex:
 
     def __iter__(self) -> Iterator[VcfVariant]:
         for c in self._order:
-            yield from self._chroms[c]
+            for span in self._chroms[c]:
+                yield self._record(span)
 
     def query(self, chrom: str, start: int = 1, end: int = 2**31 - 1) -> Iterator[VcfVariant]:
         """Variants with start <= pos <= end on ``chrom`` (same contract
@@ -186,13 +200,17 @@ class VcfIndex:
         if not lst:
             return iter(())
         if not self._sorted[chrom]:
-            return (v for v in lst if start <= v.pos <= end)
+            return (
+                self._record(sp)
+                for sp, p in zip(lst, self._pos[chrom])
+                if start <= p <= end
+            )
         import bisect
 
         pos = self._pos[chrom]
         lo = bisect.bisect_left(pos, start)
         hi = bisect.bisect_right(pos, end)
-        return iter(lst[lo:hi])
+        return (self._record(sp) for sp in lst[lo:hi])
 
 
 def _parse_record(line: str) -> VcfVariant:
