@@ -432,9 +432,15 @@ def screened_variant_windows_multi(
     def dispatch():
         """Pack the current batch and launch all kernels asynchronously;
         the device screens this batch while the host materializes and
-        packs the next one (double-buffering)."""
+        packs the next one (double-buffering).  The slot width is the
+        smallest power of two covering this batch's longest window
+        (variant windows are ~2x padding ~ 64-128 bases; packing them
+        into the 512-byte cap would make the transfer and the kernel
+        ~4x larger than needed)."""
         nonlocal batch
-        tmasks = np.zeros((batch_slots, slot), dtype=np.uint8)
+        longest = max(w.length for w in batch)
+        slot_b = max(64, 1 << (longest - 1).bit_length())
+        tmasks = np.zeros((batch_slots, slot_b), dtype=np.uint8)
         lengths = np.zeros(batch_slots, dtype=np.int32)
         for i, w in enumerate(batch):
             masks = TARGET_MASK_TABLE[w.bases]

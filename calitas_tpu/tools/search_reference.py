@@ -377,23 +377,49 @@ def _run_both_passes(
             else:
                 all_ids = frozenset(gid for gid, _, _ in gspecs)
                 flagged = ((w, all_ids) for w in vwindows)
-            for vwindow, keys in flagged:
+            # Window DP fans out to the worker pool in blocks (the
+            # reference pools variant windows too, SearchReference.scala
+            # :582); variant bookkeeping (lift-back, annotation, row
+            # build) stays in the parent where the VariantWindow lives.
+            from calitas_tpu.parallel.host_pool import (
+                _mp_align_chunk,
+                make_align_spec,
+                map_items_mp,
+            )
+
+            specs_by_gid = {
+                gid: make_align_spec(g, aligner, align_kwargs)
+                for gid, _gstr, g in gspecs
+            }
+
+            def process_block(block):
                 for gid, _gstr, g in gspecs:
-                    if gid not in keys:
+                    wins = [vw for vw, keys in block if gid in keys]
+                    if not wins:
                         continue
-                    relative = aligner.align(
-                        g,
-                        vwindow.bases,
-                        target_name=vwindow.chrom,
-                        target_offset=0,
-                        **align_kwargs,
-                    )
-                    absolute = flank_and_absolutize(relative, vwindow)
                     b = builders[gid]
                     rows = per_guide_rows[gid]
-                    for a in absolute:
-                        rows.append(b.build(a, vwindow.variants))
-                vprogress.record(vwindow.chrom, vwindow.start)
+                    for vw, results in map_items_mp(
+                        wins, specs_by_gid[gid], threads,
+                        worker_fn=_mp_align_chunk,
+                        to_payload=lambda vw: (
+                            vw.chrom, 1, vw.bases, ("fwd", "rev"),
+                        ),
+                        swallow_errors=True, logger=logger,
+                    ):
+                        for a in flank_and_absolutize(results, vw):
+                            rows.append(b.build(a, vw.variants))
+                for vw, _keys in block:
+                    vprogress.record(vw.chrom, vw.start)
+
+            block: list = []
+            for vwindow, keys in flagged:
+                block.append((vwindow, keys))
+                if len(block) >= 8192:
+                    process_block(block)
+                    block = []
+            if block:
+                process_block(block)
         # Guide-major append order, exactly as the previous per-guide loop
         # produced (keeps dedup/sort tie-breaks insertion-stable).
         for gid, _, _ in specs:
