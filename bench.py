@@ -278,6 +278,14 @@ def main() -> None:
         f"table_bytes={n_bytes} host8t_baseline={host_bps:.0f} bases/s",
         file=sys.stderr,
     )
+    print(
+        f"# NOTE: metric changed since round 1 (was screen-only "
+        f"throughput; BENCH_r01 measured 5.41e9 bases/s).  Screen-only "
+        f"this run: {G / screen_s:.3g} bases/s; the headline now also "
+        f"includes candidate finish, dedup, sort and serialization of "
+        f"the full output table.",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
