@@ -56,3 +56,33 @@ def test_engines_identical_on_random_genomes(tmp_path, seed):
     tpu_rows = table_without_timestamp(out_tpu)
     assert host_rows == tpu_rows
     assert len(host_rows) > 0  # planted sites must be found
+
+
+def test_long_guide_beyond_pallas_budget(tmp_path):
+    """A 60nt guide exceeds the pallas kernel's unroll budget (Q<=48);
+    the screened path must fall to the XLA kernel and still match the
+    host engine row-for-row."""
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.tools.search_reference import run
+
+    rng = np.random.default_rng(21)
+    proto = "".join(rng.choice(list("ACGT"), 60))
+    guide = proto + "ngg"
+    b = ReferenceSetBuilder(assembly="lg")
+    seq = list("".join(rng.choice(list("ACGT"), 200_000)))
+    for k in range(4):
+        p = 20_000 + k * 40_000
+        site = list(proto + "TGG")
+        for _ in range(k):
+            i = int(rng.integers(0, 60))
+            site[i] = rng.choice(list("ACGT"))
+        seq[p : p + len(site)] = site
+    b.add("chr1").add("".join(seq))
+    fa = b.to_file(tmp_path / "ref.fa")
+    run(guide=guide, guide_id="lg", ref=fa, engine="tpu", threads=1,
+        output=tmp_path / "t.txt")
+    run(guide=guide, guide_id="lg", ref=fa, engine="host", threads=1,
+        output=tmp_path / "h.txt")
+    assert table_without_timestamp(tmp_path / "t.txt") == \
+        table_without_timestamp(tmp_path / "h.txt")
+    assert len((tmp_path / "t.txt").read_text().splitlines()) >= 4
