@@ -402,6 +402,17 @@ class SequentialAligner:
                     a.score for a in fwd
                 ):
                     return fwd[0]
+                # Bound not exclusive: add ONLY the rev pass and merge.
+                # Stable-sorting fwd+rev reproduces the combined-pass
+                # order exactly (intra-window dedup never crosses
+                # strands; fwd alignments precede rev on ties), so the
+                # fwd DP is never recomputed.
+                rev = self.align_to_ref(
+                    guide, chrom, pos, window_size, passes=("rev",), **kwargs
+                )
+                merged = sorted(fwd + rev, key=SORT_KEY)
+                if merged:
+                    return merged[0]
         return self.align_to_ref(guide, chrom, pos, window_size, **kwargs)[0]
 
     # ------------------------------------------------------- PAM extension

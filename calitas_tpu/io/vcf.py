@@ -152,37 +152,43 @@ class VcfIndex:
     """
 
     def __init__(self, path: str | Path):
+        import numpy as np
+
         self.path = path
         reader = VcfReader(path)
         self.header = reader.header
-        self._chroms: dict[str, list[tuple[int, int]]] = {}  # (start, end) byte spans
+        build: dict[str, tuple[list, list, list]] = {}  # starts, ends, pos
         self._order: list[str] = []
         blob = bytearray()
         for line in reader.iter_lines():
-            tab = line.index("\t")
-            chrom = line[:tab]
-            lst = self._chroms.get(chrom)
-            if lst is None:
-                lst = self._chroms[chrom] = []
+            f = line.split("\t", 2)
+            chrom = f[0]
+            lists = build.get(chrom)
+            if lists is None:
+                lists = build[chrom] = ([], [], [])
                 self._order.append(chrom)
             raw = line.encode()
-            lst.append((len(blob), len(blob) + len(raw)))
+            lists[0].append(len(blob))
+            lists[1].append(len(blob) + len(raw))
+            lists[2].append(int(f[1]))
             blob += raw
         self._blob = bytes(blob)
-        # Sorted per-chrom position arrays enable bisect queries; a VCF
-        # unsorted within a chromosome (malformed but tolerated, like the
+        # Per-chrom numpy (start, end, pos) int64 arrays: ~24 bytes per
+        # record regardless of scale (vs hundreds for tuples/objects).
+        # Sorted positions enable searchsorted queries; a VCF unsorted
+        # within a chromosome (malformed but tolerated, like the
         # streaming reader) falls back to a linear filter.
-        self._pos: dict[str, list[int]] = {}
+        self._starts: dict[str, "np.ndarray"] = {}
+        self._ends: dict[str, "np.ndarray"] = {}
+        self._pos: dict[str, "np.ndarray"] = {}
         self._sorted: dict[str, bool] = {}
-        for c, spans in self._chroms.items():
-            pos = [
-                int(self._blob[s:e].split(b"\t", 2)[1]) for s, e in spans
-            ]
-            self._pos[c] = pos
-            self._sorted[c] = all(a <= b for a, b in zip(pos, pos[1:]))
+        for c in self._order:
+            s, e, p = (np.asarray(v, dtype=np.int64) for v in build[c])
+            self._starts[c], self._ends[c], self._pos[c] = s, e, p
+            self._sorted[c] = bool(np.all(p[:-1] <= p[1:]))
 
-    def _record(self, span: tuple[int, int]) -> VcfVariant:
-        return _parse_record(self._blob[span[0] : span[1]].decode())
+    def _record(self, s: int, e: int) -> VcfVariant:
+        return _parse_record(self._blob[s:e].decode())
 
     @property
     def chroms(self) -> list[str]:
@@ -190,27 +196,29 @@ class VcfIndex:
 
     def __iter__(self) -> Iterator[VcfVariant]:
         for c in self._order:
-            for span in self._chroms[c]:
-                yield self._record(span)
+            for s, e in zip(self._starts[c], self._ends[c]):
+                yield self._record(int(s), int(e))
 
     def query(self, chrom: str, start: int = 1, end: int = 2**31 - 1) -> Iterator[VcfVariant]:
         """Variants with start <= pos <= end on ``chrom`` (same contract
         as :meth:`VcfReader.query`), via binary search when sorted."""
-        lst = self._chroms.get(chrom)
-        if not lst:
+        import numpy as np
+
+        pos = self._pos.get(chrom)
+        if pos is None or not len(pos):
             return iter(())
+        ss, ee = self._starts[chrom], self._ends[chrom]
         if not self._sorted[chrom]:
             return (
-                self._record(sp)
-                for sp, p in zip(lst, self._pos[chrom])
+                self._record(int(s), int(e))
+                for s, e, p in zip(ss, ee, pos)
                 if start <= p <= end
             )
-        import bisect
-
-        pos = self._pos[chrom]
-        lo = bisect.bisect_left(pos, start)
-        hi = bisect.bisect_right(pos, end)
-        return (self._record(sp) for sp in lst[lo:hi])
+        lo = int(np.searchsorted(pos, start, side="left"))
+        hi = int(np.searchsorted(pos, end, side="right"))
+        return (
+            self._record(int(s), int(e)) for s, e in zip(ss[lo:hi], ee[lo:hi])
+        )
 
 
 def _parse_record(line: str) -> VcfVariant:

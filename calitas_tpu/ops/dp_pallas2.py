@@ -133,12 +133,10 @@ class PallasScreenKernelV2:
     def supports(q_len: int) -> bool:
         return q_len <= 48  # unroll budget
 
-    def max_scores_async(
-        self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
-    ):
-        """Dispatch the screen and return a zero-arg resolver (see
-        ScreenKernel.max_scores_async)."""
-        Q = len(qmask)
+    def prepare_targets(self, tmasks: np.ndarray, lengths: np.ndarray):
+        """Pad, lay out and upload a target batch once; the handle
+        serves every query (multi-guide screens share one H2D and one
+        kernel layout per batch)."""
         B, T = tmasks.shape
         pad_b = (-B) % BLOCK_W
         if pad_b:
@@ -149,18 +147,21 @@ class PallasScreenKernelV2:
         Bp = B + pad_b
 
         # [B, T] -> [T, Bp/128, 128] -> grid blocks of [T, 8, 128]
-        tcols = (
-            tmasks.T.astype(np.int32).reshape(T, Bp // LANES, LANES)
-        )
+        tcols = tmasks.T.astype(np.int32).reshape(T, Bp // LANES, LANES)
         lengths2 = lengths.astype(np.int32).reshape(Bp // LANES, LANES)
+        return (jnp.asarray(tcols), jnp.asarray(lengths2), B)
+
+    def max_scores_prepared_async(self, qmask: np.ndarray, prepared):
+        """Dispatch the screen on a prepared batch and return a zero-arg
+        resolver (see ScreenKernel.max_scores_prepared_async)."""
+        tcols, lengths2, B = prepared
+        Q = len(qmask)
         qvals = np.zeros((1, max(Q, 1)), dtype=np.int32)
         qvals[0, :Q] = qmask
 
         s = self.scorer
         out = _pallas_screen2(
-            jnp.asarray(qvals),
-            jnp.asarray(tcols),
-            jnp.asarray(lengths2),
+            jnp.asarray(qvals), tcols, lengths2,
             Q=Q,
             match=s.match_score,
             mismatch=s.mismatch_score,
@@ -169,6 +170,13 @@ class PallasScreenKernelV2:
             interpret=self.interpret,
         )
         return lambda: np.asarray(out).reshape(-1)[:B]
+
+    def max_scores_async(
+        self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
+    ):
+        return self.max_scores_prepared_async(
+            qmask, self.prepare_targets(tmasks, lengths)
+        )
 
     def max_scores(
         self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray

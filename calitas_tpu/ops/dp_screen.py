@@ -151,23 +151,32 @@ class ScreenKernel:
     def __init__(self, scorer: Scorer):
         self.scorer = scorer
 
-    def max_scores_async(
-        self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
-    ):
-        """Dispatch the screen and return a zero-arg resolver: the device
-        computes while the host prepares the next batch (the variant
-        pass double-buffers through this)."""
+    def prepare_targets(self, tmasks: np.ndarray, lengths: np.ndarray):
+        """Upload a target batch once; the handle serves every query
+        (multi-guide screens share one H2D per batch)."""
+        return (jnp.asarray(tmasks), jnp.asarray(lengths, dtype=jnp.int32))
+
+    def max_scores_prepared_async(self, qmask: np.ndarray, prepared):
+        """Dispatch the screen on a prepared batch and return a zero-arg
+        resolver: the device computes while the host prepares the next
+        batch (the variant pass double-buffers through this)."""
+        tm, ln = prepared
         s = self.scorer
         out = _screen_scores(
-            jnp.asarray(qmask),
-            jnp.asarray(tmasks),
-            jnp.asarray(lengths, dtype=jnp.int32),
+            jnp.asarray(qmask), tm, ln,
             match=s.match_score,
             mismatch=s.mismatch_score,
             qgap=s.query_gap_score,
             tgap=s.target_gap_score,
         )
         return lambda: np.asarray(out)
+
+    def max_scores_async(
+        self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray
+    ):
+        return self.max_scores_prepared_async(
+            qmask, self.prepare_targets(tmasks, lengths)
+        )
 
     def max_scores(
         self, qmask: np.ndarray, tmasks: np.ndarray, lengths: np.ndarray

@@ -375,6 +375,16 @@ class GenomeScreen:
         (SearchReference.scala:52)."""
         return np.arange(0, max(contig_len - 1, 0), step, dtype=np.int64)
 
+    @staticmethod
+    def _empty_result(return_chains: bool, return_ranges: bool):
+        """Zero-window results shaped per the requested interface."""
+        chains = np.zeros((2, 0), dtype=bool)
+        if return_ranges:
+            return chains, np.zeros((2, 0, 2), dtype=np.uint8)
+        if return_chains:
+            return chains
+        return np.zeros(0, dtype=bool)
+
     def screen_contig(
         self,
         genome_dev: jax.Array,
@@ -403,10 +413,18 @@ class GenomeScreen:
         c all lie within [min_block*8 + 1, (max_block+1)*8].  Only
         meaningful where the chain flag is set.
         """
+        if return_ranges and self.window > 2048:
+            # The coarse ranges are uint8 8-column blocks: windows wider
+            # than 256*8 columns would silently clip qualifying ends
+            # (false negatives).  Callers must screen without ranges at
+            # such widths (screen_runner gates on this too).
+            raise ValueError(
+                f"return_ranges supports window <= 2048 (got {self.window})"
+            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         if n == 0:
-            return np.zeros(0, dtype=bool)
+            return self._empty_result(return_chains, return_ranges)
         unit = BLOCK_W if self.use_pallas else LANES
         bw = min(
             -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
@@ -609,10 +627,14 @@ class ShardedGenomeScreen(GenomeScreen):
         return_chains: bool = False,
         return_ranges: bool = False,
     ):
+        if return_ranges and self.window > 2048:
+            raise ValueError(
+                f"return_ranges supports window <= 2048 (got {self.window})"
+            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         if n == 0:
-            return np.zeros(0, dtype=bool)
+            return self._empty_result(return_chains, return_ranges)
         n_dev = self.mesh.devices.size
         s = self.scorer
         Q = len(dp_query)

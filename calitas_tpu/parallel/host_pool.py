@@ -291,8 +291,16 @@ _MP_FINISH_CACHE: dict = {}
 
 def _mp_finish_state(spec: dict):
     """Worker-side cached state: aligner, guide, indexed reference and a
-    HitBuilder sharing the parent's run timestamp / VCF id."""
-    key = (spec["key"], spec["guide_id"], spec["ref_path"])
+    HitBuilder sharing the parent's run timestamp / VCF id.  The key
+    includes every run-scoped output column (timestamp, arguments,
+    aligner id, VCF id) — worker processes outlive a run, and a second
+    run in the same interpreter must not render rows with the first
+    run's metadata."""
+    key = (
+        spec["key"], spec["guide_id"], spec["ref_path"],
+        spec["aligner_id"], spec["arguments"], spec["vcf_id"],
+        spec["timestamp"],
+    )
     if key not in _MP_FINISH_CACHE:
         from calitas_tpu.io.fasta import IndexedFasta
         from calitas_tpu.search.hits import HitBuilder
@@ -389,7 +397,11 @@ def _mp_finish_chunk(spec: dict, chunk: list):
             max_total_diffs=kw["max_total_diffs"],
             max_overlap=kw["max_overlap"],
         )
-        cache_key = (spec["key"], spec["guide_id"], spec["ref_path"], "rc")
+        cache_key = (
+            spec["key"], spec["guide_id"], spec["ref_path"],
+            spec["aligner_id"], spec["arguments"], spec["vcf_id"],
+            spec["timestamp"], "rc",
+        )
         consts = _MP_FINISH_CACHE.get(cache_key)
         if consts is None:
             consts = make_render_consts(builder, guide)

@@ -322,7 +322,15 @@ def variant_window_iterator(
         chunks = re_chunk(vs, padding)
         allele_sets = [s for c in chunks for s in allele_combos(c, max_variants)]
         while vs[0].chrom != cur_name:  # advance the reference if needed
-            cur_name = next(contig_iter)
+            try:
+                cur_name = next(contig_iter)
+            except StopIteration:
+                raise ValueError(
+                    f"VCF chromosome {vs[0].chrom!r} not found in the "
+                    "reference (in contig order) — do the VCF and FASTA "
+                    "use the same naming (e.g. both 'chr1')?  PrepareVcf "
+                    "--add-chr-prefix normalizes gnomAD-style names."
+                ) from None
             cur_bases = upper_bytes(fasta.get_bases(cur_name))
         for vset in allele_sets:
             yield build_variant_window(vset, cur_name, cur_bases, padding)
@@ -429,6 +437,14 @@ def screened_variant_windows_multi(
     batch: list = []
     pending = None  # (windows, [(key, min_score, resolve_fw, resolve_rc)])
 
+    def _warn_device_failure():
+        import logging
+
+        logging.getLogger("calitas_tpu.SearchReference").warning(
+            "Device variant screen unavailable; aligning this batch's "
+            "windows unscreened.", exc_info=True,
+        )
+
     def dispatch():
         """Pack the current batch and launch all kernels asynchronously;
         the device screens this batch while the host materializes and
@@ -446,28 +462,55 @@ def screened_variant_windows_multi(
             masks = TARGET_MASK_TABLE[w.bases]
             tmasks[i, : len(masks)] = masks
             lengths[i] = len(masks)
-        launched = [
-            (
-                key,
-                min_score,
-                kernel.max_scores_async(qmask_fw, tmasks, lengths),
-                kernel.max_scores_async(qmask_rc, tmasks, lengths),
-            )
-            for key, qmask_fw, qmask_rc, min_score, kernel in per_guide
-        ]
+        try:
+            # One layout + H2D per batch per kernel; every guide then
+            # reuses the prepared device batch for its two launches.
+            prepared = {
+                id(k): k.prepare_targets(tmasks, lengths)
+                for k in kernels.values()
+            }
+            launched = [
+                (
+                    key,
+                    min_score,
+                    kernel.max_scores_prepared_async(
+                        qmask_fw, prepared[id(kernel)]
+                    ),
+                    kernel.max_scores_prepared_async(
+                        qmask_rc, prepared[id(kernel)]
+                    ),
+                )
+                for key, qmask_fw, qmask_rc, min_score, kernel in per_guide
+            ]
+        except Exception:
+            _warn_device_failure()
+            launched = None  # degrade: every window flagged for all guides
         out = (batch, launched)
         batch = []
         return out
 
     def resolve(p):
         windows, launched = p
+        if launched is None:
+            for w in windows:
+                yield w, all_keys
+            return
         flagged = [set() for _ in windows]
-        for key, min_score, res_fw, res_rc in launched:
-            best_fw = res_fw()
-            best_rc = res_rc()
-            for i in range(len(windows)):
-                if best_fw[i] >= min_score or best_rc[i] >= min_score:
-                    flagged[i].add(key)
+        try:
+            for key, min_score, res_fw, res_rc in launched:
+                best_fw = res_fw()
+                best_rc = res_rc()
+                for i in range(len(windows)):
+                    if best_fw[i] >= min_score or best_rc[i] >= min_score:
+                        flagged[i].add(key)
+        except Exception:
+            # Device failure degrades, not aborts: an unscreened window
+            # just gets aligned for every guide (flags are a
+            # conservative superset anyway).
+            _warn_device_failure()
+            for w in windows:
+                yield w, all_keys
+            return
         for w, keys in zip(windows, flagged):
             if keys:
                 yield w, keys

@@ -224,7 +224,18 @@ def run(
     for batch_start in range(0, len(tasks), BATCH_SIZE):
         batch = tasks[batch_start : batch_start + BATCH_SIZE]
         if pair_screen is not None:
-            batch = _screen_batch(batch)
+            try:
+                batch = _screen_batch(batch)
+            except Exception:
+                # Device failure degrades, not aborts: the unscreened
+                # batch runs both passes on the host (output-identical).
+                import logging
+
+                logging.getLogger("calitas_tpu.AlignToReference").warning(
+                    "Device pair screen unavailable; aligning batch "
+                    "unscreened.", exc_info=True,
+                )
+                pair_screen = None
         results: list[ReferenceHit] = []
         for (task_id, _q, _c, _p, *_extra), (guide, alns) in map_items_mp(
             batch, spec, threads,

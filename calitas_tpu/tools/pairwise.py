@@ -76,17 +76,28 @@ def run(
                 "" if g is None
                 else (g.guide_rc if g.pam_is_5prime else g.guide_fw)
             )
-        screen = PairScreen(aligner.scorer)
-        chain_a, chain_b = screen.chain_maxima(
-            dp_queries, [t for _q, t in tasks]
-        )
-        tasks = [
-            (
-                q, t,
-                pass_bounds_for(g, int(a), int(b)) if g is not None else None,
+        try:
+            screen = PairScreen(aligner.scorer)
+            chain_a, chain_b = screen.chain_maxima(
+                dp_queries, [t for _q, t in tasks]
             )
-            for (q, t), g, a, b in zip(tasks, guides, chain_a, chain_b)
-        ]
+            tasks = [
+                (
+                    q, t,
+                    pass_bounds_for(g, int(a), int(b))
+                    if g is not None else None,
+                )
+                for (q, t), g, a, b in zip(tasks, guides, chain_a, chain_b)
+            ]
+        except Exception:
+            # Device failure degrades, not aborts: unbounded tasks just
+            # run both passes on the host (output-identical).
+            import logging
+
+            logging.getLogger("calitas_tpu.PairwiseAlignSequences").warning(
+                "Device pair screen unavailable; aligning unscreened.",
+                exc_info=True,
+            )
 
     from calitas_tpu.parallel.host_pool import _mp_pairwise_chunk, map_items_mp
 
