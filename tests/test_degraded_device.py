@@ -72,3 +72,37 @@ def test_screen_failure_degrades_to_host(ref):
     good = rows_of(fasta, guide, GenomeScreen(aligner.scorer, window=1000))
     degraded = rows_of(fasta, guide, ScreenFails(aligner.scorer, window=1000))
     assert degraded == good
+
+
+def test_variant_screen_failure_degrades(monkeypatch):
+    """A device failure inside the variant-window screen yields every
+    window for every guide (conservative superset) instead of aborting."""
+    from dataclasses import dataclass
+
+    from calitas_tpu.ops import dp_screen
+    from calitas_tpu.search.variants import screened_variant_windows_multi
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(dp_screen.ScreenKernel, "prepare_targets", boom)
+    aligner = SequentialAligner()
+    g = Guide.parse("GACGCATAAAGATGAGACGCngg")
+
+    @dataclass
+    class W:
+        chrom: str
+        start: int
+        length: int
+        bases: np.ndarray
+
+    wins = [
+        W("chr1", 1 + i * 50, 60,
+          np.frombuffer(b"ACGT" * 15, dtype=np.uint8))
+        for i in range(10)
+    ]
+    out = list(screened_variant_windows_multi(
+        iter(wins), aligner, [("g", g, 0)], batch_slots=4,
+    ))
+    assert [w.start for w, _ in out] == [w.start for w in wins]
+    assert all(keys == frozenset({"g"}) for _w, keys in out)
