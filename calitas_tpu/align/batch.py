@@ -373,15 +373,13 @@ def finish_rendered(
 def make_render_consts(builder, guide: Guide) -> dict:
     """The constant output columns of a reference-pass row, prebuilt once
     per worker (mirrors the constant fields of HitBuilder.build)."""
-    from calitas_tpu.search.hits import ALIGNER_VERSION
-
     return {
         "guide_id": builder.guide_id,
         "unpadded_guide": guide.guide,
         "genome_build": builder.genome_build,
         "guide_len": str(len(guide.guide)),
         "tail": "\t".join((
-            builder.aligner_id, ALIGNER_VERSION,
+            builder.aligner_id, builder.aligner_version,
             builder.aligner_search_pam, builder.arguments,
             builder.timestamp,
         )),

@@ -120,6 +120,7 @@ def make_align_spec(guide, aligner, align_kwargs) -> dict:
 def make_finish_spec(
     guide, aligner, align_kwargs, *, guide_id, ref_path, aligner_id,
     arguments, vcf_id, timestamp, window_size, guide_length,
+    aligner_version=None,
 ) -> dict:
     """Spec for :func:`_mp_finish_chunk`: align spec + everything a worker
     needs to materialize windows and build ReferenceHit rows itself."""
@@ -133,6 +134,7 @@ def make_finish_spec(
         timestamp=timestamp,
         window_size=window_size,
         guide_length=guide_length,
+        aligner_version=aligner_version,
     )
     return spec
 
@@ -299,7 +301,7 @@ def _mp_finish_state(spec: dict):
     key = (
         spec["key"], spec["guide_id"], spec["ref_path"],
         spec["aligner_id"], spec["arguments"], spec["vcf_id"],
-        spec["timestamp"],
+        spec["timestamp"], spec.get("aligner_version"),
     )
     if key not in _MP_FINISH_CACHE:
         from calitas_tpu.io.fasta import IndexedFasta
@@ -316,6 +318,7 @@ def _mp_finish_state(spec: dict):
             arguments=spec["arguments"],
             _vcf_id=spec["vcf_id"],
             _timestamp=spec["timestamp"],
+            _aligner_version=spec.get("aligner_version"),
         )
         _MP_FINISH_CACHE[key] = (aligner, guide, ref, builder)
     return _MP_FINISH_CACHE[key]
@@ -400,7 +403,7 @@ def _mp_finish_chunk(spec: dict, chunk: list):
         cache_key = (
             spec["key"], spec["guide_id"], spec["ref_path"],
             spec["aligner_id"], spec["arguments"], spec["vcf_id"],
-            spec["timestamp"], "rc",
+            spec["timestamp"], spec.get("aligner_version"), "rc",
         )
         consts = _MP_FINISH_CACHE.get(cache_key)
         if consts is None:

@@ -181,6 +181,7 @@ class HitBuilder:
         *,
         _vcf_id: Optional[str] = None,
         _timestamp: Optional[str] = None,
+        _aligner_version: Optional[str] = None,
     ):
         self.guide_id = guide_id
         self.guide = guide
@@ -188,6 +189,11 @@ class HitBuilder:
         self.aligner_id = aligner_id
         self.arguments = arguments
         self.timestamp = _timestamp if _timestamp is not None else now_timestamp()
+        # Run-scoped: workers render rows with the PARENT's version
+        # string (a worker's own import may postdate a mid-run commit).
+        self.aligner_version = (
+            _aligner_version if _aligner_version is not None else ALIGNER_VERSION
+        )
         if _vcf_id is not None:
             self.vcf_id: Optional[str] = _vcf_id
         elif vcf is not None:
@@ -210,6 +216,7 @@ class HitBuilder:
             arguments=self.arguments,
             _vcf_id=self.vcf_id,
             _timestamp=self.timestamp,
+            _aligner_version=self.aligner_version,
         )
         return b
 
@@ -301,7 +308,7 @@ class HitBuilder:
             unpadded_guide_sequence_length=len(self.guide.guide),
             unpadded_target_sequence_length=len(aln.unpadded_target_without_pam),
             aligner=self.aligner_id,
-            aligner_version=ALIGNER_VERSION,
+            aligner_version=self.aligner_version,
             aligner_search_pam=self.aligner_search_pam,
             aligner_other_parameters=self.arguments,
             time_stamp=self.timestamp,

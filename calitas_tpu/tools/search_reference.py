@@ -302,6 +302,7 @@ def _run_both_passes(
             arguments=any_builder.arguments,
             vcf_id=any_builder.vcf_id,
             timestamp=any_builder.timestamp,
+            aligner_version=any_builder.aligner_version,
         )
         for _gtask, wchrom, wstart, rows in screened_search(
             ref_file, chrom, gtasks, aligner,
