@@ -251,15 +251,23 @@ def _search_contig(
         # (a skipped pass would contribute no alignments anyway).
         chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
         chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
-        win_passes = {}
-        if chain_flags is not None:
-            for i in hit_idx:
-                p = []
-                if chain_flags[0, i]:
-                    p.append(chain_a_pass)
-                if chain_flags[1, i]:
-                    p.append(chain_b_pass)
-                win_passes[int(starts[i])] = tuple(p)
+        # Per-candidate start/passes/ranges built as vector ops + one
+        # C-level tolist() each (a per-candidate Python loop here was a
+        # measurable slice of genome-scale runs).
+        n_cand = len(hit_idx)
+        cstarts = starts[hit_idx].tolist() if n_cand else []
+        if chain_flags is not None and n_cand:
+            _ptab = (
+                (), (chain_a_pass,), (chain_b_pass,),
+                (chain_a_pass, chain_b_pass),
+            )
+            sel = (
+                chain_flags[0, hit_idx].astype(np.int8)
+                + 2 * chain_flags[1, hit_idx].astype(np.int8)
+            )
+            passes_l = [_ptab[k] for k in sel.tolist()]
+        else:
+            passes_l = [("fwd", "rev")] * n_cand
 
         import logging
 
@@ -287,27 +295,21 @@ def _search_contig(
                 guide_length=task.guide_length,
                 **hit_spec,
             )
-            def crange_for(i):
-                # Widen the coarse 8-column blocks back to 1-based
-                # column bounds (the worker trim-shifts, mirrors chain
-                # B and clips — align/batch.py::chain_ranges_to_pass).
-                if cranges is None:
-                    return None
-                return (
-                    int(cranges[0, i, 0]) * 8 + 1,
-                    int(cranges[0, i, 1]) * 8 + 8,
-                    int(cranges[1, i, 0]) * 8 + 1,
-                    int(cranges[1, i, 1]) * 8 + 8,
-                )
+            # Widen the coarse 8-column blocks back to 1-based column
+            # bounds (the worker trim-shifts, mirrors chain B and clips
+            # — align/batch.py::chain_ranges_to_pass).
+            if cranges is not None and n_cand:
+                cr = cranges[:, hit_idx, :].astype(np.int64) * 8
+                cr_l = np.stack(
+                    [cr[0, :, 0] + 1, cr[0, :, 1] + 8,
+                     cr[1, :, 0] + 1, cr[1, :, 1] + 8], axis=1
+                ).tolist()
+            else:
+                cr_l = [None] * n_cand
 
             cand = (
-                (
-                    name,
-                    int(starts[i]),
-                    win_passes.get(int(starts[i]), ("fwd", "rev")),
-                    crange_for(i),
-                )
-                for i in hit_idx
+                (name, s, p, r)
+                for s, p, r in zip(cstarts, passes_l, cr_l)
             )
             for (c, s0, *_rest), rows in map_items_mp(
                 cand, spec, threads,
@@ -326,11 +328,8 @@ def _search_contig(
         if bases is None:
             bases = fasta.get_bases(name)
         cand_pairs = (
-            (
-                materialize_window(name, bases, int(starts[i]), window_size),
-                win_passes.get(int(starts[i]), ("fwd", "rev")),
-            )
-            for i in hit_idx
+            (materialize_window(name, bases, s, window_size), ps)
+            for s, ps in zip(cstarts, passes_l)
         )
         cand_pairs = (
             (w, ps)
