@@ -86,3 +86,36 @@ def test_long_guide_beyond_pallas_budget(tmp_path):
     assert table_without_timestamp(tmp_path / "t.txt") == \
         table_without_timestamp(tmp_path / "h.txt")
     assert len((tmp_path / "t.txt").read_text().splitlines()) >= 4
+
+
+@pytest.mark.parametrize("kw", [
+    dict(window_size=3000),  # beyond the end-column-range limit: the
+    #                          screen must run rangeless, still exact
+    dict(max_overlap=0),
+    dict(guide_mismatch_net_cost=-100, genome_gap_net_cost=-103,
+         guide_gap_net_cost=-102),
+    dict(max_guide_diffs=2, max_gaps_between_guide_and_pam=1),
+])
+def test_engines_identical_odd_configs(tmp_path, kw):
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.tools.search_reference import run
+
+    rng = np.random.default_rng(31)
+    proto = "GACGCATAAAGATGAGACGC"
+    b = ReferenceSetBuilder(assembly="mx")
+    seq = list("".join(rng.choice(list("ACGT"), 120_000)))
+    for k in range(6):
+        p = 8_000 + k * 18_000
+        site = list(proto + "TGG")
+        for _ in range(k % 5):
+            i = int(rng.integers(0, 20))
+            site[i] = rng.choice(list("ACGT"))
+        seq[p : p + 23] = site
+    b.add("chr1").add("".join(seq))
+    fa = b.to_file(tmp_path / "ref.fa")
+    run(guide=proto + "nrg", guide_id="g", ref=fa, engine="tpu",
+        threads=1, output=tmp_path / "t.txt", **kw)
+    run(guide=proto + "nrg", guide_id="g", ref=fa, engine="host",
+        threads=1, output=tmp_path / "h.txt", **kw)
+    assert table_without_timestamp(tmp_path / "t.txt") == \
+        table_without_timestamp(tmp_path / "h.txt")
