@@ -177,8 +177,28 @@ def build_variant_window(
     ref_len = len(ref_bases)
     window_start = max(1, vset.start - padding)
     window_end = min(ref_len, vset.end + padding)
-    bases = bytearray(ref_bases[window_start - 1 : window_end].tobytes())
     alleles = [vset.variant_allele(i) for i in range(len(vset.variants))]
+
+    # Fast path for the dominant shape (a single same-length
+    # substitution, e.g. one SNP): copy, overwrite, all-M cigar —
+    # identical output to the general machinery below.
+    if len(alleles) == 1:
+        a = alleles[0]
+        if len(a.ref) == len(a.alt):
+            arr = ref_bases[window_start - 1 : window_end].copy()
+            i0 = a.pos - window_start
+            arr[i0 : i0 + len(a.alt)] = np.frombuffer(
+                a.alt.encode("ascii"), dtype=np.uint8
+            )
+            return VariantWindow(
+                chrom=ref_name,
+                start=window_start,
+                variants=(a,),
+                cigar=Cigar((CigarElem("M", len(arr)),)),
+                bases=arr,
+            )
+
+    bases = bytearray(ref_bases[window_start - 1 : window_end].tobytes())
 
     # Substitute right-to-left to keep the math simple.
     for allele in reversed(alleles):
