@@ -3,15 +3,15 @@
 One ctypes call finishes a whole chunk of candidate windows: glocal DP,
 PAM extension, intra-window dedup and the full GuideAlignment rendering
 (padded strings, counters, guide-only coordinates) all happen in C++
-(``native/aligner.cpp::finish_batch``); Python only wraps the returned
-buffers into :class:`GuideAlignment` objects.  Behavior is bit-identical
-to ``SequentialAligner.align`` (SequentialGuideAligner.scala:228-322) —
+(``native/aligner.cpp::finish_batch``).  Behavior is bit-identical to
+``SequentialAligner.align`` (SequentialGuideAligner.scala:228-322) —
 enforced by the differential fuzz in tests/test_batch_finish.py.
 
-This is the production host-finish path of the TPU search: the device
-screen flags sparse candidate windows and (optionally) per-pass
-end-column ranges; this module turns them into alignments at
-microseconds per window.
+The production host-finish path of the TPU search is
+:func:`finish_rendered` (native buffers straight to final TSV lines +
+dedup keys at ~5 us/window of Python); :func:`finish_windows` decodes
+the same buffers into :class:`GuideAlignment` objects and anchors the
+line-for-line differential between the two.
 """
 
 from __future__ import annotations
@@ -28,8 +28,6 @@ from calitas_tpu.align.guide_alignment import GuideAlignment
 
 #: meta record layout emitted by finish_batch (aligner.cpp)
 _META_COLS = 16
-
-_KIND_NAMES = ("3fwd", "3rev", "5fwd", "5rev")
 
 
 def max_target_span(Q: int, match: int, qgap: int, min_score: int, T: int) -> int:
