@@ -96,6 +96,34 @@ def _mp_align_chunk(spec: dict, chunk: list):
     return out
 
 
+def _mp_align_chunk_batched(spec: dict, chunk: list):
+    """Worker: align a chunk of (chrom, start, bases[, passes]) windows
+    through ONE batched native ``finish_batch`` call (bit-identical to the
+    per-window ``aligner.align`` loop — tests/test_batch_finish.py), with
+    the per-window engine loop as fallback when the native library is
+    missing or the batched call fails.  The variant pass feeds thousands
+    of small haplotype windows per block; one ctypes call per chunk
+    replaces per-window query encoding / revcomp / pass dispatch."""
+    aligner, guide = _mp_aligner_for(spec)
+    try:
+        from calitas_tpu.align.batch import finish_windows
+
+        kw = spec["align_kwargs"]
+        windows = [(item[0], item[1], item[2]) for item in chunk]
+        passes_list = [
+            tuple(item[3]) if len(item) > 3 else ("fwd", "rev")
+            for item in chunk
+        ]
+        per_window = finish_windows(
+            guide, aligner, windows, passes_list, None, **kw
+        )
+        if per_window is not None:
+            return per_window
+    except Exception:
+        pass  # fall back to the per-window loop (isolates failures too)
+    return _mp_align_chunk(spec, chunk)
+
+
 def make_align_spec(guide, aligner, align_kwargs) -> dict:
     """A picklable description of an alignment task for worker processes
     (guide: a core.guide.Guide)."""

@@ -338,7 +338,7 @@ def _search_contig(
         )
 
         from calitas_tpu.parallel.host_pool import (
-            _mp_align_chunk,
+            _mp_align_chunk_batched,
             make_align_spec,
             map_items_mp,
         )
@@ -346,7 +346,7 @@ def _search_contig(
         spec = make_align_spec(guide, aligner, align_kwargs)
         for (w, _ps), results in map_items_mp(
             cand_pairs, spec, threads,
-            worker_fn=_mp_align_chunk,
+            worker_fn=_mp_align_chunk_batched,
             to_payload=lambda t: (t[0].chrom, t[0].start, t[0].bases, t[1]),
             swallow_errors=swallow_errors,
             logger=log,

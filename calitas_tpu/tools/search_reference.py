@@ -383,7 +383,7 @@ def _run_both_passes(
             # :582); variant bookkeeping (lift-back, annotation, row
             # build) stays in the parent where the VariantWindow lives.
             from calitas_tpu.parallel.host_pool import (
-                _mp_align_chunk,
+                _mp_align_chunk_batched,
                 make_align_spec,
                 map_items_mp,
             )
@@ -402,7 +402,7 @@ def _run_both_passes(
                     rows = per_guide_rows[gid]
                     for vw, results in map_items_mp(
                         wins, specs_by_gid[gid], threads,
-                        worker_fn=_mp_align_chunk,
+                        worker_fn=_mp_align_chunk_batched,
                         to_payload=lambda vw: (
                             vw.chrom, 1, vw.bases, ("fwd", "rev"),
                         ),
