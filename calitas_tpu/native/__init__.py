@@ -17,7 +17,7 @@ import numpy as np
 
 _HERE = Path(__file__).parent
 _LIB_PATH = _HERE / "libcalitas.so"
-_SRC = _HERE / "aligner.cpp"
+_SRCS = [_HERE / "aligner.cpp", _HERE / "variants.cpp"]
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -25,10 +25,13 @@ _tried = False
 
 def build(force: bool = False) -> Path:
     """Compile the shared library (g++ -O3)."""
-    if force or not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+    stale = force or not _LIB_PATH.exists() or any(
+        _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in _SRCS
+    )
+    if stale:
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            str(_SRC), "-o", str(_LIB_PATH),
+            *[str(s) for s in _SRCS], "-o", str(_LIB_PATH),
         ]
         subprocess.run(cmd, check=True, capture_output=True)
     return _LIB_PATH
@@ -100,6 +103,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             vp,  # out_meta
             vp, i64, vp, vp, vp,  # out_str, cap, off, plen, ulen
             vp, i64, vp, vp,  # out_cig, cap, off, len
+        ]
+        # build_variant_windows: one call per block of same-chrom VCF
+        # records; raw pointers like search_pass (callers keep the
+        # arrays alive across the call).
+        lib.build_variant_windows.restype = i32
+        lib.build_variant_windows.argtypes = [
+            vp, vp, vp, i32, i32, i32,  # blob, rec_start, rec_end, n, final, rec_base
+            vp, i64, i64, i32,  # ref_bases, ref_len, padding, max_variants
+            vp, i64, vp, vp, vp,  # bases, cap, woff, wlen, wstart
+            vp, i64, vp, vp,  # cig, cap, cigoff, ciglen
+            vp, vp, vp, vp,  # voff, vcnt, vrec, valt
+            i32, i32,  # win_cap, vpair_cap
+            vp, i32,  # warn, warn_cap
+            vp, vp, vp,  # n_windows_out, n_vpairs_out, n_warn_out
         ]
         _lib = lib
         return _lib

@@ -309,6 +309,191 @@ class _Peekable:
         return v
 
 
+#: records per native builder call (patchable in tests to pin the
+#: block-boundary chunk-continuation logic)
+_NATIVE_BLOCK = 65536
+
+
+class _LazyVariantWindow(VariantWindow):
+    """A VariantWindow whose cigar and variant alleles materialize on
+    first access.  The native builder emits window bases, cigar strings
+    and (record index, alt index) descriptors; most windows produce no
+    hits, so their cigars are never parsed and their VCF records never
+    decoded."""
+
+    def __init__(self, chrom, start, bases, cigar_str, vpairs, resolver):
+        self.chrom = chrom
+        self.start = start
+        self.bases = bases
+        self._cigar_str = cigar_str
+        self._vpairs = vpairs
+        self._resolver = resolver
+
+    @property
+    def cigar(self) -> Cigar:
+        c = self.__dict__.get("_cigar_obj")
+        if c is None:
+            from calitas_tpu.core.cigar import LazyCigar
+
+            c = LazyCigar(self._cigar_str)
+            self.__dict__["_cigar_obj"] = c
+        return c
+
+    @property
+    def variants(self) -> tuple[VariantAllele, ...]:
+        v = self.__dict__.get("_variants")
+        if v is None:
+            v = tuple(self._resolver(r, a) for r, a in self._vpairs)
+            self.__dict__["_variants"] = v
+        return v
+
+
+def _native_chrom_windows(
+    lib, index, vchrom: str, ref_bases: np.ndarray, padding: int,
+    max_variants: int,
+) -> Iterator[VariantWindow]:
+    """Stream this chromosome's variant windows from the native builder
+    (native/variants.cpp), block by block."""
+    import ctypes
+
+    from calitas_tpu.io.vcf import _parse_record
+
+    spans_s = index._starts[vchrom]
+    spans_e = index._ends[vchrom]
+    blob_arr = np.frombuffer(index._blob, dtype=np.uint8)
+    blob = index._blob
+    n = len(spans_s)
+    cache: dict[int, object] = {}
+
+    def resolver(rec_idx: int, alt_idx: int) -> VariantAllele:
+        v = cache.get(rec_idx)
+        if v is None:
+            s, e = int(spans_s[rec_idx]), int(spans_e[rec_idx])
+            v = _parse_record(blob[s:e].decode())
+            cache[rec_idx] = v
+        afs = v.af()
+        af = afs[alt_idx - 1] if afs is not None and len(afs) >= alt_idx else 0.0
+        return VariantAllele(
+            id=v.id or "", pos=v.pos, ref=v.ref, alt=v.alts[alt_idx - 1],
+            af=float(af),
+        )
+
+    i0 = 0
+    block = _NATIVE_BLOCK
+    win_cap = 0
+    while i0 < n:
+        nb = min(block, n - i0)
+        final = 1 if i0 + nb == n else 0
+        rec_s = np.ascontiguousarray(spans_s[i0 : i0 + nb])
+        rec_e = np.ascontiguousarray(spans_e[i0 : i0 + nb])
+        win_cap = max(win_cap, 4 * nb + 256)
+        while True:
+            vpair_cap = 2 * win_cap
+            bases_cap = win_cap * (2 * padding + 80)
+            cig_cap = win_cap * 32
+            wbases = np.empty(bases_cap, dtype=np.uint8)
+            woff = np.empty(win_cap, dtype=np.int64)
+            wlen = np.empty(win_cap, dtype=np.int32)
+            wstart = np.empty(win_cap, dtype=np.int64)
+            cig = np.empty(cig_cap, dtype=np.uint8)
+            cigoff = np.empty(win_cap, dtype=np.int64)
+            ciglen = np.empty(win_cap, dtype=np.int32)
+            voff = np.empty(win_cap, dtype=np.int32)
+            vcnt = np.empty(win_cap, dtype=np.int32)
+            vrec = np.empty(vpair_cap, dtype=np.int32)
+            valt = np.empty(vpair_cap, dtype=np.int32)
+            warn = np.empty(3 * nb + 3, dtype=np.int64)
+            n_windows = ctypes.c_int32(0)
+            n_vpairs = ctypes.c_int32(0)
+            n_warn = ctypes.c_int32(0)
+            rc = lib.build_variant_windows(
+                blob_arr.ctypes.data, rec_s.ctypes.data, rec_e.ctypes.data,
+                nb, final, i0,
+                ref_bases.ctypes.data, len(ref_bases), padding, max_variants,
+                wbases.ctypes.data, bases_cap, woff.ctypes.data,
+                wlen.ctypes.data, wstart.ctypes.data,
+                cig.ctypes.data, cig_cap, cigoff.ctypes.data,
+                ciglen.ctypes.data, voff.ctypes.data, vcnt.ctypes.data,
+                vrec.ctypes.data, valt.ctypes.data,
+                win_cap, vpair_cap, warn.ctypes.data, nb + 1,
+                ctypes.byref(n_windows), ctypes.byref(n_vpairs),
+                ctypes.byref(n_warn),
+            )
+            if rc == -1:
+                win_cap *= 4
+                continue
+            if rc < 0:
+                raise ValueError(
+                    f"Malformed VCF record near {vchrom} record {i0} "
+                    f"(native parser error {rc})"
+                )
+            break
+        if rc == 0 and not final:
+            block *= 2  # one chunk spans the whole block; widen and retry
+            continue
+        for k in range(int(n_warn.value)):
+            logger.warning(
+                "Not checking combos for %d variants at %s:%d-%d",
+                int(warn[3 * k]), vchrom, int(warn[3 * k + 1]),
+                int(warn[3 * k + 2]),
+            )
+        cig_bytes = cig.tobytes()
+        nw = int(n_windows.value)
+        for w in range(nw):
+            o = int(woff[w])
+            vo = int(voff[w])
+            vc = int(vcnt[w])
+            yield _LazyVariantWindow(
+                chrom=vchrom,
+                start=int(wstart[w]),
+                bases=wbases[o : o + int(wlen[w])],
+                cigar_str=cig_bytes[
+                    int(cigoff[w]) : int(cigoff[w]) + int(ciglen[w])
+                ].decode("ascii"),
+                vpairs=tuple(
+                    (int(vrec[vo + t]), int(valt[vo + t])) for t in range(vc)
+                ),
+                resolver=resolver,
+            )
+        i0 += rc
+        block = _NATIVE_BLOCK
+
+
+def _native_variant_window_iter(
+    lib, fasta: IndexedFasta, index, chrom: Optional[str], padding: int,
+    max_variants: int,
+) -> Iterator[VariantWindow]:
+    """The native-builder equivalent of the Python iterator below: same
+    contig advancement, same error on a VCF chromosome missing from the
+    reference (in contig order)."""
+    contig_names = [chrom] if chrom is not None else fasta.names
+    contig_iter = iter(contig_names)
+    cur_name = next(contig_iter)
+    cur_bases = upper_bytes(fasta.get_bases(cur_name))
+
+    if chrom is not None:
+        vchroms = [chrom] if chrom in index._starts else []
+    else:
+        vchroms = index.chroms
+    for vchrom in vchroms:
+        if not len(index._starts.get(vchrom, ())):
+            continue
+        while vchrom != cur_name:
+            try:
+                cur_name = next(contig_iter)
+            except StopIteration:
+                raise ValueError(
+                    f"VCF chromosome {vchrom!r} not found in the "
+                    "reference (in contig order) — do the VCF and FASTA "
+                    "use the same naming (e.g. both 'chr1')?  PrepareVcf "
+                    "--add-chr-prefix normalizes gnomAD-style names."
+                ) from None
+            cur_bases = upper_bytes(fasta.get_bases(cur_name))
+        yield from _native_chrom_windows(
+            lib, index, vchrom, cur_bases, padding, max_variants
+        )
+
+
 def variant_window_iterator(
     fasta: IndexedFasta,
     vcf,  # str | Path | VcfIndex
@@ -322,10 +507,28 @@ def variant_window_iterator(
     :class:`~calitas_tpu.io.vcf.VcfIndex` — the tool builds the index once
     per run so multi-guide and per-contig-checkpoint passes never re-parse
     the file (the reference's per-chromosome indexed query,
-    SearchReference.scala:227-231)."""
+    SearchReference.scala:227-231).
+
+    Given a VcfIndex whose records are position-sorted per chromosome
+    (every PrepareVcf'd file), construction runs in the native builder
+    (native/variants.cpp — bit-identical windows, fuzz-pinned by
+    tests/test_native_variants.py); otherwise the pure-Python machinery
+    below is used."""
     from calitas_tpu.io.vcf import VcfIndex
 
     reader = vcf if isinstance(vcf, VcfIndex) else VcfReader(vcf)
+    if isinstance(reader, VcfIndex):
+        from calitas_tpu import native
+
+        lib = native.get_lib()
+        relevant = [chrom] if chrom is not None else reader.chroms
+        if lib is not None and all(
+            reader._sorted.get(c, True) for c in relevant
+        ):
+            yield from _native_variant_window_iter(
+                lib, fasta, reader, chrom, padding, max_variants
+            )
+            return
     if chrom is not None:
         contig_names = [chrom]
         vcf_iter = _Peekable(reader.query(chrom, 1, 2**31 - 1))

@@ -84,6 +84,7 @@ def run(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     distributed: bool = False,
+    _vcf_index=None,  # injectable prebuilt VcfIndex (tests / resident serving)
 ) -> None:
     import time as _time
 
@@ -216,8 +217,8 @@ def run(
     # Parse + index the VCF once per run; every guide / checkpointed
     # contig queries the in-memory index (the reference's per-chromosome
     # indexed VariantSource, SearchReference.scala:227-231).
-    vcf_index = None
-    if variants is not None:
+    vcf_index = _vcf_index
+    if variants is not None and vcf_index is None:
         from calitas_tpu.io.vcf import VcfIndex
 
         vcf_index = VcfIndex(variants)
