@@ -163,6 +163,23 @@ overlapping alignments instead.""",
     mh.add_argument("-r", "--ref", default=None,
                     help="Reference fasta (for dictionary sort order).")
 
+    # ----------------------------------------------------------------- Serve
+    sv = sub.add_parser(
+        "Serve",
+        help="Long-lived search server: stage the genome (and index the "
+             "VCF) once, answer SearchReference requests over a JSON "
+             "line protocol on stdin/stdout.",
+    )
+    sv.add_argument("-r", "--ref", required=True, help="Reference genome fasta.")
+    sv.add_argument("-v", "--variants", default=None,
+                    help="Optional VCF of variants to merge into the genome.")
+    sv.add_argument("-w", "--window-size", type=int, default=1000)
+    sv.add_argument("-t", "--threads", type=int, default=8)
+    sv.add_argument("-c", "--contigs", nargs="*", default=None,
+                    help="Stage only these contigs (default: all).")
+    sv.add_argument("--engine", choices=["auto", "host", "tpu"], default="auto")
+    _add_scoring_args(sv)
+
     # ----------------------------------------------------------------- PrepareVcf
     pv = sub.add_parser("PrepareVcf",
                         help="Prepares a VCF for optimal use by SearchReference.")
@@ -300,6 +317,22 @@ def _dispatch(cmd, args) -> int:
         dictionary = extract_dictionary(args.ref) if args.ref else None
         n = merge_host_outputs(args.input, dictionary, args.output)
         print(f"Wrote {n} rows to {args.output}", file=sys.stderr)
+    elif cmd == "Serve":
+        from calitas_tpu.serve import ResidentSearcher, serve_stdio
+
+        searcher = ResidentSearcher(
+            ref=args.ref,
+            variants=args.variants,
+            window_size=args.window_size,
+            threads=args.threads,
+            engine=args.engine,
+            contigs=args.contigs,
+            guide_mismatch_net_cost=args.guide_mismatch_net_cost,
+            pam_mismatch_net_cost=args.pam_mismatch_net_cost,
+            genome_gap_net_cost=args.genome_gap_net_cost,
+            guide_gap_net_cost=args.guide_gap_net_cost,
+        )
+        serve_stdio(searcher)
     elif cmd == "PrepareVcf":
         from calitas_tpu.tools import prepare_vcf
 

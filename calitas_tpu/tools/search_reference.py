@@ -85,6 +85,8 @@ def run(
     process_count: Optional[int] = None,
     distributed: bool = False,
     _vcf_index=None,  # injectable prebuilt VcfIndex (tests / resident serving)
+    _screen=None,  # injectable GenomeScreen (resident serving)
+    _prestaged=None,  # {contig: staged device array} (resident serving)
 ) -> None:
     import time as _time
 
@@ -250,6 +252,7 @@ def run(
                 name, contig_hits, specs, builders, aligner, ref_file,
                 vcf_index, max_variants, window_size, step_for, use_tpu,
                 threads, align_kwargs, progress, logger,
+                screen=_screen, prestaged=_prestaged,
             )
             state.record(name, contig_hits)
             hits.extend(contig_hits)
@@ -264,12 +267,14 @@ def run(
                 name, hits, specs, builders, aligner, ref_file, vcf_index,
                 max_variants, window_size, step_for, use_tpu, threads,
                 align_kwargs, progress, logger,
+                screen=_screen, prestaged=_prestaged,
             )
     else:
         _run_both_passes(
             chrom, hits, specs, builders, aligner, ref_file, vcf_index,
             max_variants, window_size, step_for, use_tpu, threads,
             align_kwargs, progress, logger,
+            screen=_screen, prestaged=_prestaged,
         )
     _finalize(
         hits, max_overlap, dictionary, output, profile_dir, run_start,
@@ -280,6 +285,7 @@ def run(
 def _run_both_passes(
     chrom, hits, specs, builders, aligner, ref_file, variants, max_variants,
     window_size, step_for, use_tpu, threads, align_kwargs, progress, logger,
+    screen=None, prestaged=None,
 ):
     """Both search passes (reference windows + variant windows) for one
     chromosome restriction (or the whole genome when chrom is None),
@@ -308,7 +314,7 @@ def _run_both_passes(
         for _gtask, wchrom, wstart, rows in screened_search(
             ref_file, chrom, gtasks, aligner,
             window_size=window_size, threads=threads, swallow_errors=True,
-            hit_spec=hit_spec,
+            hit_spec=hit_spec, screen=screen, prestaged=prestaged,
             **align_kwargs,
         ):
             hits.extend(rows)
