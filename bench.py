@@ -237,17 +237,18 @@ def main() -> None:
         elapsed = min(elapsed, time.perf_counter() - t0)
     device_bps = G / elapsed
 
-    # Screen-only time for the phase breakdown (same megacall the search
-    # used, re-dispatched warm).
+    # Screen-only time for the phase breakdown (the same segmented spans
+    # the search dispatched, re-dispatched warm and fully resolved).
     from calitas_tpu.core.sequence import revcomp
 
     min_score = aligner.min_guide_score(guide, align_kwargs["max_guide_diffs"])
     pam_spec = (tuple(guide.pams_fw), 1, 3)
     t0 = time.perf_counter()
-    screen.screen_contig(
+    for _i0, _n, resolve in screen.screen_contig_async(
         genome_dev, G, step, dp_query, revcomp(dp_query), min_score,
-        pam_spec=pam_spec, return_ranges=True,
-    )
+        pam_spec=pam_spec,
+    ):
+        resolve()
     screen_s = time.perf_counter() - t0
 
     # Second baseline block: the container's effective CPU speed drifts

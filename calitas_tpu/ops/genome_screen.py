@@ -317,6 +317,32 @@ def _screen_genome(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "step", "batch_windows", "max_batches",
+        "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
+        "emit_ranges", "interpret",
+    ),
+)
+def _screen_genome_span(
+    genome, qv_fw, qv_rc, n_batches, min_score, base0, *,
+    window, step, batch_windows, max_batches, Q, match, mismatch, qgap,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+):
+    """A window-span slice of the contig screen (traced ``base0`` genome
+    offset): the segmented screen dispatches several of these back to
+    back so the host can finish segment N's candidates while the device
+    screens segment N+1."""
+    return _screen_grid(
+        genome, qv_fw, qv_rc, n_batches, min_score, base0,
+        window=window, step=step, batch_windows=batch_windows,
+        max_batches=max_batches, Q=Q, match=match, mismatch=mismatch,
+        qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
+        emit_ranges=emit_ranges, interpret=interpret,
+    )
+
+
 class GenomeScreen:
     """Per-contig device screen: stage once, screen every window layout."""
 
@@ -475,6 +501,119 @@ class GenomeScreen:
         if return_chains:
             return chain_flags
         return chain_flags.any(axis=0)
+
+    #: segments per contig for the pipelined screen (screen_contig_async);
+    #: each segment is its own device dispatch, so the host finishes
+    #: segment N's candidates while the device screens segment N+1
+    SEGMENTS = 4
+    #: below this many window batches segmentation can't amortize its
+    #: extra dispatches — fall back to one span
+    MIN_BATCHES_PER_SEGMENT = 4
+
+    def screen_contig_async(
+        self,
+        genome_dev: jax.Array,
+        contig_len: int,
+        step: int,
+        dp_query: str,
+        dp_query_rc: str,
+        min_score: int,
+        pam_spec=None,
+        segments: int | None = None,
+    ) -> list:
+        """The pipelined form of :meth:`screen_contig` (always per-chain
+        flags + coarse ranges): dispatches the contig's window grid as
+        several independent spans — ALL enqueued immediately, executed
+        back to back by the device — and returns a list of
+        ``(start_index, n_windows, resolve)`` triples in window order.
+        ``resolve()`` blocks on that span's (tiny, bit-packed) readback
+        and returns ``(chain_flags, ranges)`` for windows
+        ``[start_index, start_index + n_windows)``.
+
+        Flag/range values are bit-identical to one :meth:`screen_contig`
+        call: the spans partition the same window grid, and each span
+        runs the same device batch loop (``_screen_grid``) the
+        single-span screen runs (pinned by tests/test_screen.py)."""
+        if self.window > 2048:
+            raise ValueError(
+                f"ranges need window <= 2048 (got {self.window})"
+            )
+        starts = self.window_starts(contig_len, step)
+        n = len(starts)
+        if n == 0:
+            return []
+        unit = BLOCK_W if self.use_pallas else LANES
+        bw = min(
+            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
+        )
+        n_batches = -(-n // bw)
+        if segments is None:
+            segments = self.SEGMENTS
+        segments = max(
+            1, min(segments, n_batches // self.MIN_BATCHES_PER_SEGMENT)
+        )
+        bps = -(-n_batches // segments)  # batches per segment
+        segments = -(-n_batches // bps)
+        # One static shape for every segment (and every contig at this
+        # batch-count bucket): one compilation.
+        max_batches = 1 << (bps - 1).bit_length()
+        last_base = (segments - 1) * bps * bw * step
+        need = last_base + (max_batches * bw - 1) * step + self.window + step
+        if need > genome_dev.shape[0]:
+            need = 1 << (need - 1).bit_length()
+            extra = need - genome_dev.shape[0]
+            genome_dev = jnp.concatenate(
+                [genome_dev, jnp.zeros(extra, jnp.uint8)]
+            )
+        s = self.scorer
+        Q = len(dp_query)
+        use_pallas = self.use_pallas and Q <= 48
+        qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
+        qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
+        static_pam_spec = None
+        if pam_spec is not None and use_pallas:
+            pams, max_pam_mm, max_gap = pam_spec
+            if pams and all(len(p) > 0 for p in pams):
+                static_pam_spec = (
+                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
+                    int(max_pam_mm),
+                    int(max_gap),
+                )
+        out = []
+        for seg in range(segments):
+            b0 = seg * bps
+            nb = min(bps, n_batches - b0)
+            i0 = b0 * bw
+            n_seg = min(n - i0, bps * bw)
+            packed, packed_ranges = _screen_genome_span(
+                genome_dev, qv_fw, qv_rc, jnp.int32(nb),
+                jnp.int32(min_score), jnp.int32(b0 * bw * step),
+                window=self.window, step=step, batch_windows=bw,
+                max_batches=max_batches, Q=Q, match=s.match_score,
+                mismatch=s.mismatch_score, qgap=s.query_gap_score,
+                tgap=s.target_gap_score, use_pallas=use_pallas,
+                pam_spec=static_pam_spec, emit_ranges=True,
+                interpret=self.interpret,
+            )
+
+            # Start the (tiny) D2H copies as soon as each span's compute
+            # finishes: resolve() then only waits, instead of paying one
+            # serialized round trip per span (28 ms each on tunneled dev
+            # links; harmless elsewhere).
+            try:
+                packed.copy_to_host_async()
+                packed_ranges.copy_to_host_async()
+            except Exception:
+                pass
+
+            def resolve(packed=packed, packed_ranges=packed_ranges,
+                        n_seg=n_seg):
+                chain_flags = _unpack_flag_bits(np.asarray(packed), n_seg)
+                ranges = np.asarray(packed_ranges)[:, :n_seg]
+                return chain_flags, ranges
+
+            out.append((i0, n_seg, resolve))
+        return out
 
 
 # ---------------------------------------------------------------------------

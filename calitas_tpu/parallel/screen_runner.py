@@ -208,6 +208,39 @@ def _search_contig(
         # windows up to 2048 columns.
         want_ranges = hit_spec is not None and window_size <= 2048
         starts = screen.window_starts(contig_len, task.step_size)
+
+        # Pipelined production path: the screen is dispatched as several
+        # independent window spans so the worker pool finishes span N's
+        # candidates while the device screens span N+1 (flags identical
+        # to the one-span screen — same device batch loop).  Falls
+        # through to the classic path on any dispatch problem.
+        if (
+            want_ranges
+            and genome_dev is not None
+            and type(screen) is GenomeScreen
+            and task.guide_id not in multi_flags
+        ):
+            segs = None
+            try:
+                segs = screen.screen_contig_async(
+                    genome_dev, contig_len, task.step_size,
+                    dp_query, revcomp(dp_query), min_score,
+                    pam_spec=pam_spec,
+                )
+            except Exception:
+                import logging
+
+                logging.getLogger("calitas_tpu.SearchReference").warning(
+                    "Segmented screen dispatch failed for %s/%s; using the "
+                    "single-span screen.", name, task.guide_id, exc_info=True,
+                )
+            if segs is not None:
+                yield from _finish_segments(
+                    segs, starts, fasta, name, task, guide, aligner, screen,
+                    window_size, threads, swallow_errors, hit_spec,
+                    align_kwargs, min_score,
+                )
+                continue
         try:
             if genome_dev is None:  # staging failed: degrade to host-only
                 raise RuntimeError("no staged genome")
@@ -353,3 +386,92 @@ def _search_contig(
         ):
             if results:
                 yield task, w, results
+
+
+def _finish_segments(
+    segs, starts, fasta, name, task, guide, aligner, screen, window_size,
+    threads, swallow_errors, hit_spec, align_kwargs, min_score,
+):
+    """Consume a segmented contig screen (screen_contig_async): resolve
+    each span's flags lazily inside the candidate stream so the worker
+    pool finishes span N while the device screens span N+1.  A span
+    whose readback fails degrades that span and every later one to
+    unscreened host alignment (identical output, like the classic
+    path's whole-contig degradation)."""
+    import logging
+
+    log = logging.getLogger("calitas_tpu.SearchReference")
+    chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
+    chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
+    _ptab = (
+        (), (chain_a_pass,), (chain_b_pass,), (chain_a_pass, chain_b_pass),
+    )
+    stats = {"cand": 0}
+
+    def cand_stream():
+        degraded = False
+        for i0, n_seg, resolve in segs:
+            chain_flags = cranges = None
+            if not degraded:
+                try:
+                    chain_flags, cranges = resolve()
+                except Exception:
+                    degraded = True
+                    log.warning(
+                        "Device screen unavailable for %s/%s (segment at "
+                        "window %d); aligning remaining windows on the "
+                        "host.", name, task.guide_id, i0, exc_info=True,
+                    )
+            if degraded:
+                stats["cand"] += n_seg
+                for s in starts[i0 : i0 + n_seg].tolist():
+                    yield (name, s, ("fwd", "rev"), None)
+                continue
+            flags = chain_flags.any(axis=0)
+            hit_idx = np.nonzero(flags)[0]
+            n_cand = len(hit_idx)
+            stats["cand"] += n_cand
+            if not n_cand:
+                continue
+            cstarts = starts[i0 + hit_idx].tolist()
+            sel = (
+                chain_flags[0, hit_idx].astype(np.int8)
+                + 2 * chain_flags[1, hit_idx].astype(np.int8)
+            )
+            passes_l = [_ptab[k] for k in sel.tolist()]
+            cr = cranges[:, hit_idx, :].astype(np.int64) * 8
+            cr_l = np.stack(
+                [cr[0, :, 0] + 1, cr[0, :, 1] + 8,
+                 cr[1, :, 0] + 1, cr[1, :, 1] + 8], axis=1
+            ).tolist()
+            for t in zip(cstarts, passes_l, cr_l):
+                yield (name, *t)
+
+    from calitas_tpu.parallel.host_pool import (
+        _mp_finish_chunk,
+        make_finish_spec,
+        map_items_mp,
+    )
+
+    spec = make_finish_spec(
+        guide, aligner, align_kwargs,
+        guide_id=task.guide_id,
+        window_size=window_size,
+        guide_length=task.guide_length,
+        **hit_spec,
+    )
+    for (c, s0, *_rest), rows in map_items_mp(
+        cand_stream(), spec, threads,
+        worker_fn=_mp_finish_chunk,
+        to_payload=lambda t: t,
+        chunk=256,
+        swallow_errors=swallow_errors,
+        logger=log,
+    ):
+        if rows:
+            yield task, c, s0 + 1, rows
+    log.info(
+        "Screen %s/%s: %d of %d windows are candidates (%.2f%%).",
+        name, task.guide_id, stats["cand"], len(starts),
+        100.0 * stats["cand"] / max(len(starts), 1),
+    )

@@ -372,3 +372,58 @@ class TestMultiKernelPerChain:
                 _pallas_screen_dual(jnp.asarray(qvals[g]), tcols, **kw)
             ).reshape(2, -1)
             np.testing.assert_array_equal(multi[g], dual)
+
+
+class TestSegmentedScreen:
+    """screen_contig_async must partition the window grid into spans
+    whose flags/ranges concatenate to exactly one screen_contig call."""
+
+    def test_segments_equal_single_span(self):
+        import numpy as np
+
+        from calitas_tpu.core.guide import Guide
+        from calitas_tpu.core.scoring import derive_scorer
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        rng = np.random.default_rng(41)
+        guide = Guide.parse("CTTGCCCCACAGGGCAGTAAnrg")
+        dpq = guide.guide_fw
+        bases = rng.choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), 300_000
+        ).astype(np.uint8)
+        # plant some hits
+        planted = np.frombuffer(b"CTTGCCCCACAGGGCAGTAATGG", dtype=np.uint8)
+        for pos in (5_000, 123_456, 250_101):
+            bases[pos : pos + len(planted)] = planted
+        scorer = derive_scorer()
+        screen = GenomeScreen(
+            scorer, window=256, batch_windows=512, use_pallas=False
+        )
+        g = screen.stage(bases)
+        min_score = 60 * len(dpq) - 5 * 122
+        pam_spec = (tuple(guide.pams_fw), 1, 3)
+        flags1, ranges1 = screen.screen_contig(
+            g, len(bases), 230, dpq, revcomp(dpq), min_score,
+            pam_spec=pam_spec, return_ranges=True,
+        )
+        for segments in (1, 3, 7):
+            segs = screen.screen_contig_async(
+                g, len(bases), 230, dpq, revcomp(dpq), min_score,
+                pam_spec=pam_spec, segments=segments,
+            )
+            parts_f, parts_r = [], []
+            n_total = 0
+            for i0, n_seg, resolve in segs:
+                assert i0 == n_total
+                cf, cr = resolve()
+                assert cf.shape[1] == n_seg and cr.shape[1] == n_seg
+                parts_f.append(cf)
+                parts_r.append(cr)
+                n_total += n_seg
+            flags2 = np.concatenate(parts_f, axis=1)
+            ranges2 = np.concatenate(parts_r, axis=1)
+            assert flags2.shape == flags1.shape
+            assert np.array_equal(flags2, flags1)
+            assert np.array_equal(ranges2, ranges1)
+            assert flags1.any(), "no planted hit flagged"
