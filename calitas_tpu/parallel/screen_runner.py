@@ -140,10 +140,47 @@ def _search_contig(
     window_size, threads, swallow_errors, hit_spec, align_kwargs,
 ):
 
+    # Production path: pre-dispatch every guide's SEGMENTED screen before
+    # any finishing starts — the device works through all guides' spans
+    # back to back while the host pool finishes earlier guides' candidates
+    # (per-guide segmented spans carry the PAM gate and end-column ranges
+    # the fused multi-guide kernel lacks, so the finish is sliced too).
+    want_ranges = hit_spec is not None and window_size <= 2048
+    seg_dispatch: dict = {}
+    if want_ranges and genome_dev is not None and type(screen) is GenomeScreen:
+        for task in tasks:
+            g = task.guide
+            dq = g.guide_rc if g.pam_is_5prime else g.guide_fw
+            dp_pams = g.pams_rc if g.pam_is_5prime else g.pams_fw
+            pspec = (
+                (
+                    tuple(dp_pams),
+                    align_kwargs["max_pam_diffs"],
+                    align_kwargs["max_gaps_between_guide_and_pam"],
+                )
+                if dp_pams
+                else None
+            )
+            try:
+                seg_dispatch[task.guide_id] = screen.screen_contig_async(
+                    genome_dev, contig_len, task.step_size, dq, revcomp(dq),
+                    aligner.min_guide_score(g, align_kwargs["max_guide_diffs"]),
+                    pam_spec=pspec,
+                )
+            except Exception:
+                import logging
+
+                logging.getLogger("calitas_tpu.SearchReference").warning(
+                    "Segmented screen dispatch failed for %s/%s; using the "
+                    "single-span screen.", name, task.guide_id, exc_info=True,
+                )
+
     # Group same-length guides: one window-extraction pass per group
     # (the multi-guide kernel re-uses each window block across guides).
     groups: dict[tuple[int, int], list[GuideTask]] = {}
     for task in tasks:
+        if task.guide_id in seg_dispatch:
+            continue  # already covered by a segmented dispatch
         g = task.guide
         dp_q = g.guide_rc if g.pam_is_5prime else g.guide_fw
         groups.setdefault((len(dp_q), task.step_size), []).append(task)
@@ -206,41 +243,22 @@ def _search_contig(
         # Ranges let the native finish run the DP on a column slice
         # instead of the whole window; uint8 8-column blocks cover
         # windows up to 2048 columns.
-        want_ranges = hit_spec is not None and window_size <= 2048
         starts = screen.window_starts(contig_len, task.step_size)
 
-        # Pipelined production path: the screen is dispatched as several
-        # independent window spans so the worker pool finishes span N's
-        # candidates while the device screens span N+1 (flags identical
-        # to the one-span screen — same device batch loop).  Falls
-        # through to the classic path on any dispatch problem.
-        if (
-            want_ranges
-            and genome_dev is not None
-            and type(screen) is GenomeScreen
-            and task.guide_id not in multi_flags
-        ):
-            segs = None
-            try:
-                segs = screen.screen_contig_async(
-                    genome_dev, contig_len, task.step_size,
-                    dp_query, revcomp(dp_query), min_score,
-                    pam_spec=pam_spec,
-                )
-            except Exception:
-                import logging
-
-                logging.getLogger("calitas_tpu.SearchReference").warning(
-                    "Segmented screen dispatch failed for %s/%s; using the "
-                    "single-span screen.", name, task.guide_id, exc_info=True,
-                )
-            if segs is not None:
-                yield from _finish_segments(
-                    segs, starts, fasta, name, task, guide, aligner, screen,
-                    window_size, threads, swallow_errors, hit_spec,
-                    align_kwargs, min_score,
-                )
-                continue
+        # Pipelined production path: the screen was dispatched above as
+        # several independent window spans (for every guide at once);
+        # the candidate stream resolves spans lazily so the worker pool
+        # finishes span N while the device screens span N+1 and later
+        # guides (flags identical to the one-span screen — same device
+        # batch loop).
+        segs = seg_dispatch.get(task.guide_id)
+        if segs is not None:
+            yield from _finish_segments(
+                segs, starts, fasta, name, task, guide, aligner, screen,
+                window_size, threads, swallow_errors, hit_spec,
+                align_kwargs, min_score,
+            )
+            continue
         try:
             if genome_dev is None:  # staging failed: degrade to host-only
                 raise RuntimeError("no staged genome")
