@@ -1,0 +1,137 @@
+"""Warm multi-guide benchmark: N guides over one prestaged synthetic
+genome (the bench.py hash-stream contig), measuring the steady
+production state of a multi-guide SearchReference — all guides'
+segmented screens pre-dispatched, host pool finishing behind the device.
+
+Usage: python benchmarks/multi_guide.py [genome_Mb] [n_guides]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import device_genome_masks, host_genome_codes, write_fasta
+
+GUIDES = [
+    "CTTGCCCCACAGGGCAGTAAnrg",
+    "GATTACAGATTACAGATTACAnrg",
+    "ACGTACGTAACCGGTTACGTnrg",
+    "TTGAGCCACAGGTTTACAGGnrg",
+]
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from calitas_tpu.align.engine import SequentialAligner
+    from calitas_tpu.core.guide import Guide
+    from calitas_tpu.io.fasta import (
+        DictEntry,
+        IndexedFasta,
+        SequenceDictionary,
+        build_fai,
+    )
+    from calitas_tpu.io.tsv import MetricWriter
+    from calitas_tpu.ops.genome_screen import GenomeScreen
+    from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
+    from calitas_tpu.search.hits import (
+        ReferenceHit,
+        remove_overlaps,
+        sort_hits,
+    )
+
+    genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1024.0
+    n_guides = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    G = int(genome_mb * 1e6)
+    threads = min(4, os.cpu_count() or 1)
+
+    aligner = SequentialAligner()
+    align_kwargs = dict(
+        max_guide_diffs=5, max_pam_diffs=1,
+        max_gaps_between_guide_and_pam=3, max_total_diffs=9, max_overlap=10,
+    )
+    window_size = 1000
+
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    bases = np.empty(G, dtype=np.uint8)
+    for off in range(0, G, 1 << 26):
+        n = min(1 << 26, G - off)
+        bases[off : off + n] = letters[host_genome_codes(off, n)]
+    tmpdir = tempfile.mkdtemp(prefix="calitas_mg_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, tmpdir, True)
+    fa = os.path.join(tmpdir, "ref.fa")
+    write_fasta(fa, bases)
+    build_fai(fa)
+    dictionary = SequenceDictionary(
+        [DictEntry(name="chr1", length=G, assembly="bench")]
+    )
+    ref_file = IndexedFasta(fa)
+
+    np.asarray(jnp.arange(8).sum())  # absorb first-dispatch stall
+
+    screen = GenomeScreen(aligner.scorer, window=window_size)
+    padded_len = 1 << (G + window_size - 1).bit_length()
+    genome_dev = device_genome_masks(padded_len, G)
+    genome_dev.block_until_ready()
+    prestaged = {"chr1": genome_dev}
+
+    gtasks = []
+    for i in range(n_guides):
+        gs = GUIDES[i % len(GUIDES)]
+        gtasks.append(
+            GuideTask(
+                guide_id=f"g{i}", guide=Guide.parse(gs),
+                guide_length=len(gs),
+                step_size=window_size - (len(gs) + 5 + 3 - 1),
+            )
+        )
+    hit_spec = dict(
+        ref_path=fa, aligner_id="CALITAS:SearchReference",
+        arguments="bench", vcf_id=None,
+        timestamp="Mon Jan 01 00:00:00 UTC 2026",
+    )
+
+    def e2e_once() -> tuple[int, int]:
+        hits = []
+        for _t, _c, _s, rows in screened_search(
+            ref_file, None, gtasks, aligner,
+            window_size=window_size, threads=threads, swallow_errors=True,
+            hit_spec=hit_spec, screen=screen, prestaged=prestaged,
+            **align_kwargs,
+        ):
+            hits.extend(rows)
+        keepers = remove_overlaps(
+            hits, align_kwargs["max_overlap"], dictionary
+        )
+        buf = io.StringIO()
+        writer = MetricWriter(buf, ReferenceHit)
+        writer.write_all(sort_hits(keepers, dictionary))
+        return len(hits), len(keepers)
+
+    n_raw, n_kept = e2e_once()  # warm: compile + pool spin-up
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        e2e_once()
+        best = min(best, time.perf_counter() - t0)
+    print(
+        f"multi-guide warm: {n_guides} guides x {genome_mb:.0f} Mb in "
+        f"{best:.2f}s = {best / n_guides:.2f}s/guide, "
+        f"{n_guides * G / best / 1e6:.0f} M guide-bases/s aggregate, "
+        f"rows raw={n_raw} kept={n_kept}"
+    )
+
+
+if __name__ == "__main__":
+    main()
