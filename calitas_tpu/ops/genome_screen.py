@@ -911,6 +911,107 @@ def _screen_genome_multi(
     return jax.lax.fori_loop(0, n_batches, body, out0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
+        "interpret",
+    ),
+)
+def _slot_flags_multi(
+    qvals,  # [G, 2, Q] int32: fw and rc query masks per guide
+    tmasks,  # [B, T] uint8 slot batch (zero-padded rows/columns)
+    lengths,  # [B] int32 valid slot lengths
+    min_scores,  # [G] int32 per-guide candidate thresholds
+    *,
+    Q: int,
+    G: int,
+    match: int,
+    mismatch: int,
+    qgap: int,
+    tgap: int,
+    use_pallas: bool,
+    interpret: bool = False,
+):
+    """Candidate flags for G same-length guides over one slot batch in a
+    SINGLE dispatch: per-guide dual-chain screen, device thresholding,
+    bit-packed [G, B//8] uint8 output.  The Pallas path reuses the
+    multi-guide window kernel (slots fetched from HBM once per block for
+    all guides) and ignores ``lengths`` — zero padding only adds
+    candidate end columns, so its flags are a conservative superset,
+    which the exact host alignment then resolves."""
+    B, T = tmasks.shape
+    if use_pallas:
+        from calitas_tpu.ops.dp_pallas2 import _pallas_screen_multi
+
+        tcols = tmasks.T.astype(jnp.int32).reshape(T, B // LANES, LANES)
+        best = _pallas_screen_multi(
+            qvals, tcols, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
+            tgap=tgap, interpret=interpret,
+        ).reshape(G, 2, B)
+    else:
+        from calitas_tpu.ops.dp_screen import _screen_scores
+
+        skw = dict(match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
+        best = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        _screen_scores(
+                            qvals[g, 0].astype(jnp.uint8), tmasks, lengths,
+                            **skw
+                        ),
+                        _screen_scores(
+                            qvals[g, 1].astype(jnp.uint8), tmasks, lengths,
+                            **skw
+                        ),
+                    ]
+                )
+                for g in range(G)
+            ]
+        )  # [G, 2, B]
+    flags = (best >= min_scores[:, None, None]).any(axis=1)  # [G, B]
+    return _pack_flag_bits(flags)
+
+
+def screen_slots_multi(
+    scorer: Scorer,
+    tmasks: np.ndarray,  # [B, T] uint8, B a multiple of 8 (1024 if pallas)
+    lengths: np.ndarray,  # [B] valid slot lengths
+    groups,  # [(use_pallas, qvals [G,2,Q] int32, min_scores [G]), ...]
+    interpret: bool = False,
+) -> list:
+    """Screen one slot batch for several same-length guide groups: the
+    batch uploads ONCE and each group costs one fused dispatch plus one
+    bit-packed readback (the variant/pair passes' device cost is flat in
+    guide count).  Returns one zero-arg resolver per group; resolving
+    blocks on that group's (tiny) D2H and returns [G, B] bool flags."""
+    B = tmasks.shape[0]
+    tm = jnp.asarray(tmasks)
+    ln = jnp.asarray(lengths.astype(np.int32))
+    outs = []
+    for use_pallas, qvals, min_scores in groups:
+        out = _slot_flags_multi(
+            jnp.asarray(qvals), tm, ln,
+            jnp.asarray(np.asarray(min_scores, np.int32)),
+            Q=qvals.shape[2], G=qvals.shape[0],
+            match=scorer.match_score, mismatch=scorer.mismatch_score,
+            qgap=scorer.query_gap_score, tgap=scorer.target_gap_score,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        # Start the D2H copy as soon as the compute finishes so resolvers
+        # wait instead of paying one serialized round trip each.
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        outs.append(out)
+    return [
+        (lambda out=out: _unpack_flag_bits(np.asarray(out), B))
+        for out in outs
+    ]
+
+
 def screen_contig_multi(
     screen: GenomeScreen,
     genome_dev,

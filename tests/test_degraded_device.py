@@ -79,13 +79,13 @@ def test_variant_screen_failure_degrades(monkeypatch):
     window for every guide (conservative superset) instead of aborting."""
     from dataclasses import dataclass
 
-    from calitas_tpu.ops import dp_screen
+    from calitas_tpu.ops import genome_screen
     from calitas_tpu.search.variants import screened_variant_windows_multi
 
-    def boom(self, *a, **k):
+    def boom(*a, **k):
         raise RuntimeError("injected")
 
-    monkeypatch.setattr(dp_screen.ScreenKernel, "prepare_targets", boom)
+    monkeypatch.setattr(genome_screen, "screen_slots_multi", boom)
     aligner = SequentialAligner()
     g = Guide.parse("GACGCATAAAGATGAGACGCngg")
 

@@ -427,3 +427,108 @@ class TestSegmentedScreen:
             assert np.array_equal(flags2, flags1)
             assert np.array_equal(ranges2, ranges1)
             assert flags1.any(), "no planted hit flagged"
+
+
+class TestSlotFlagsMulti:
+    """The fused variant/pair slot screen: one dispatch per same-length
+    guide group, device-thresholded bit-packed flags."""
+
+    def _random_batch(self, rng, B, T):
+        tmasks = np.zeros((B, T), np.uint8)
+        lengths = rng.integers(8, T + 1, size=B).astype(np.int32)
+        for i in range(B):
+            seq = random_seq(int(lengths[i]), with_n=True)
+            tmasks[i, : lengths[i]] = encode_target(seq)
+        return tmasks, lengths
+
+    def test_xla_flags_match_per_guide_max_scores(self, scorer):
+        from calitas_tpu.ops.genome_screen import screen_slots_multi
+
+        rng = np.random.default_rng(11)
+        B, T = 64, 96
+        tmasks, lengths = self._random_batch(rng, B, T)
+        queries = [random_seq(18), random_seq(18), random_seq(18)]
+        qvals = np.stack(
+            [
+                np.stack([encode_query(q), encode_query(q[::-1])]).astype(
+                    np.int32
+                )
+                for q in queries
+            ]
+        )
+        # Thresholds spanning never/sometimes/always flagged.
+        mins = np.array([10**9, 0, -(10**9)], np.int32)
+        [resolver] = screen_slots_multi(
+            scorer, tmasks, lengths, [(False, qvals, mins)]
+        )
+        flags = resolver()
+        kernel = ScreenKernel(scorer)
+        for g, q in enumerate(queries):
+            bf = kernel.max_scores(encode_query(q), tmasks, lengths)
+            br = kernel.max_scores(encode_query(q[::-1]), tmasks, lengths)
+            expect = (bf >= mins[g]) | (br >= mins[g])
+            np.testing.assert_array_equal(flags[g], expect)
+
+    def test_mixed_length_groups_share_one_upload(self, scorer):
+        from calitas_tpu.ops.genome_screen import screen_slots_multi
+
+        rng = np.random.default_rng(12)
+        B, T = 32, 80
+        tmasks, lengths = self._random_batch(rng, B, T)
+        q_a = random_seq(16)
+        q_b = random_seq(24)
+        groups = [
+            (
+                False,
+                np.stack([encode_query(q), encode_query(q[::-1])])[None].astype(np.int32),
+                np.array([0], np.int32),
+            )
+            for q in (q_a, q_b)
+        ]
+        r_a, r_b = screen_slots_multi(scorer, tmasks, lengths, groups)
+        kernel = ScreenKernel(scorer)
+        for q, resolver in ((q_a, r_a), (q_b, r_b)):
+            fl = resolver()
+            bf = kernel.max_scores(encode_query(q), tmasks, lengths)
+            br = kernel.max_scores(encode_query(q[::-1]), tmasks, lengths)
+            np.testing.assert_array_equal(fl[0], (bf >= 0) | (br >= 0))
+
+    def test_pallas_interpret_flags_are_exact_superset(self, scorer):
+        """The Pallas multi path ignores slot lengths (padding only adds
+        candidate end columns): flags must cover every length-honoring
+        flag, and on full-length slots be exactly equal."""
+        from calitas_tpu.ops.dp_pallas2 import BLOCK_W
+        from calitas_tpu.ops.genome_screen import _slot_flags_multi, _unpack_flag_bits
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(13)
+        B, T = BLOCK_W, 64
+        tmasks, lengths = self._random_batch(rng, B, T)
+        full = rng.random(B) < 0.5
+        lengths[full] = T  # half the slots are full length
+        queries = [random_seq(20), random_seq(20)]
+        qvals = np.stack(
+            [
+                np.stack([encode_query(q), encode_query(q[::-1])]).astype(np.int32)
+                for q in queries
+            ]
+        )
+        mins = np.array([300, 600], np.int32)
+        s = scorer
+        kw = dict(
+            Q=20, G=2, match=s.match_score, mismatch=s.mismatch_score,
+            qgap=s.query_gap_score, tgap=s.target_gap_score,
+        )
+        packed = _slot_flags_multi(
+            jnp.asarray(qvals), jnp.asarray(tmasks),
+            jnp.asarray(lengths), jnp.asarray(mins),
+            use_pallas=True, interpret=True, **kw
+        )
+        got = _unpack_flag_bits(np.asarray(packed), B)
+        kernel = ScreenKernel(scorer)
+        for g, q in enumerate(queries):
+            bf = kernel.max_scores(encode_query(q), tmasks, lengths)
+            br = kernel.max_scores(encode_query(q[::-1]), tmasks, lengths)
+            exact = (bf >= mins[g]) | (br >= mins[g])
+            assert (got[g] | exact == got[g]).all()  # no false negatives
+            np.testing.assert_array_equal(got[g][full], exact[full])
