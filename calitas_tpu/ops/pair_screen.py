@@ -81,7 +81,7 @@ def _pair_scores_dual(
     (_, best), _ = jax.lax.scan(
         step, (init_col, jnp.full((2 * B,), neg_inf, jnp.int32)), xs
     )
-    return best[:B], best[B:]
+    return best  # [2B]: chain A maxima then chain B maxima
 
 
 class PairScreen:
@@ -121,6 +121,11 @@ class PairScreen:
             buckets.setdefault((len(q), slot), []).append(i)
 
         s = self.scorer
+        # Dispatch every chunk before resolving any: the device works
+        # through all chunks back to back while the host packs the next,
+        # and each chunk's (small) readback starts as soon as its compute
+        # finishes — one D2H per chunk, no serialized round trips.
+        launched = []  # (chunk, out [2B] device array)
         for (Q, slot), idxs in buckets.items():
             for c0 in range(0, len(idxs), self.batch_rows):
                 chunk = idxs[c0 : c0 + self.batch_rows]
@@ -135,17 +140,23 @@ class PairScreen:
                     t = np.frombuffer(tbytes[i], dtype=np.uint8)
                     tm[r, : len(t)] = TARGET_MASK_TABLE[t]
                     ln[r] = len(t)
-                a, b = _pair_scores_dual(
+                out = _pair_scores_dual(
                     jnp.asarray(qa), jnp.asarray(qb), jnp.asarray(tm),
                     jnp.asarray(ln),
                     match=s.match_score, mismatch=s.mismatch_score,
                     qgap=s.query_gap_score, tgap=s.target_gap_score,
                 )
-                a = np.asarray(a)
-                b = np.asarray(b)
-                for r, i in enumerate(chunk):
-                    best_a[i] = int(a[r])
-                    best_b[i] = int(b[r])
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                launched.append((chunk, out))
+        for chunk, out in launched:
+            ab = np.asarray(out)
+            B = len(chunk)
+            for r, i in enumerate(chunk):
+                best_a[i] = int(ab[r])
+                best_b[i] = int(ab[B + r])
         return best_a, best_b
 
 
