@@ -222,10 +222,17 @@ def map_items_mp(
         else:
             windows = itertools.chain(head, windows)
     if processes <= 1:
-        for w in windows:
-            res = worker_fn(spec, [to_payload(w)])[0]
-            yield w, _unwrap(res, swallow_errors, logger)
-        return
+        # In-process execution still batches worker_fn calls: the native
+        # finish amortizes buffer setup over the chunk exactly as the
+        # pooled path does (matters for the degraded/no-subprocess path).
+        windows = iter(windows)
+        while True:
+            blk = list(itertools.islice(windows, chunk))
+            if not blk:
+                return
+            results = worker_fn(spec, [to_payload(w) for w in blk])
+            for w0, res in zip(blk, results):
+                yield w0, _unwrap(res, swallow_errors, logger)
 
     from concurrent.futures.process import BrokenProcessPool
 
