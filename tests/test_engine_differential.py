@@ -119,3 +119,68 @@ def test_engines_identical_odd_configs(tmp_path, kw):
         threads=1, output=tmp_path / "h.txt", **kw)
     assert table_without_timestamp(tmp_path / "t.txt") == \
         table_without_timestamp(tmp_path / "h.txt")
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_engines_identical_with_variants(tmp_path, seed):
+    """The variant pass through the fused slot screen (mixed guide
+    lengths -> two same-length groups) must emit tables identical to the
+    host-only engine, including variant rows."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from vcf_util import VcfBuilder
+
+    rng = np.random.default_rng(seed)
+    proto_a = "".join(rng.choice(list("ACGT"), 20))
+    proto_b = "".join(rng.choice(list("ACGT"), 22))
+
+    genome = list("".join(rng.choice(list("ACGT"), 80_000)))
+    for proto in (proto_a, proto_b):
+        for _ in range(4):
+            pos = int(rng.integers(100, 78_000))
+            site = list(proto)
+            for _ in range(int(rng.integers(0, 4))):
+                i = int(rng.integers(0, len(site)))
+                site[i] = rng.choice([c for c in "ACGT" if c != site[i]])
+            seq = "".join(site) + rng.choice(["TGG", "GAG", "CGG"])
+            if rng.random() < 0.5:
+                seq = revcomp(seq)
+            genome[pos : pos + len(seq)] = list(seq)
+    gstr = "".join(genome)
+
+    b = ReferenceSetBuilder(assembly=f"vfuzz{seed}")
+    b.add("chr1").add(gstr)
+    ref = b.to_file(tmp_path / "ref.fa")
+
+    vb = VcfBuilder()
+    for pos in sorted(int(p) for p in rng.integers(500, 79_500, size=300)):
+        ref_b = gstr[pos - 1]
+        kind = rng.random()
+        if kind < 0.7:  # SNP
+            alt = rng.choice([c for c in "ACGT" if c != ref_b])
+            alleles = (ref_b, alt)
+        elif kind < 0.85:  # insertion
+            ins = "".join(rng.choice(list("ACGT"), int(rng.integers(1, 4))))
+            alleles = (ref_b, ref_b + ins)
+        else:  # deletion
+            dlen = int(rng.integers(1, 4))
+            alleles = (gstr[pos - 1 : pos + dlen], ref_b)
+        vb.add(chrom="chr1", pos=pos, alleles=alleles, info={"AF": "0.25"})
+    vcf = vb.to_file(tmp_path / "v.vcf")
+
+    out_host = tmp_path / "host.txt"
+    out_tpu = tmp_path / "tpu.txt"
+    specs = [("ga", proto_a + "nrg", ()), ("gb", proto_b + "nrg", ())]
+    search_reference.run(
+        ref=ref, variants=vcf, output=out_host, engine="host",
+        guide_specs=specs,
+    )
+    search_reference.run(
+        ref=ref, variants=vcf, output=out_tpu, engine="tpu",
+        guide_specs=specs,
+    )
+    host_rows = table_without_timestamp(out_host)
+    tpu_rows = table_without_timestamp(out_tpu)
+    assert host_rows == tpu_rows
+    assert len(host_rows) > 0
