@@ -168,6 +168,92 @@ def _encode_staged(raw):
     return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(raw))
 
 
+@jax.jit
+def _unpack_staged(packed):
+    """[n/2] uint8 nibble pairs -> [n] uint8 4-bit IUPAC masks, on device
+    (element 2i = low nibble of byte i, 2i+1 = high nibble).  Chunked
+    like :func:`_encode_staged` so per-op shapes stay small on
+    remote-compile backends."""
+    n2 = packed.shape[0]
+
+    def block(p):
+        return jnp.stack([p & jnp.uint8(15), p >> 4], axis=-1).reshape(-1)
+
+    if n2 <= _ENCODE_CHUNK:
+        return block(packed)
+    n_chunks = n2 // _ENCODE_CHUNK  # n2 is a power of two > chunk
+
+    def body(i, out):
+        c = jax.lax.dynamic_slice(
+            packed, (i * _ENCODE_CHUNK,), (_ENCODE_CHUNK,)
+        )
+        return jax.lax.dynamic_update_slice(
+            out, block(c), (i * 2 * _ENCODE_CHUNK,)
+        )
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros(2 * n2, jnp.uint8)
+    )
+
+
+def _pack_staging_nibbles(contig_bases: np.ndarray, padded_len: int):
+    """Host-side 4-bit packing for staging: encode to IUPAC masks (the
+    256-entry table gather runs at memory speed — negligible next to a
+    slow link) and pack two masks per byte.  Zero pad -> mask 0."""
+    masks = TARGET_MASK_TABLE[contig_bases]
+    packed = np.zeros(padded_len // 2, np.uint8)
+    h = len(masks) // 2
+    m = masks[: 2 * h]
+    packed[:h] = m[0::2] | (m[1::2] << 4)
+    if len(masks) & 1:
+        packed[h] = masks[-1]
+    return packed
+
+
+_LINK_RATE_MBPS: float | None = None
+_PACK_RATE_MBPS: float | None = None
+
+
+def _measured_link_rate_mbps() -> float:
+    """One-time H2D link-rate probe (8 MB, after a tiny warmup put)."""
+    global _LINK_RATE_MBPS
+    if _LINK_RATE_MBPS is None:
+        import time
+
+        try:
+            jax.device_put(jnp.zeros(1024, jnp.uint8)).block_until_ready()
+            probe = np.zeros(8 << 20, np.uint8)
+            t0 = time.perf_counter()
+            jax.device_put(jnp.asarray(probe)).block_until_ready()
+            dt = max(time.perf_counter() - t0, 1e-6)
+            _LINK_RATE_MBPS = (len(probe) / 1e6) / dt
+        except Exception:
+            _LINK_RATE_MBPS = float("inf")  # probe failed: raw path
+    return _LINK_RATE_MBPS
+
+
+def _measured_pack_rate_mbps() -> float:
+    """One-time host encode+pack rate probe (8 MB of input bases)."""
+    global _PACK_RATE_MBPS
+    if _PACK_RATE_MBPS is None:
+        import time
+
+        probe = np.full(8 << 20, ord("A"), np.uint8)
+        t0 = time.perf_counter()
+        _pack_staging_nibbles(probe, 8 << 20)
+        dt = max(time.perf_counter() - t0, 1e-6)
+        _PACK_RATE_MBPS = (len(probe) / 1e6) / dt
+    return _PACK_RATE_MBPS
+
+
+def _packing_pays() -> bool:
+    """Nibble-packing halves H2D bytes at the cost of one host-side
+    encode+pack pass: it wins when saved transfer time (N/2 / link)
+    exceeds the pack cost (N / pack_rate), i.e. link < pack_rate / 2
+    (tunneled dev links run ~10-30 MB/s, PCIe links GB/s)."""
+    return _measured_link_rate_mbps() < _measured_pack_rate_mbps() / 2.0
+
+
 def _rc_mask(m: int) -> int:
     r = 0
     if m & 1:
@@ -353,6 +439,7 @@ class GenomeScreen:
         batch_windows: int = 8192,
         use_pallas: bool | None = None,
         interpret: bool = False,
+        pack_staging: bool | None = None,
     ):
         assert batch_windows % LANES == 0
         self.scorer = scorer
@@ -362,6 +449,13 @@ class GenomeScreen:
             use_pallas = default_device_platform() == "tpu"
         self.use_pallas = use_pallas
         self.interpret = interpret
+        #: None = decide from a one-time link-rate probe at first stage()
+        self.pack_staging = pack_staging
+
+    def _should_pack(self) -> bool:
+        if self.pack_staging is None:
+            self.pack_staging = _packing_pays()
+        return self.pack_staging
 
     #: H2D staging chunk (large single transfers stall on tunneled links)
     STAGE_CHUNK = 64 * 1024 * 1024
@@ -369,32 +463,40 @@ class GenomeScreen:
     def stage(self, contig_bases: np.ndarray) -> jax.Array:
         """Upload a contig (raw bytes) as a zero-padded device mask array.
 
-        The raw bytes ship as-is and the 4-bit IUPAC encoding happens on
-        device (:func:`_encode_staged`) — the host does NO per-base work
-        at all (the former host-side table gather dominated staging on
-        low-bandwidth hosts).  Chunked with progress logging so long
+        Transport is link-adaptive: on fast links the raw bytes ship
+        as-is and the 4-bit IUPAC encoding happens on device
+        (:func:`_encode_staged` — the host does no per-base work); on
+        slow links (tunneled dev TPUs at ~10-30 MB/s) the host encodes
+        and nibble-packs two masks per byte, HALVING the H2D bytes, and
+        the device unpacks (:func:`_unpack_staged`).  Both produce the
+        identical mask array.  Chunked with progress logging so long
         transfers are observable."""
         import logging
 
         log = logging.getLogger("calitas_tpu.stage")
         padded_len = 1 << (len(contig_bases) + self.window - 1).bit_length()
-        raw = np.zeros(padded_len, np.uint8)  # zero pad -> mask 0
-        raw[: len(contig_bases)] = contig_bases
-        n = padded_len
+        if self._should_pack():
+            host = _pack_staging_nibbles(contig_bases, padded_len)
+            decode = _unpack_staged
+        else:
+            host = np.zeros(padded_len, np.uint8)  # zero pad -> mask 0
+            host[: len(contig_bases)] = contig_bases
+            decode = _encode_staged
+        n = len(host)
         if n <= self.STAGE_CHUNK:
-            raw_dev = jax.device_put(jnp.asarray(raw))
+            host_dev = jax.device_put(jnp.asarray(host))
         else:
             parts = []
             for off in range(0, n, self.STAGE_CHUNK):
                 parts.append(
-                    jax.device_put(jnp.asarray(raw[off : off + self.STAGE_CHUNK]))
+                    jax.device_put(jnp.asarray(host[off : off + self.STAGE_CHUNK]))
                 )
                 parts[-1].block_until_ready()
                 log.info(
                     "staged %d/%d MB", min(off + self.STAGE_CHUNK, n) >> 20, n >> 20
                 )
-            raw_dev = jnp.concatenate(parts)
-        return _encode_staged(raw_dev)
+            host_dev = jnp.concatenate(parts)
+        return decode(host_dev)
 
     def window_starts(self, contig_len: int, step: int) -> np.ndarray:
         """The reference's window starts: range(0, len-1, step)
@@ -725,14 +827,19 @@ class ShardedGenomeScreen(GenomeScreen):
         return self._replicated
 
     def stage(self, contig_bases: np.ndarray):
-        """Upload the contig replicated to every mesh device; raw bytes
-        ship and the 4-bit encoding runs on device like the single-device
-        path."""
+        """Upload the contig replicated to every mesh device, with the
+        same link-adaptive transport as the single-device path (raw
+        bytes + on-device encode, or nibble-packed + on-device unpack)."""
         padded_len = 1 << (len(contig_bases) + self.window - 1).bit_length()
-        raw = np.zeros(padded_len, np.uint8)  # zero pad -> mask 0
-        raw[: len(contig_bases)] = contig_bases
-        raw_dev = jax.device_put(jnp.asarray(raw), self._sharding())
-        out = _encode_staged(raw_dev)
+        if self._should_pack():
+            host = _pack_staging_nibbles(contig_bases, padded_len)
+            decode = _unpack_staged
+        else:
+            host = np.zeros(padded_len, np.uint8)  # zero pad -> mask 0
+            host[: len(contig_bases)] = contig_bases
+            decode = _encode_staged
+        host_dev = jax.device_put(jnp.asarray(host), self._sharding())
+        out = decode(host_dev)
         assert out.sharding.is_fully_replicated
         return out
 

@@ -532,3 +532,53 @@ class TestSlotFlagsMulti:
             exact = (bf >= mins[g]) | (br >= mins[g])
             assert (got[g] | exact == got[g]).all()  # no false negatives
             np.testing.assert_array_equal(got[g][full], exact[full])
+
+
+class TestPackedStaging:
+    """The link-adaptive staging transport: nibble-packed staging must
+    produce the identical device mask array as raw-byte staging."""
+
+    def test_packed_equals_raw_all_bytes(self, scorer):
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        rng = np.random.default_rng(21)
+        # every byte value, both cases, Ns, plus random genome-ish tail
+        bases = np.concatenate(
+            [
+                np.arange(256, dtype=np.uint8),
+                np.frombuffer(b"acgtnACGTNryswkmbdhvRYSWKMBDHV", np.uint8),
+                rng.choice(np.frombuffer(b"ACGTN", np.uint8), 4093),
+            ]
+        )
+        raw = GenomeScreen(scorer, window=256, pack_staging=False)
+        packed = GenomeScreen(scorer, window=256, pack_staging=True)
+        np.testing.assert_array_equal(
+            np.asarray(raw.stage(bases)), np.asarray(packed.stage(bases))
+        )
+
+    def test_odd_length_contig(self, scorer):
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        bases = np.frombuffer(b"ACGTNAC", np.uint8)  # odd length
+        raw = GenomeScreen(scorer, window=64, pack_staging=False)
+        packed = GenomeScreen(scorer, window=64, pack_staging=True)
+        np.testing.assert_array_equal(
+            np.asarray(raw.stage(bases)), np.asarray(packed.stage(bases))
+        )
+
+    def test_unpack_staged_chunked_path(self, scorer):
+        import jax.numpy as jnp
+
+        from calitas_tpu.ops.genome_screen import (
+            _ENCODE_CHUNK,
+            _unpack_staged,
+        )
+
+        rng = np.random.default_rng(22)
+        n2 = 2 * _ENCODE_CHUNK  # forces the fori_loop branch
+        packed = rng.integers(0, 256, n2, dtype=np.uint8)
+        out = np.asarray(_unpack_staged(jnp.asarray(packed)))
+        expect = np.empty(2 * n2, np.uint8)
+        expect[0::2] = packed & 15
+        expect[1::2] = packed >> 4
+        np.testing.assert_array_equal(out, expect)
