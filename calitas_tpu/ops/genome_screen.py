@@ -812,9 +812,10 @@ class ShardedGenomeScreen(GenomeScreen):
 
     def __init__(self, scorer: Scorer, mesh, window: int = 1024,
                  batch_windows: int = 8192, use_pallas: bool | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, pack_staging: bool | None = None):
         super().__init__(scorer, window=window, batch_windows=batch_windows,
-                         use_pallas=use_pallas, interpret=interpret)
+                         use_pallas=use_pallas, interpret=interpret,
+                         pack_staging=pack_staging)
         self.mesh = mesh
         self._fn_cache = {}
         self._replicated = None

@@ -159,3 +159,26 @@ class TestShardedScreen:
         )
         assert best[5] == scorer.match_score * Q
         assert total >= 1
+
+
+class TestShardedPackedStaging:
+    def test_packed_staging_replicated_and_identical(self, mesh8):
+        """The nibble-packed staging transport must produce the same
+        fully-replicated mask array as raw staging on a mesh."""
+        from calitas_tpu.ops.genome_screen import ShardedGenomeScreen
+
+        rng = np.random.default_rng(6)
+        bases = rng.choice(
+            np.frombuffer(b"ACGTNacgtn", np.uint8), 5001
+        )
+        scorer = derive_scorer()
+        raw = ShardedGenomeScreen(
+            scorer, mesh8, window=256, use_pallas=False, pack_staging=False
+        )
+        packed = ShardedGenomeScreen(
+            scorer, mesh8, window=256, use_pallas=False, pack_staging=True
+        )
+        a = raw.stage(bases)
+        b = packed.stage(bases)
+        assert b.sharding.is_fully_replicated
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
