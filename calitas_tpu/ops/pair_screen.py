@@ -129,7 +129,12 @@ class PairScreen:
         for (Q, slot), idxs in buckets.items():
             for c0 in range(0, len(idxs), self.batch_rows):
                 chunk = idxs[c0 : c0 + self.batch_rows]
-                B = len(chunk)
+                # Bucket the batch shape to a power of two: XLA compiles
+                # per static shape, and a remote-compile backend pays
+                # tens of seconds per shape — a ragged tail chunk must
+                # not trigger a fresh compile.  Pad rows have length 0
+                # (every end column masked) and are discarded below.
+                B = max(64, 1 << (len(chunk) - 1).bit_length())
                 qa = np.zeros((B, Q), dtype=np.uint8)
                 qb = np.zeros((B, Q), dtype=np.uint8)
                 tm = np.zeros((B, slot), dtype=np.uint8)
@@ -153,7 +158,7 @@ class PairScreen:
                 launched.append((chunk, out))
         for chunk, out in launched:
             ab = np.asarray(out)
-            B = len(chunk)
+            B = len(ab) // 2
             for r, i in enumerate(chunk):
                 best_a[i] = int(ab[r])
                 best_b[i] = int(ab[B + r])
