@@ -619,6 +619,7 @@ def screened_variant_windows_multi(
     *,
     slot: int = 512,
     batch_slots: int = 2048,
+    pipeline_depth: int = 3,
 ):
     """Yield ``(window, flagged_keys)`` pairs: for every variant window,
     the set of guides whose exact device screen says the window can
@@ -633,6 +634,12 @@ def screened_variant_windows_multi(
     every guide.  Flags are a conservative superset — zero padding only
     adds candidate end columns — so aligning flagged windows preserves
     output exactly.
+
+    The per-batch device cost is one round trip on high-latency links
+    (compute is trivial next to dispatch), so batches are large and up
+    to ``pipeline_depth`` of them stay in flight before the oldest is
+    resolved — at gnomAD scale the screen rides almost entirely under
+    the window builder.
     """
     import numpy as np
 
@@ -663,7 +670,7 @@ def screened_variant_windows_multi(
 
     all_keys = frozenset(k for k, *_ in guide_specs)
     batch: list = []
-    pending = None  # (windows, [([keys], resolver), ...] | None)
+    pending: list = []  # [(windows, [([keys], resolver), ...] | None)]
 
     def _warn_device_failure():
         import logging
@@ -740,15 +747,13 @@ def screened_variant_windows_multi(
             continue
         batch.append(w)
         if len(batch) == batch_slots:
-            prev, pending = pending, dispatch()
-            if prev is not None:
-                yield from resolve(prev)
+            pending.append(dispatch())
+            if len(pending) > pipeline_depth:
+                yield from resolve(pending.pop(0))
     if batch:
-        prev, pending = pending, dispatch()
-        if prev is not None:
-            yield from resolve(prev)
-    if pending is not None:
-        yield from resolve(pending)
+        pending.append(dispatch())
+    for p in pending:
+        yield from resolve(p)
 
 
 def screened_variant_windows(
