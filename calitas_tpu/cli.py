@@ -12,6 +12,21 @@ import sys
 from calitas_tpu.core.scoring import Defaults
 
 
+class _Once(argparse.Action):
+    """Reject a repeated single-valued flag instead of silently keeping
+    the last value (argparse's default), which would silently search one
+    guide when a user writes ``-i G1 -i G2`` expecting a multi-guide run
+    (that is ``--guide-file``).  Mirrors sopt's duplicate-flag error."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        if getattr(namespace, self.dest, None) is not None:
+            parser.error(
+                f"{option_string} given more than once; for multi-guide "
+                "searches use --guide-file"
+            )
+        setattr(namespace, self.dest, values)
+
+
 def _add_scoring_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-m", "--guide-mismatch-net-cost", type=int,
                    default=Defaults.MISMATCH_NET_COST,
@@ -66,9 +81,10 @@ prefer e.g. a 4+0 alignment over a competing 3+1 alignment that tighter
 limits would emit; set --max-overlap large (e.g. 100) to emit all
 overlapping alignments instead.""",
     )
-    sr.add_argument("-i", "--guide", default=None,
+    sr.add_argument("-i", "--guide", default=None, action=_Once,
                     help="Guide with PAM, PAM must be lower case.")
-    sr.add_argument("-I", "--guide-id", default=None, help="ID of the guide.")
+    sr.add_argument("-I", "--guide-id", default=None, action=_Once,
+                    help="ID of the guide.")
     sr.add_argument("--guide-file", default=None,
                     help="TSV of guides (columns: guide_id, guide, optional "
                          "aux_pams comma-separated) searched in one pass with "

@@ -87,3 +87,19 @@ def test_same_length_guides_use_grouped_screen(ref, tmp_path):
     key = lambda h: (h.guide_id, h.chromosome, h.coordinate_start, h.strand,
                      h.score, h.cigar)
     assert sorted(map(key, multi_hits)) == sorted(map(key, singles))
+
+
+def test_repeated_guide_flag_is_an_error(capsys):
+    """-i twice must error (pointing at --guide-file), not silently
+    search only the last guide."""
+    import pytest
+
+    from calitas_tpu.cli import build_parser
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(
+            ["SearchReference", "-i", "ACGTACGTACGTACGTACGTnrg",
+             "-i", "TTTTACGTACGTACGTACGTnrg", "-r", "x.fa"]
+        )
+    err = capsys.readouterr().err
+    assert "more than once" in err and "--guide-file" in err
