@@ -194,6 +194,9 @@ overlapping alignments instead.""",
     sv.add_argument("-c", "--contigs", nargs="*", default=None,
                     help="Stage only these contigs (default: all).")
     sv.add_argument("--engine", choices=["auto", "host", "tpu"], default="auto")
+    sv.add_argument("--warmup", action="store_true",
+                    help="Run a throwaway search at startup so the first "
+                         "real request runs at warm speed.")
     _add_scoring_args(sv)
 
     # ----------------------------------------------------------------- PrepareVcf
@@ -348,6 +351,8 @@ def _dispatch(cmd, args) -> int:
             genome_gap_net_cost=args.genome_gap_net_cost,
             guide_gap_net_cost=args.guide_gap_net_cost,
         )
+        if args.warmup:
+            searcher.warmup()
         serve_stdio(searcher)
     elif cmd == "PrepareVcf":
         from calitas_tpu.tools import prepare_vcf

@@ -122,6 +122,25 @@ class ResidentSearcher:
                 time.perf_counter() - t0,
             )
 
+    def warmup(self, guide_length: int = 23) -> None:
+        """Absorb the first-request costs at init: spin the worker pool
+        and compile every contig's screen shapes by running a throwaway
+        whole-genome search with a dummy guide of ``guide_length``
+        characters (kernel shapes depend on the guide-string length
+        through the window step; 23 = the ubiquitous 20nt+NGG shape).
+        Requests for same-length guides then run at warm speed from the
+        first one.  Failures are logged and ignored — warmup is purely
+        an optimization."""
+        import os
+
+        dummy = ("ACGT" * 8)[: guide_length - 3] + "nrg"
+        t0 = time.perf_counter()
+        try:
+            self.search(guide=dummy, guide_id="_warmup", output=os.devnull)
+            logger.info("Warmup search in %.1fs.", time.perf_counter() - t0)
+        except Exception:
+            logger.warning("Warmup search failed; continuing.", exc_info=True)
+
     def search(
         self,
         guide: Optional[str] = None,

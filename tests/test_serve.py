@@ -130,3 +130,27 @@ def test_serve_cli_subprocess(genome, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_warmup_runs_and_requests_stay_identical(genome, tmp_path):
+    """warmup() must leave the searcher fully functional with identical
+    output to a fresh CLI run."""
+    fa, _vcf = genome
+    guide = GUIDE
+    from calitas_tpu.serve import ResidentSearcher
+    from calitas_tpu.tools import search_reference
+
+    s = ResidentSearcher(fa, threads=1, engine="host")
+    s.warmup()
+    table = s.search(guide=guide, guide_id="g")
+    out = tmp_path / "cli.tsv"
+    search_reference.run(guide=guide, guide_id="g", ref=fa, output=out,
+                         engine="host", threads=1)
+    def strip(text):
+        lines = text.splitlines()
+        ts = lines[0].split("\t").index("time_stamp")
+        return [
+            tuple(c for j, c in enumerate(l.split("\t")) if j != ts)
+            for l in lines[1:]
+        ]
+    assert strip(table) == strip(out.read_text())
