@@ -184,3 +184,82 @@ def test_engines_identical_with_variants(tmp_path, seed):
     tpu_rows = table_without_timestamp(out_tpu)
     assert host_rows == tpu_rows
     assert len(host_rows) > 0
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_pairwise_engines_identical(tmp_path, seed):
+    """PairwiseAlignSequences --engine tpu (pair screen + exact pass
+    skipping) must emit byte-identical output to the host path,
+    including 5'-PAM guides whose chain->pass mapping swaps."""
+    from calitas_tpu.tools import pairwise
+
+    rng = np.random.default_rng(seed)
+    inp = tmp_path / "pairs.txt"
+    with open(inp, "w") as fh:
+        for i in range(300):
+            plen = int(rng.integers(16, 23))
+            proto = "".join(rng.choice(list("ACGT"), plen))
+            guide = ("nrg" + proto) if i % 4 == 0 else (proto + "ngg")
+            if i % 4 == 0:
+                guide = "ccn" + proto  # 5' PAM (lowercase leading run)
+            t = list("".join(rng.choice(list("ACGT"), 70)))
+            if i % 3 == 0:  # plant (sometimes mutated, sometimes rc)
+                site = list(proto)
+                for _ in range(int(rng.integers(0, 4))):
+                    j = int(rng.integers(0, len(site)))
+                    site[j] = rng.choice(list("ACGT"))
+                seq = "".join(site)
+                if rng.random() < 0.5:
+                    seq = revcomp(seq)
+                pos = int(rng.integers(0, 70 - len(seq)))
+                t[pos : pos + len(seq)] = list(seq)
+            fh.write(f"{guide}\t{''.join(t)}\n")
+    out_h = tmp_path / "h.txt"
+    out_t = tmp_path / "t.txt"
+    pairwise.run(input=inp, output=out_h, engine="host", threads=1)
+    pairwise.run(input=inp, output=out_t, engine="tpu", threads=1)
+    assert out_h.read_text() == out_t.read_text()
+
+
+@pytest.mark.parametrize("all_hits", [False, True])
+def test_align_to_reference_engines_identical(tmp_path, all_hits):
+    """AlignToReference --engine tpu (pair screen bounds: exact rev-pass
+    skip in best mode, pass restriction in all-hits mode) must emit
+    tables identical to the host path."""
+    from calitas_tpu.tools import align_to_reference
+
+    rng = np.random.default_rng(31)
+    proto = "".join(rng.choice(list("ACGT"), 20))
+    genome = list("".join(rng.choice(list("ACGT"), 50_000)))
+    positions = []
+    for _ in range(12):
+        pos = int(rng.integers(200, 49_000))
+        site = list(proto)
+        for _ in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, len(site)))
+            site[j] = rng.choice(list("ACGT"))
+        seq = "".join(site) + "TGG"
+        if rng.random() < 0.5:
+            seq = revcomp(seq)
+        genome[pos : pos + len(seq)] = list(seq)
+        positions.append(pos)
+    b = ReferenceSetBuilder(assembly="a2r")
+    b.add("chr1").add("".join(genome))
+    ref = b.to_file(tmp_path / "ref.fa")
+    inp = tmp_path / "loci.txt"
+    with open(inp, "w") as fh:
+        fh.write("id\tquery\tchrom\tposition\n")
+        for i, pos in enumerate(positions):
+            fh.write(f"t{i}\t{proto}nrg\tchr1\t{pos + 1}\n")
+
+    kw = {}
+    if all_hits:
+        kw = dict(max_guide_diffs=4, max_pam_mismatches=1, max_overlap=10)
+    out_h = tmp_path / "h.txt"
+    out_t = tmp_path / "t.txt"
+    align_to_reference.run(input=inp, ref=ref, output=out_h, engine="host",
+                           threads=1, window_size=120, **kw)
+    align_to_reference.run(input=inp, ref=ref, output=out_t, engine="tpu",
+                           threads=1, window_size=120, **kw)
+    assert table_without_timestamp(out_h) == table_without_timestamp(out_t)
+    assert len(table_without_timestamp(out_h)) > 0
