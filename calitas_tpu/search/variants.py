@@ -348,12 +348,91 @@ class _LazyVariantWindow(VariantWindow):
         return v
 
 
+class _WindowBlock:
+    """A block of native-builder windows in raw buffer form.
+
+    The device screen packs its mask rows straight from the shared
+    block buffers (one vectorized IUPAC encode per block), and only
+    FLAGGED windows ever materialize Python objects — at gnomAD scale
+    ~0.3% of windows are flagged, so per-window object churn dominates
+    the variant pass without this."""
+
+    __slots__ = (
+        "chrom", "n", "masks", "_wbases", "_woff", "_wlen", "_wstart",
+        "_cig_bytes", "_cigoff", "_ciglen", "_voff", "_vcnt", "_vrec",
+        "_valt", "_resolver",
+    )
+
+    def __init__(self, chrom, n, wbases, woff, wlen, wstart, cig_bytes,
+                 cigoff, ciglen, voff, vcnt, vrec, valt, resolver):
+        from calitas_tpu.core.sequence import TARGET_MASK_TABLE
+
+        self.chrom = chrom
+        self.n = n
+        self._wbases = wbases
+        self._woff = woff
+        self._wlen = wlen
+        self._wstart = wstart
+        self._cig_bytes = cig_bytes
+        self._cigoff = cigoff
+        self._ciglen = ciglen
+        self._voff = voff
+        self._vcnt = vcnt
+        self._vrec = vrec
+        self._valt = valt
+        self._resolver = resolver
+        total = int(woff[n - 1] + wlen[n - 1]) if n else 0
+        self.masks = TARGET_MASK_TABLE[wbases[:total]]
+
+    def length(self, i: int) -> int:
+        return int(self._wlen[i])
+
+    def mask_row(self, i: int) -> np.ndarray:
+        o = int(self._woff[i])
+        return self.masks[o : o + int(self._wlen[i])]
+
+    def window(self, i: int) -> "_LazyVariantWindow":
+        o = int(self._woff[i])
+        vo = int(self._voff[i])
+        vc = int(self._vcnt[i])
+        co = int(self._cigoff[i])
+        return _LazyVariantWindow(
+            chrom=self.chrom,
+            start=int(self._wstart[i]),
+            bases=self._wbases[o : o + int(self._wlen[i])],
+            cigar_str=self._cig_bytes[co : co + int(self._ciglen[i])].decode(
+                "ascii"
+            ),
+            vpairs=tuple(
+                (int(self._vrec[vo + t]), int(self._valt[vo + t]))
+                for t in range(vc)
+            ),
+            resolver=self._resolver,
+        )
+
+    def windows(self) -> Iterator["_LazyVariantWindow"]:
+        for i in range(self.n):
+            yield self.window(i)
+
+
 def _native_chrom_windows(
     lib, index, vchrom: str, ref_bases: np.ndarray, padding: int,
     max_variants: int,
 ) -> Iterator[VariantWindow]:
     """Stream this chromosome's variant windows from the native builder
     (native/variants.cpp), block by block."""
+    for blk in _native_chrom_blocks(
+        lib, index, vchrom, ref_bases, padding, max_variants
+    ):
+        yield from blk.windows()
+
+
+def _native_chrom_blocks(
+    lib, index, vchrom: str, ref_bases: np.ndarray, padding: int,
+    max_variants: int,
+) -> Iterator[_WindowBlock]:
+    """Raw-buffer form of :func:`_native_chrom_windows`: yields
+    :class:`_WindowBlock`s for the screened fast path."""
     import ctypes
 
     from calitas_tpu.io.vcf import _parse_record
@@ -437,23 +516,11 @@ def _native_chrom_windows(
                 int(warn[3 * k]), vchrom, int(warn[3 * k + 1]),
                 int(warn[3 * k + 2]),
             )
-        cig_bytes = cig.tobytes()
         nw = int(n_windows.value)
-        for w in range(nw):
-            o = int(woff[w])
-            vo = int(voff[w])
-            vc = int(vcnt[w])
-            yield _LazyVariantWindow(
-                chrom=vchrom,
-                start=int(wstart[w]),
-                bases=wbases[o : o + int(wlen[w])],
-                cigar_str=cig_bytes[
-                    int(cigoff[w]) : int(cigoff[w]) + int(ciglen[w])
-                ].decode("ascii"),
-                vpairs=tuple(
-                    (int(vrec[vo + t]), int(valt[vo + t])) for t in range(vc)
-                ),
-                resolver=resolver,
+        if nw:
+            yield _WindowBlock(
+                vchrom, nw, wbases, woff, wlen, wstart, cig.tobytes(),
+                cigoff, ciglen, voff, vcnt, vrec, valt, resolver,
             )
         i0 += rc
         block = _NATIVE_BLOCK
@@ -461,11 +528,12 @@ def _native_chrom_windows(
 
 def _native_variant_window_iter(
     lib, fasta: IndexedFasta, index, chrom: Optional[str], padding: int,
-    max_variants: int,
-) -> Iterator[VariantWindow]:
+    max_variants: int, blocks: bool = False,
+) -> Iterator:
     """The native-builder equivalent of the Python iterator below: same
     contig advancement, same error on a VCF chromosome missing from the
-    reference (in contig order)."""
+    reference (in contig order).  With ``blocks`` yields
+    :class:`_WindowBlock`s instead of windows."""
     contig_names = [chrom] if chrom is not None else fasta.names
     contig_iter = iter(contig_names)
     cur_name = next(contig_iter)
@@ -489,7 +557,8 @@ def _native_variant_window_iter(
                     "--add-chr-prefix normalizes gnomAD-style names."
                 ) from None
             cur_bases = upper_bytes(fasta.get_bases(cur_name))
-        yield from _native_chrom_windows(
+        gen = _native_chrom_blocks if blocks else _native_chrom_windows
+        yield from gen(
             lib, index, vchrom, cur_bases, padding, max_variants
         )
 
@@ -500,7 +569,8 @@ def variant_window_iterator(
     chrom: Optional[str],
     padding: int,
     max_variants: int,
-) -> Iterator[VariantWindow]:
+    blocks: bool = False,
+) -> Iterator:
     """Stream VariantWindows from a VCF (SearchReference.scala:217-256).
 
     ``vcf`` may be a path (streamed/parsed on the fly) or a prebuilt
@@ -513,7 +583,12 @@ def variant_window_iterator(
     (every PrepareVcf'd file), construction runs in the native builder
     (native/variants.cpp — bit-identical windows, fuzz-pinned by
     tests/test_native_variants.py); otherwise the pure-Python machinery
-    below is used."""
+    below is used.
+
+    With ``blocks=True`` the native path yields :class:`_WindowBlock`s
+    (raw buffers; windows materialize lazily — the screened fast path);
+    consumers of a blocks stream must also accept plain windows, which
+    the pure-Python fallback still yields."""
     from calitas_tpu.io.vcf import VcfIndex
 
     reader = vcf if isinstance(vcf, VcfIndex) else VcfReader(vcf)
@@ -526,7 +601,8 @@ def variant_window_iterator(
             reader._sorted.get(c, True) for c in relevant
         ):
             yield from _native_variant_window_iter(
-                lib, fasta, reader, chrom, padding, max_variants
+                lib, fasta, reader, chrom, padding, max_variants,
+                blocks=blocks,
             )
             return
     if chrom is not None:
@@ -691,7 +767,7 @@ def screened_variant_windows_multi(
         nonlocal batch
         from calitas_tpu.ops.genome_screen import screen_slots_multi
 
-        longest = max(w.length for w in batch)
+        longest = max(L for _item, _bi, L in batch)
         slot_b = max(64, 1 << (longest - 1).bit_length())
         # The Pallas kernel needs whole [8, 128] blocks; the packer needs
         # a multiple of 8.  Padding rows are zero -> never flagged above
@@ -700,10 +776,16 @@ def screened_variant_windows_multi(
         B = -(-max(len(batch), batch_slots) // unit) * unit
         tmasks = np.zeros((B, slot_b), dtype=np.uint8)
         lengths = np.zeros(B, dtype=np.int32)
-        for i, w in enumerate(batch):
-            masks = TARGET_MASK_TABLE[w.bases]
-            tmasks[i, : len(masks)] = masks
-            lengths[i] = len(masks)
+        for row, (item, bi, L) in enumerate(batch):
+            # Block entries read pre-encoded masks straight from the
+            # builder buffer; plain windows encode here.
+            m = (
+                item.mask_row(bi)
+                if bi is not None
+                else TARGET_MASK_TABLE[item.bases]
+            )
+            tmasks[row, :L] = m
+            lengths[row] = L
         try:
             resolvers = screen_slots_multi(
                 aligner.scorer, tmasks, lengths, groups
@@ -716,36 +798,51 @@ def screened_variant_windows_multi(
         batch = []
         return out
 
+    def _window_of(entry):
+        item, bi, _L = entry
+        return item.window(bi) if bi is not None else item
+
     def resolve(p):
-        windows, launched = p
+        entries, launched = p
         if launched is None:
-            for w in windows:
-                yield w, all_keys
+            for e in entries:
+                yield _window_of(e), all_keys
             return
-        flagged = [set() for _ in windows]
+        flagged = [set() for _ in entries]
         try:
             for keys, resolver in launched:
                 fl = resolver()  # [G, B] bool
                 for g, key in enumerate(keys):
-                    for i in np.nonzero(fl[g, : len(windows)])[0]:
+                    for i in np.nonzero(fl[g, : len(entries)])[0]:
                         flagged[i].add(key)
         except Exception:
             # Device failure degrades, not aborts: an unscreened window
             # just gets aligned for every guide (flags are a
             # conservative superset anyway).
             _warn_device_failure()
-            for w in windows:
-                yield w, all_keys
+            for e in entries:
+                yield _window_of(e), all_keys
             return
-        for w, keys in zip(windows, flagged):
+        for e, keys in zip(entries, flagged):
             if keys:
-                yield w, keys
+                yield _window_of(e), keys
 
-    for w in window_iter:
-        if w.length > slot:
-            yield w, all_keys  # too long for a slot; align unscreened
+    def entry_stream():
+        """Flatten the input into (provider, block_index | None, length)
+        triples — plain windows and raw blocks screen identically, only
+        materialization differs."""
+        for it in window_iter:
+            if isinstance(it, _WindowBlock):
+                for bi in range(it.n):
+                    yield it, bi, it.length(bi)
+            else:
+                yield it, None, it.length
+
+    for e in entry_stream():
+        if e[2] > slot:
+            yield _window_of(e), all_keys  # too long; align unscreened
             continue
-        batch.append(w)
+        batch.append(e)
         if len(batch) == batch_slots:
             pending.append(dispatch())
             if len(pending) > pipeline_depth:

@@ -371,8 +371,12 @@ def _run_both_passes(
             groups.setdefault(padding, []).append(spec)
         per_guide_rows: dict[str, list] = {gid: [] for gid, _, _ in specs}
         for padding, gspecs in groups.items():
+            # The screened path takes raw native-builder blocks: mask
+            # rows pack straight from the block buffers and only flagged
+            # windows materialize Python objects.
             vwindows = variant_window_iterator(
-                ref_file, variants, chrom, padding, max_variants
+                ref_file, variants, chrom, padding, max_variants,
+                blocks=use_tpu,
             )
             if use_tpu:
                 flagged = screened_variant_windows_multi(

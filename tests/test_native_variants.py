@@ -285,3 +285,47 @@ def test_search_reference_table_identical_with_native_builder(tmp_path):
     assert any("rsfix" in line for line in a)
     for la, lb in zip(a, b2):
         assert la == lb
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_blocks_mode_screens_identically(tmp_path, seed):
+    """The raw-block screened path (mask rows packed straight from the
+    builder buffers, windows materialized only when flagged) must yield
+    the same (window, keys) stream as the plain-window path."""
+    from calitas_tpu.align.engine import SequentialAligner
+    from calitas_tpu.core.guide import Guide
+    from calitas_tpu.search.variants import screened_variant_windows_multi
+
+    rng = np.random.default_rng(seed)
+    fasta, seqs = _make_ref(tmp_path, rng, [("chr1", 4000), ("chr2", 3000)])
+    vcf = _rand_vcf(tmp_path / "v.vcf", rng, seqs, n_per_contig=60)
+    idx = VcfIndex(vcf)
+    padding = 30
+    aligner = SequentialAligner()
+    # Thresholds spanning all/some/none flagged, mixed guide lengths.
+    specs = [
+        ("lo", Guide.parse("ACGTACGTACGTACGTACGTnrg"), -(10**9)),
+        ("mid", Guide.parse("TTGAGCCACAGGTTTACAGGnrg"),
+         aligner.min_guide_score(
+             Guide.parse("TTGAGCCACAGGTTTACAGGnrg"), 5)),
+        ("hi", Guide.parse("GATTACAGATTACAGATTACATnrg"), 10**9),
+    ]
+
+    def stream(blocks):
+        it = V.variant_window_iterator(
+            fasta, idx, None, padding, 16, blocks=blocks
+        )
+        out = []
+        for w, keys in screened_variant_windows_multi(
+            it, aligner, specs, batch_slots=64
+        ):
+            out.append(
+                (w.chrom, w.start, w.bases.tobytes(), str(w.cigar),
+                 w.variants, frozenset(keys))
+            )
+        return out
+
+    a = stream(False)
+    b = stream(True)
+    assert a, "no windows flagged at the permissive threshold"
+    assert a == b
