@@ -650,10 +650,13 @@ class GenomeScreen:
         )
         n_batches = -(-n // bw)
         if segments is None:
-            segments = self.SEGMENTS
-        segments = max(
-            1, min(segments, n_batches // self.MIN_BATCHES_PER_SEGMENT)
-        )
+            # Below a few batches per segment the extra dispatches can't
+            # amortize; explicit requests skip this heuristic.
+            segments = max(
+                1,
+                min(self.SEGMENTS, n_batches // self.MIN_BATCHES_PER_SEGMENT),
+            )
+        segments = max(1, min(segments, n_batches))
         bps = -(-n_batches // segments)  # batches per segment
         segments = -(-n_batches // bps)
         # One static shape for every segment (and every contig at this
@@ -945,6 +948,118 @@ class ShardedGenomeScreen(GenomeScreen):
         if return_chains:
             return chain_flags
         return chain_flags.any(axis=0)
+
+    def screen_contig_async(
+        self,
+        genome_dev,
+        contig_len: int,
+        step: int,
+        dp_query: str,
+        dp_query_rc: str,
+        min_score: int,
+        pam_spec=None,
+        segments: int | None = None,
+    ) -> list:
+        """The pipelined form of the sharded :meth:`screen_contig` (same
+        interface and semantics as :meth:`GenomeScreen.screen_contig_async`):
+        the contig's window grid splits into mesh-wide segments — each
+        segment shards its batches across the devices exactly like the
+        one-shot screen — and ALL segments are enqueued before any
+        readback, so the host finishes segment N's candidates while the
+        mesh screens segment N+1.  Flag/range values per window are
+        bit-identical to one :meth:`screen_contig` call."""
+        if self.window > 2048:
+            raise ValueError(
+                f"ranges need window <= 2048 (got {self.window})"
+            )
+        starts = self.window_starts(contig_len, step)
+        n = len(starts)
+        if n == 0:
+            return []
+        n_dev = self.mesh.devices.size
+        s = self.scorer
+        Q = len(dp_query)
+        use_pallas = self.use_pallas and Q <= 48
+        unit = BLOCK_W if use_pallas else LANES
+        bw = min(
+            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
+        )
+        batches_total = -(-n // bw)
+        if segments is None:
+            segments = max(
+                1,
+                min(
+                    self.SEGMENTS,
+                    batches_total // (self.MIN_BATCHES_PER_SEGMENT * n_dev),
+                ),
+            )
+        segments = max(1, min(segments, batches_total))
+        # One compiled per-device span serves every segment: each segment
+        # covers exactly n_dev * batches_per_dev batches (live-clipped at
+        # the tail), so per-device spans stay globally contiguous and the
+        # packed flags concatenate in window order like the one-shot path.
+        batches_per_dev = 1 << (
+            -(-batches_total // (segments * n_dev)) - 1
+        ).bit_length()
+        seg_batches = n_dev * batches_per_dev
+        segments = -(-batches_total // seg_batches)
+        need = (batches_total * bw + bw - 1) * step + self.window + step
+        if need > genome_dev.shape[0]:
+            need = 1 << (need - 1).bit_length()
+            genome_dev = self._pad_replicated(genome_dev, need)
+        static_pam_spec = None
+        if pam_spec is not None and use_pallas:
+            pams, max_pam_mm, max_gap = pam_spec
+            if pams and all(len(p) > 0 for p in pams):
+                static_pam_spec = (
+                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
+                    int(max_pam_mm),
+                    int(max_gap),
+                )
+        key = (Q, step, bw, batches_per_dev, static_pam_spec, True, use_pallas)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = make_sharded_grid_screen(
+                self.mesh, window=self.window, step=step, batch_windows=bw,
+                batches_per_dev=batches_per_dev, Q=Q,
+                match=s.match_score, mismatch=s.mismatch_score,
+                qgap=s.query_gap_score, tgap=s.target_gap_score,
+                use_pallas=use_pallas, pam_spec=static_pam_spec,
+                emit_ranges=True, interpret=self.interpret,
+            )
+            self._fn_cache[key] = fn
+        qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
+        qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
+        out = []
+        for seg in range(segments):
+            b0 = seg * seg_batches
+            base0 = (
+                (b0 + np.arange(n_dev) * batches_per_dev) * (bw * step)
+            ).astype(np.int32)
+            live = np.clip(
+                batches_total - b0 - np.arange(n_dev) * batches_per_dev,
+                0, batches_per_dev,
+            ).astype(np.int32)
+            packed, packed_ranges = fn(
+                genome_dev, jnp.asarray(base0), jnp.asarray(live),
+                jnp.int32(min_score), qv_fw, qv_rc,
+            )
+            try:
+                packed.copy_to_host_async()
+                packed_ranges.copy_to_host_async()
+            except Exception:
+                pass
+            i0 = b0 * bw
+            n_seg = min(n - i0, seg_batches * bw)
+
+            def resolve(packed=packed, packed_ranges=packed_ranges,
+                        n_seg=n_seg):
+                chain_flags = _unpack_flag_bits(np.asarray(packed), n_seg)
+                ranges = np.asarray(packed_ranges)[:, :n_seg]
+                return chain_flags, ranges
+
+            out.append((i0, n_seg, resolve))
+        return out
 
 
 # ---------------------------------------------------------------------------

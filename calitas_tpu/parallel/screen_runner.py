@@ -147,7 +147,11 @@ def _search_contig(
     # the fused multi-guide kernel lacks, so the finish is sliced too).
     want_ranges = hit_spec is not None and window_size <= 2048
     seg_dispatch: dict = {}
-    if want_ranges and genome_dev is not None and type(screen) is GenomeScreen:
+    # Both the single-device and the mesh-sharded screens provide the
+    # segmented async interface with identical flag/range semantics.
+    if want_ranges and genome_dev is not None and isinstance(
+        screen, GenomeScreen
+    ):
         for task in tasks:
             g = task.guide
             dq = g.guide_rc if g.pam_is_5prime else g.guide_fw

@@ -182,3 +182,52 @@ class TestShardedPackedStaging:
         b = packed.stage(bases)
         assert b.sharding.is_fully_replicated
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestShardedAsyncScreen:
+    def test_segmented_flags_and_ranges_match_single_device(self, mesh8):
+        """The sharded segmented screen must resolve to the same
+        per-chain flags and coarse end-column ranges as the one-shot
+        single-device screen."""
+        from calitas_tpu.ops.genome_screen import (
+            GenomeScreen,
+            ShardedGenomeScreen,
+        )
+
+        rng = np.random.default_rng(9)
+        guide = "CTTGCCCCACAGGGCAGTAA"
+        contig = "".join(rng.choice(list("ACGT"), 2_000_000))
+        for pos in (5000, 800_000, 1_900_000):
+            contig = contig[:pos] + guide + contig[pos + len(guide):]
+        bases = np.frombuffer(contig.encode(), dtype=np.uint8)
+        scorer = derive_scorer()
+
+        single = GenomeScreen(
+            scorer, window=1000, batch_windows=128, use_pallas=False
+        )
+        f1, r1 = single.screen_contig(
+            single.stage(bases), len(bases), 970, guide, revcomp(guide),
+            590, return_ranges=True,
+        )
+        sharded = ShardedGenomeScreen(
+            scorer, mesh8, window=1000, batch_windows=128, use_pallas=False
+        )
+        segs = sharded.screen_contig_async(
+            sharded.stage(bases), len(bases), 970, guide, revcomp(guide),
+            590, segments=2,
+        )
+        assert len(segs) >= 2, "expected multiple segments at this size"
+        flags_parts, range_parts = [], []
+        n_total = 0
+        for i0, n_seg, resolve in segs:
+            assert i0 == n_total
+            cf, rg = resolve()
+            assert cf.shape == (2, n_seg)
+            flags_parts.append(cf)
+            range_parts.append(rg)
+            n_total += n_seg
+        f2 = np.concatenate(flags_parts, axis=1)[:, : f1.shape[1]]
+        r2 = np.concatenate(range_parts, axis=1)[:, : r1.shape[1]]
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(r1, r2)
+        assert f1.any()
