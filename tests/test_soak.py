@@ -130,3 +130,76 @@ def test_native_search_pass_soak():
                     a.padded_target)
 
         assert [key(a) for a in got] == [key(a) for a in want], f"trial {trial}"
+
+
+def test_variant_pass_differential_many_seeds(tmp_path):
+    """Broad random coverage of the variant pass: SNPs/insertions/
+    deletions, multi-allelic records, clustered variants, mixed guide
+    lengths, blocks-mode device screening vs the host engine."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vcf_util import VcfBuilder
+
+    from calitas_tpu.core.sequence import revcomp
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.tools import search_reference
+    from tests.test_engine_differential import table_without_timestamp
+
+    for seed in range(6):
+        rng = np.random.default_rng(2000 + seed)
+        protos = [
+            "".join(rng.choice(list("ACGT"), int(rng.integers(17, 24))))
+            for _ in range(2)
+        ]
+        genome = list("".join(rng.choice(list("ACGT"), 50_000)))
+        for proto in protos:
+            for _ in range(4):
+                pos = int(rng.integers(100, 49_000))
+                site = list(proto)
+                for _ in range(int(rng.integers(0, 4))):
+                    i = int(rng.integers(0, len(site)))
+                    site[i] = rng.choice(list("ACGT"))
+                seq = "".join(site) + rng.choice(["TGG", "CGG"])
+                if rng.random() < 0.5:
+                    seq = revcomp(seq)
+                genome[pos : pos + len(seq)] = list(seq)
+        gstr = "".join(genome)
+        b = ReferenceSetBuilder(assembly=f"vs{seed}")
+        b.add("chr1").add(gstr)
+        ref = b.to_file(tmp_path / f"vref{seed}.fa")
+
+        vb = VcfBuilder()
+        used = set()
+        for pos in sorted(int(p) for p in rng.integers(500, 49_500, size=250)):
+            if pos in used:
+                continue
+            used.add(pos)
+            rb = gstr[pos - 1]
+            kind = rng.random()
+            if kind < 0.55:  # SNP (possibly multi-allelic)
+                alts = rng.choice(
+                    [c for c in "ACGT" if c != rb],
+                    size=int(rng.integers(1, 3)), replace=False,
+                )
+                alleles = (rb, *alts)
+            elif kind < 0.8:  # insertion
+                ins = "".join(rng.choice(list("ACGT"), int(rng.integers(1, 5))))
+                alleles = (rb, rb + ins)
+            else:  # deletion
+                dlen = int(rng.integers(1, 5))
+                alleles = (gstr[pos - 1 : pos + dlen], rb)
+            vb.add(chrom="chr1", pos=pos, alleles=alleles,
+                   info={"AF": f"{rng.uniform(0.01, 0.9):.3f}"})
+        vcf = vb.to_file(tmp_path / f"v{seed}.vcf")
+
+        specs = [(f"g{i}", p + "nrg", ()) for i, p in enumerate(protos)]
+        out_h = tmp_path / f"vh{seed}.txt"
+        out_t = tmp_path / f"vt{seed}.txt"
+        search_reference.run(ref=ref, variants=vcf, output=out_h,
+                             engine="host", guide_specs=specs)
+        search_reference.run(ref=ref, variants=vcf, output=out_t,
+                             engine="tpu", guide_specs=specs)
+        assert table_without_timestamp(out_h) == table_without_timestamp(
+            out_t
+        ), f"seed {seed}"
