@@ -759,7 +759,7 @@ def screened_variant_windows_multi(
     def dispatch():
         """Pack the current batch and launch every guide group's fused
         screen asynchronously; the device works while the host
-        materializes and packs the next batch (double-buffering).  The
+        materializes and packs the next batches (pipeline_depth deep).  The
         slot width is the smallest power of two covering this batch's
         longest window (variant windows are ~2x padding ~ 64-128 bases;
         packing them into the 512-byte cap would make the transfer and
