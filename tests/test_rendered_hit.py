@@ -96,3 +96,39 @@ def test_render_parse_render_identity():
         line = render_row(hit, FIELDS)
         again = render_row(parse_row(line, ReferenceHit), FIELDS)
         assert again == line
+
+
+def test_sort_hits_lexsort_matches_tuple_sort():
+    """The vectorized large-table sort must match the tuple-key sort
+    exactly, including insertion stability on full-key ties."""
+    import numpy as np
+
+    from calitas_tpu.io.fasta import DictEntry, SequenceDictionary
+    from calitas_tpu.search.hits import RenderedHit, sort_hits
+
+    rng = np.random.default_rng(17)
+    dictionary = SequenceDictionary(
+        [DictEntry(name=c, length=10**6, assembly="t") for c in
+         ("chr1", "chr2", "chr10")]
+    )
+    N = 10_000  # above the numpy threshold
+    hits = [
+        RenderedHit(
+            f"g{i % 3}", rng.choice(["chr1", "chr2", "chr10"]),
+            rng.choice(["+", "-"]), None,
+            int(rng.integers(0, 50)),  # few distinct starts -> many ties
+            int(rng.integers(0, 4)) * 100, 30, f"line{i}",
+        )
+        for i in range(N)
+    ]
+    for d in (dictionary, None):
+        key = (
+            (lambda h: (dictionary.index(h.chromosome), h.coordinate_start,
+                        h.strand, -h.score))
+            if d is not None
+            else (lambda h: (h.chromosome, h.coordinate_start, h.strand,
+                             -h.score))
+        )
+        expect = sorted(hits, key=key)
+        got = sort_hits(hits, d)
+        assert [h._line for h in got] == [h._line for h in expect]
