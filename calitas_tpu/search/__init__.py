@@ -1,3 +1,15 @@
-from calitas_tpu.search.hits import ReferenceHit, HitBuilder, sort_hits, remove_overlaps
+from calitas_tpu.search.hits import (
+    ReferenceHit,
+    HitBuilder,
+    sort_hits,
+    remove_overlaps,
+    dedup_and_sort,
+)
 
-__all__ = ["ReferenceHit", "HitBuilder", "sort_hits", "remove_overlaps"]
+__all__ = [
+    "ReferenceHit",
+    "HitBuilder",
+    "sort_hits",
+    "remove_overlaps",
+    "dedup_and_sort",
+]

@@ -349,10 +349,12 @@ def sort_hits(
         key = lambda h: (h.chromosome, h.coordinate_start, h.strand, -h.score)
     if n < 4096:  # numpy setup doesn't amortize on small tables
         return sorted(hits, key=key)
+    chroms = [h.chromosome for h in hits]
     if idx is not None:
-        chrom_key = np.fromiter((idx(h.chromosome) for h in hits), np.int64, n)
+        uniq = {c: idx(c) for c in set(chroms)}
+        chrom_key = np.fromiter((uniq[c] for c in chroms), np.int64, n)
     else:
-        chrom_key = np.array([h.chromosome for h in hits])
+        chrom_key = np.array(chroms)
     start = np.fromiter((h.coordinate_start for h in hits), np.int64, n)
     # strands are the single bytes "+" (43) < "-" (45): ord-compare IS
     # the string compare
@@ -374,7 +376,24 @@ def remove_overlaps(
     overlaps the current by >= max_overlap (note >= here vs > intra-window)
     with a <= score, it is dropped; the current hit is emitted only if the
     next survivor doesn't overlap it.
+
+    Large tables dispatch to a vectorized path that produces the exact
+    same keepers in the exact same order (``_remove_overlaps_vector``);
+    ``max_overlap <= 0`` makes every same-group pair "overlap" under the
+    clamped-``>=`` rule, which defeats positional segmentation, so the
+    vector path only segments when it is positive.
     """
+    if len(hits) >= 8192:
+        return _remove_overlaps_vector(hits, max_overlap, dictionary)
+    return _remove_overlaps_scan(hits, max_overlap, dictionary)
+
+
+def _remove_overlaps_scan(
+    hits: Sequence[ReferenceHit],
+    max_overlap: int,
+    dictionary: Optional[SequenceDictionary],
+) -> list[ReferenceHit]:
+    """The direct group-sort-scan dedup (small tables; vector-path oracle)."""
     keepers: list[ReferenceHit] = []
     groups: dict[tuple, list[ReferenceHit]] = {}
     for h in hits:
@@ -422,3 +441,145 @@ def remove_overlaps(
                 if ov < max_overlap:
                     keepers.append(ordered[k])
     return keepers
+
+
+def _remove_overlaps_vector(
+    hits: Sequence[ReferenceHit],
+    max_overlap: int,
+    dictionary: Optional[SequenceDictionary],
+) -> list[ReferenceHit]:
+    """Vectorized global dedup, bit-identical to the scan implementation.
+
+    The dictionary never affects the result: within a group the chromosome
+    is constant, so the per-group sort order reduces to (start, -score)
+    regardless of it (the parameter is kept for signature parity).
+    """
+    kept_idx, _, _ = _dedup_kept_indices(hits, max_overlap)
+    return [hits[j] for j in kept_idx]
+
+
+def _dedup_kept_indices(hits, max_overlap: int):
+    """Core of the vectorized dedup: returns (kept_idx, start, score) —
+    the original indices of the keepers in scan-keeper order, plus the
+    full start/score key arrays for reuse by the final sort.
+
+    One stable ``np.lexsort`` replaces the per-group tuple sorts: the
+    outermost key is the group id assigned in first-appearance order (the
+    dict-insertion order the scan path iterates groups in), and within a
+    group — chromosome and strand fixed — the sort_hits order reduces to
+    ``(start, -score)``.  The sequential drop-chain scan then only has to
+    run inside segments that can actually interact: a chain from k can
+    reach i only if ``start[i] + max_overlap <= end[k]``, so positions
+    where ``start[i] + max_overlap`` exceeds the group's running max end
+    are hard barriers.  On genome-scale tables almost every segment is a
+    single hit, which the numpy mask keeps wholesale.
+    """
+    import numpy as np
+
+    n = len(hits)
+    keymap: dict = {}
+    add = keymap.setdefault
+    gid = np.fromiter(
+        (
+            add(
+                (h.guide_id, h.chromosome, h.strand, h.variant_description or ""),
+                len(keymap),
+            )
+            for h in hits
+        ),
+        np.int64,
+        n,
+    )
+    start = np.fromiter((h.coordinate_start for h in hits), np.int64, n)
+    end = np.fromiter((h.end for h in hits), np.int64, n)
+    score = np.fromiter((h.score for h in hits), np.int64, n)
+    # int32 sort keys are ~30% faster; scores always fit, coordinates do
+    # unless a contig exceeds 2^31 bases.  gid itself stays int64: the
+    # cummax lift below multiplies it past int32 range.
+    score = score.astype(np.int32)
+    if n and int(start.max()) < 2**31:
+        start = start.astype(np.int32)
+
+    order = np.lexsort((-score, start, gid.astype(np.int32)))
+    g = gid[order]
+    s = start[order]
+    e = end[order]
+    sc = score[order]
+
+    brk = np.empty(n, bool)
+    brk[0] = True
+    brk[1:] = g[1:] != g[:-1]
+    if max_overlap > 0:
+        # Per-group running max of end from one global accumulate: lift
+        # each group's ends by gid * K (K > any end) so a later group's
+        # values always dominate an earlier group's running max.
+        lift = g * (int(e.max()) + 1)
+        cummax_e = np.maximum.accumulate(e + lift) - lift
+        brk[1:] |= s[1:] + max_overlap > cummax_e[:-1]
+
+    keep = np.zeros(n, bool)
+    seg_starts = np.flatnonzero(brk)
+    seg_ends = np.append(seg_starts[1:], n)
+    singles = seg_ends - seg_starts == 1
+    keep[seg_starts[singles]] = True
+    for a, b in zip(seg_starts[~singles].tolist(), seg_ends[~singles].tolist()):
+        starts = s[a:b].tolist()
+        ends = e[a:b].tolist()
+        scores = sc[a:b].tolist()
+        m = b - a
+        i = 0
+        while i < m:
+            s0 = starts[i]
+            e0 = ends[i]
+            sc0 = scores[i]
+            k = i
+            i += 1
+            while i < m:
+                ov = (e0 if e0 < ends[i] else ends[i]) - (
+                    s0 if s0 > starts[i] else starts[i]
+                )
+                if ov < 0:
+                    ov = 0
+                if ov >= max_overlap and scores[i] <= sc0:
+                    i += 1
+                else:
+                    break
+            if i >= m:
+                keep[a + k] = True
+            else:
+                ov = (e0 if e0 < ends[i] else ends[i]) - (
+                    s0 if s0 > starts[i] else starts[i]
+                )
+                if ov < 0:
+                    ov = 0
+                if ov < max_overlap:
+                    keep[a + k] = True
+    return order[keep], start, score
+
+
+def dedup_and_sort(
+    hits: Sequence[ReferenceHit],
+    max_overlap: int,
+    dictionary: Optional[SequenceDictionary],
+) -> list[ReferenceHit]:
+    """``sort_hits(remove_overlaps(...))`` fused over one set of attribute
+    arrays — the production ``_finalize`` path; ~2x the two-call sequence
+    at the 1M-row scale because keepers are never materialized as an
+    intermediate list and the sort keys are extracted once."""
+    if len(hits) < 8192:
+        return sort_hits(remove_overlaps(hits, max_overlap, dictionary), dictionary)
+    import numpy as np
+
+    n = len(hits)
+    kept_idx, start, score = _dedup_kept_indices(hits, max_overlap)
+    chroms = [h.chromosome for h in hits]
+    if dictionary is not None:
+        uniq = {c: dictionary.index(c) for c in set(chroms)}
+        chrom_key = np.fromiter((uniq[c] for c in chroms), np.int32, n)
+    else:
+        chrom_key = np.array(chroms)
+    strand = np.fromiter((ord(h.strand) for h in hits), np.uint8, n)
+    k = kept_idx
+    # stable within kept order == sort_hits applied to the keeper list
+    final = k[np.lexsort((-score[k], strand[k], start[k], chrom_key[k]))]
+    return [hits[j] for j in final]

@@ -27,7 +27,7 @@ from calitas_tpu.core.scoring import Defaults
 from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.io.fasta import IndexedFasta, extract_dictionary
 from calitas_tpu.io.tsv import MetricWriter, open_output
-from calitas_tpu.search.hits import HitBuilder, ReferenceHit, remove_overlaps, sort_hits
+from calitas_tpu.search.hits import HitBuilder, ReferenceHit, dedup_and_sort
 from calitas_tpu.search.windows import window_iterator
 from calitas_tpu.utils import camel_to_gnu
 
@@ -446,7 +446,7 @@ def _finalize(
     import time as _time
 
     logger.info("Sorting and Outputting.")
-    keepers = remove_overlaps(hits, max_overlap, dictionary)
+    keepers = dedup_and_sort(hits, max_overlap, dictionary)
 
     if keepers:
         fwd_fraction = sum(1 for h in keepers if h.strand == "+") / len(keepers)
@@ -458,7 +458,7 @@ def _finalize(
 
     out_fh = open_output(output)
     writer = MetricWriter(out_fh, ReferenceHit)
-    writer.write_all(sort_hits(keepers, dictionary))
+    writer.write_all(keepers)
     writer.close()
     if out_fh is not sys.stdout:
         out_fh.close()

@@ -98,6 +98,68 @@ def test_render_parse_render_identity():
         assert again == line
 
 
+def test_remove_overlaps_vector_matches_scan():
+    """The vectorized global dedup must return the exact keepers in the
+    exact order of the sequential-scan implementation, across dense
+    overlap chains, score ties, variant groups and degenerate
+    max_overlap values."""
+    import numpy as np
+
+    from calitas_tpu.io.fasta import DictEntry, SequenceDictionary
+    from calitas_tpu.search.hits import (
+        RenderedHit,
+        _remove_overlaps_scan,
+        _remove_overlaps_vector,
+    )
+
+    rng = np.random.default_rng(23)
+    chroms = ["chr1", "chr2", "chr10"]
+    dictionary = SequenceDictionary(
+        [DictEntry(name=c, length=10**6, assembly="t") for c in chroms]
+    )
+
+    def make_hits(n, span):
+        out = []
+        for i in range(n):
+            start = int(rng.integers(0, span))
+            length = int(rng.integers(20, 35))
+            out.append(
+                RenderedHit(
+                    f"g{int(rng.integers(0, 2))}",
+                    chroms[int(rng.integers(0, 3))],
+                    "+-"[int(rng.integers(0, 2))],
+                    (None, "", "1:5:A:T")[int(rng.integers(0, 3))],
+                    start,
+                    int(rng.integers(0, 5)) * 100,  # heavy score ties
+                    start + length - 1,
+                    f"line{i}",
+                )
+            )
+        return out
+
+    # force both implementations over the same inputs regardless of size
+    def scan(hs, mo, d):
+        return [h._line for h in _remove_overlaps_scan(hs, mo, d)]
+
+    from calitas_tpu.search.hits import dedup_and_sort, sort_hits
+
+    # dense, sparse, and large enough to take the fused vector path
+    for span, n in ((400, 3000), (100_000, 3000), (2000, 12_000)):
+        hs = make_hits(n, span)
+        for mo in (-1, 0, 1, 5, 30, 1000):
+            for d in (dictionary, None):
+                expect = scan(hs, mo, d)
+                got = [h._line for h in _remove_overlaps_vector(hs, mo, d)]
+                assert got == expect, (span, mo, d is not None)
+                # the fused production path == the two-call sequence
+                want = [
+                    h._line
+                    for h in sort_hits(_remove_overlaps_scan(hs, mo, d), d)
+                ]
+                fused = [h._line for h in dedup_and_sort(hs, mo, d)]
+                assert fused == want, (span, mo, d is not None)
+
+
 def test_sort_hits_lexsort_matches_tuple_sort():
     """The vectorized large-table sort must match the tuple-key sort
     exactly, including insertion stability on full-key ties."""
