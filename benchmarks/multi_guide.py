@@ -42,11 +42,7 @@ def main() -> None:
     from calitas_tpu.io.tsv import MetricWriter
     from calitas_tpu.ops.genome_screen import GenomeScreen
     from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
-    from calitas_tpu.search.hits import (
-        ReferenceHit,
-        remove_overlaps,
-        sort_hits,
-    )
+    from calitas_tpu.search.hits import ReferenceHit, dedup_and_sort
 
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1024.0
     n_guides = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -111,12 +107,11 @@ def main() -> None:
             **align_kwargs,
         ):
             hits.extend(rows)
-        keepers = remove_overlaps(
-            hits, align_kwargs["max_overlap"], dictionary
-        )
+        # fused dedup+sort — the production _finalize path
+        keepers = dedup_and_sort(hits, align_kwargs["max_overlap"], dictionary)
         buf = io.StringIO()
         writer = MetricWriter(buf, ReferenceHit)
-        writer.write_all(sort_hits(keepers, dictionary))
+        writer.write_all(keepers)
         return len(hits), len(keepers)
 
     n_raw, n_kept = e2e_once()  # warm: compile + pool spin-up
