@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 import decimal
 import math
+import struct
 import sys
 from pathlib import Path
 from typing import IO, Iterable, Iterator, Type, TypeVar
@@ -57,8 +58,16 @@ def _format_float(v: float) -> str:
     sign = "-" if math.copysign(1.0, v) < 0 else ""
     if v == 0.0:
         return sign + "0.0"
-    # Shortest round-trip digits + decimal exponent of the leading digit.
-    dec = decimal.Decimal(repr(abs(v))).normalize()
+    a = abs(v)
+    return _java_number(a, sign, repr(a), lambda s: float(s) == a)
+
+
+def _java_number(v_abs: float, sign: str, shortest: str, roundtrips) -> str:
+    """Java FloatingDecimal formatting shared by ``Double.toString``
+    (:func:`_format_float`) and ``Float.toString``
+    (:func:`format_java_float32`): given the shortest round-trip decimal
+    string of ``v_abs``, render it in Java's plain/scientific style."""
+    dec = decimal.Decimal(shortest).normalize()
     sig, digits, exp = dec.as_tuple()
     ds = "".join(str(d) for d in digits)
     adj = len(ds) - 1 + exp  # value = d.ddd * 10^adj
@@ -67,8 +76,8 @@ def _format_float(v: float) -> str:
         # 2-digit decimal closest to the value (Double.MIN_VALUE renders
         # as 4.9E-324, not 5.0E-324).  %.1e rounds to the nearest
         # 2-significant-digit decimal; adopt it when it still round-trips.
-        two = "%.1e" % abs(v)
-        if float(two) == abs(v):
+        two = "%.1e" % v_abs
+        if roundtrips(two):
             mant2, exp2 = two.split("e")
             ds2 = mant2.replace(".", "")  # "49", "10", ...
             adj = int(exp2)
@@ -83,6 +92,49 @@ def _format_float(v: float) -> str:
         return sign + int_part + "." + frac_part
     mantissa = ds[0] + "." + (ds[1:] or "0")
     return sign + mantissa + "E" + str(adj)
+
+
+def float32_widen(x) -> float:
+    """Round a value through IEEE float32 and widen back to double.
+
+    The reference reads allele frequencies as ``Float``
+    (SearchReference.scala:199 — ``v.get[ArrayAttr[Float]]("AF")``) and
+    assigns them into ``Option[Double]`` fields (ReferenceHit.scala:54,233),
+    so Scala widens Float→Double: an input ``AF=0.135`` becomes
+    ``0.13500000536441803`` in every downstream comparison and rendering.
+    """
+    x = float(x)
+    try:
+        return struct.unpack("<f", struct.pack("<f", x))[0]
+    except OverflowError:  # beyond float32 range: Float.parseFloat -> ±Inf
+        return math.copysign(_INF, x)
+
+
+def format_java_float32(v: float) -> str:
+    """Render exactly as Java ``Float.toString((float) v)`` would.
+
+    htsjdk's VCF encoder renders non-Double INFO values via
+    ``String.valueOf`` (PrepareVcf.scala:72-78 writes the kept AF array as
+    ``ArrayAttr[Float]``), i.e. ``Float.toString``: the shortest decimal
+    that round-trips the float32, in the same plain/scientific style as
+    ``Double.toString`` — ``0.1350`` re-renders as ``0.135``, ``1e-05`` as
+    ``1.0E-5``.
+    """
+    v = float32_widen(v)
+    if v != v:
+        return "NaN"
+    if v == _INF:
+        return "Infinity"
+    if v == -_INF:
+        return "-Infinity"
+    sign = "-" if math.copysign(1.0, v) < 0 else ""
+    if v == 0.0:
+        return sign + "0.0"
+    a = abs(v)
+    shortest = next(
+        s for p in range(1, 10) for s in ("%.*g" % (p, a),) if float32_widen(s) == a
+    )
+    return _java_number(a, sign, shortest, lambda s: float32_widen(s) == a)
 
 
 def fields_of(cls) -> list[str]:

@@ -10,6 +10,8 @@ from dataclasses import dataclass, field, replace
 from pathlib import Path
 from typing import IO, Iterator, Optional, Sequence
 
+from calitas_tpu.io.tsv import float32_widen, format_java_float32
+
 PASSING_FILTERS = frozenset({"PASS"})
 _SIMPLE_BASES = frozenset("ACGTNacgtn")
 
@@ -40,11 +42,18 @@ class VcfVariant:
         return dict(self.info)
 
     def af(self) -> Optional[list[float]]:
-        """The AF INFO array (one value per alt), or None."""
+        """The AF INFO array (one value per alt), or None.
+
+        Values are parsed through float32 and widened back to double,
+        exactly as the reference's ``ArrayAttr[Float]`` read + assignment
+        into ``Option[Double]`` does (SearchReference.scala:199,
+        ReferenceHit.scala:54,233): ``0.135`` yields
+        ``0.13500000536441803`` downstream.
+        """
         raw = self.info_dict().get("AF")
         if raw is None:
             return None
-        return [float(x) for x in raw.split(",")]
+        return [float32_widen(x) for x in raw.split(",")]
 
     def alleles_are_simple(self) -> bool:
         """True iff ref and all alts are plain base strings (no symbolic or
@@ -289,4 +298,7 @@ class VcfWriter:
 
 
 def format_af(values: Sequence[float]) -> str:
-    return ",".join(f"{v:g}" for v in values)
+    """Render an AF array as htsjdk's VCF encoder does for the reference's
+    ``ArrayAttr[Float]`` (PrepareVcf.scala:72-78): ``Float.toString`` per
+    value — shortest float32 round-trip, Java spelling."""
+    return ",".join(format_java_float32(v) for v in values)

@@ -20,6 +20,7 @@ from calitas_tpu.io.vcf import (
     VcfWriter,
     format_af,
 )
+from calitas_tpu.io.tsv import float32_widen
 
 logger = logging.getLogger("calitas_tpu.PrepareVcf")
 
@@ -78,7 +79,11 @@ def run(
                         raw_af = item[3:]  # last occurrence wins
             if raw_af is None:
                 continue
-            afs = [float(x) for x in raw_af.split(",")]
+            # float32-widened compares: the reference filters Float AFs
+            # against a Double minAf (PrepareVcf.scala:69,72), so Scala
+            # widens each float32 — AF=0.01 vs --min-af 0.01 is DROPPED
+            # (float32(0.01) = 0.00999999... < 0.01).
+            afs = [float32_widen(x) for x in raw_af.split(",")]
             if not any(af >= min_af for af in afs):
                 continue
             ref = f[3]

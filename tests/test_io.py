@@ -85,6 +85,41 @@ class TestMetricTsv:
         assert format_value(5e-324) == "4.9E-324"  # Double.MIN_VALUE
         assert format_value(1.7976931348623157e308) == "1.7976931348623157E308"
 
+    def test_float32_widen_af_parity(self):
+        # The JAR reads AF as Float (SearchReference.scala:199) and widens
+        # into Option[Double] (ReferenceHit.scala:54,233), so an input
+        # 0.135 renders as 0.13500000536441803 via Double.toString.
+        from calitas_tpu.io.tsv import float32_widen
+
+        assert float32_widen("0.135") == 0.13500000536441803
+        assert format_value(float32_widen("0.135")) == "0.13500000536441803"
+        assert format_value(float32_widen("0.3")) == "0.30000001192092896"
+        assert format_value(float32_widen("0.5")) == "0.5"  # float32-exact
+        assert format_value(float32_widen("0.01")) == "0.009999999776482582"
+        # Scala compares the widened Float against a Double threshold:
+        # AF=0.01 fails a >= 0.01 min-AF filter (PrepareVcf.scala:69,72).
+        assert not float32_widen("0.01") >= 0.01
+        assert float32_widen("1e300") == float("inf")
+
+    def test_format_java_float32_tostring(self):
+        # PrepareVcf re-renders kept AFs as ArrayAttr[Float] through
+        # htsjdk's encoder, i.e. Float.toString (PrepareVcf.scala:72-78):
+        # shortest float32 round-trip in Java spelling.
+        from calitas_tpu.io.tsv import format_java_float32
+
+        assert format_java_float32(0.135) == "0.135"
+        assert format_java_float32(0.1350) == "0.135"
+        assert format_java_float32(1e-5) == "1.0E-5"
+        assert format_java_float32(0.0005) == "5.0E-4"
+        assert format_java_float32(0.001) == "0.001"
+        assert format_java_float32(1.0) == "1.0"
+        assert format_java_float32(0.0) == "0.0"
+        assert format_java_float32(-0.25) == "-0.25"
+        assert format_java_float32(1.4e-45) == "1.4E-45"  # Float.MIN_VALUE
+        assert format_java_float32(3.4028235e38) == "3.4028235E38"
+        assert format_java_float32(float("nan")) == "NaN"
+        assert format_java_float32(float("inf")) == "Infinity"
+
     def test_roundtrip(self, tmp_path):
         from dataclasses import dataclass
         from typing import Optional
@@ -136,7 +171,9 @@ class TestVcf:
         assert v.alts == ("C", "G")
         assert v.n_alleles == 3
         assert v.filters == frozenset()
-        assert v.af() == [0.1, 0.2]
+        # AF parses through float32 then widens (SearchReference.scala:199
+        # reads ArrayAttr[Float] into Option[Double] fields).
+        assert v.af() == [0.10000000149011612, 0.20000000298023224]
         assert v.end == 10
 
     def test_symbolic_not_simple(self, tmp_path):

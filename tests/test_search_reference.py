@@ -334,4 +334,6 @@ class TestCrossPassDedup:
         assert ref_hit.total_mm_plus_gaps == 0
         assert var_hit.total_mm_plus_gaps == 1  # the SNP
         assert var_hit.variant_description == f"rsX:404:{ref_base}>{alt}:0.300"
-        assert var_hit.allele_frequency == 0.3
+        # float32-widened, as the JAR's Float->Option[Double] assignment
+        # produces (ReferenceHit.scala:54,233).
+        assert var_hit.allele_frequency == 0.30000001192092896

@@ -122,3 +122,33 @@ class TestPrepareVcf:
         vs = list(VcfReader(out))
         assert [v.chrom for v in vs] == ["chr1", "GL000194.1"]
         assert [v.id for v in vs] == ["keep", "odd"]
+
+    def test_af_spelling_and_float32_threshold(self, tmp_path):
+        """Pins the PrepareVcf AF contract (VERDICT r2 item 7): thresholds
+        compare float32-widened AFs against the double min-af
+        (PrepareVcf.scala:69,72 — Scala Float >= Double), and kept AFs
+        re-render as Java Float.toString, htsjdk's spelling for
+        ArrayAttr[Float] (PrepareVcf.scala:72-78)."""
+        b = VcfBuilder()
+        # float32(0.01) = 0.00999999... < 0.01 -> the JAR DROPS this one.
+        b.add("1", 100, "edge", ["A", "C"], info={"AF": "0.01"})
+        # 0.0100001 widens above the threshold -> kept, respelled.
+        b.add("1", 200, "above", ["A", "C"], info={"AF": "0.0100001"})
+        # trailing-zero spelling normalizes (Float.toString is shortest).
+        b.add("1", 300, "padded", ["A", "C"], info={"AF": "0.1350"})
+        # multi-allelic: only the >= min-af alts/AFs survive.
+        b.add("1", 400, "multi", ["A", "C", "G"], info={"AF": "0.5,0.001"})
+        vcf_in = b.to_file(tmp_path / "in.vcf")
+        out = tmp_path / "out.vcf"
+        prepare_vcf.run(input=[vcf_in], output=out)
+        records = [
+            l for l in out.read_text().splitlines() if not l.startswith("#")
+        ]
+        got = {l.split("\t")[2]: l.split("\t")[7] for l in records}
+        assert got == {
+            "above": "AF=0.0100001",
+            "padded": "AF=0.135",
+            "multi": "AF=0.5",
+        }
+        alts = {l.split("\t")[2]: l.split("\t")[4] for l in records}
+        assert alts["multi"] == "C"

@@ -71,3 +71,67 @@ def test_pairwise_matches_jar(tmp_path):
             fh.write(f"{proto}nrg\t{''.join(t)}\n")
     rc = vs_jar.run_differential("PairwiseAlignSequences", ["-i", str(inp)])
     assert rc == 0
+
+
+def _write_raw_vcf(path, rows):
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write('##INFO=<ID=AF,Number=A,Type=Float,Description="AF">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for chrom, pos, vid, ref, alt, af in rows:
+            fh.write(f"{chrom}\t{pos}\t{vid}\t{ref}\t{alt}\t50\tPASS\tAF={af}\n")
+    return path
+
+
+def test_search_reference_with_fractional_afs_matches_jar(small_ref, tmp_path):
+    """Variant-annotated rows with non-float32-exact AFs: pins the
+    Float->Double widening fix (VERDICT r2 missing #1) against the JAR —
+    allele_frequency must render e.g. 0.13500000536441803."""
+    vcf = _write_raw_vcf(
+        tmp_path / "v.vcf",
+        [
+            ("chr1", 5_004, "rsA", "C", "A", "0.135"),
+            ("chr1", 23_010, "rsB", "A", "T", "0.3"),
+            ("chr1", 41_005, "rsC", "G", "C", "0.041"),
+        ],
+    )
+    rc = vs_jar.run_differential(
+        "SearchReference",
+        ["-i", "CTTGCCCCACAGGGCAGTAAnrg", "-I", "g", "-r", str(small_ref),
+         "-v", str(vcf), "-d", "4", "-p", "1"],
+    )
+    assert rc == 0
+
+
+def test_prepare_vcf_matches_jar(tmp_path):
+    """PrepareVcf record-line parity (VERDICT r2 item 7): AF threshold
+    (float32-widened compare) and AF respelling (Float.toString) must
+    match the JAR byte-for-byte on the record lines — the prepared file
+    feeds the variant_vcf MD5 column downstream."""
+    import subprocess
+
+    raw = _write_raw_vcf(
+        tmp_path / "raw.vcf",
+        [
+            ("1", 100, "edge", "A", "C", "0.01"),       # dropped: f32 < 0.01
+            ("1", 200, "above", "A", "C", "0.0100001"),
+            ("1", 300, "padded", "A", "C", "0.1350"),   # respells to 0.135
+            ("1", 400, "multi", "A", "C,G", "0.5,0.001"),
+            ("1", 500, "sci", "A", "C", "0.25"),
+        ],
+    )
+    ours = tmp_path / "ours.vcf"
+    theirs = tmp_path / "theirs.vcf"
+    subprocess.run(
+        [sys.executable, "-m", "calitas_tpu", "PrepareVcf",
+         "-i", str(raw), "-o", str(ours)],
+        check=True,
+    )
+    subprocess.run(
+        [*vs_jar.reference_cmd(), "PrepareVcf", "-i", str(raw),
+         "-o", str(theirs)],
+        check=True,
+    )
+    recs = lambda p: [l for l in Path(p).read_text().splitlines()
+                      if l and not l.startswith("#")]
+    assert recs(ours) == recs(theirs)
