@@ -368,6 +368,165 @@ def finish_rendered(
     return out
 
 
+def finish_lines(
+    guide: Guide,
+    aligner,
+    windows: Sequence[tuple[str, int, np.ndarray]],  # (chrom, start1, bases)
+    passes_list: Sequence[tuple[str, ...]],
+    ranges: Optional[np.ndarray],
+    consts: dict,  # make_render_consts
+    flank_srcs: Sequence[tuple[int, np.ndarray]],  # (fstart1, UPPER bases)
+    **limits,
+) -> Optional[list[list]]:
+    """Finish a batch of same-chromosome windows straight into RenderedHit
+    rows with the ENTIRE 34-column line composed in native code
+    (``finish_batch_render``): flanks, counters, numbers and constant
+    columns all render in C++; Python only slices the returned line
+    buffer into per-row strings.  Line-for-line identical to
+    :func:`finish_rendered` (pinned by tests/test_batch_finish.py).
+
+    ``flank_srcs[i]`` = (genomic 1-based start, uppercase bases) covering
+    at least [window_start - 10, window_end + 10] clamped to the contig;
+    positions outside the source render as 'N' (the contig-edge padding
+    of ReferenceHit.scala:261-266).
+    """
+    from calitas_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "finish_batch_render"):
+        return None
+    n = len(windows)
+    if n == 0:
+        return []
+    chrom0 = windows[0][0]
+    if any(c != chrom0 for c, _, _ in windows):
+        return None  # mixed chromosomes: caller falls back
+
+    is5 = guide.pam_is_5prime
+    query = guide.guide_rc if is5 else guide.guide_fw
+    pams = guide.pams_rc if is5 else guide.pams_fw
+    qbytes = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+    Q = len(qbytes)
+    pam_bytes = [p.encode("ascii") for p in pams]
+    pam_cat = np.frombuffer(b"".join(pam_bytes) or b"\0", dtype=np.uint8)
+    n_pams = len(pam_bytes)
+    pam_off = np.zeros(max(n_pams, 1), np.int32)
+    pam_len = np.zeros(max(n_pams, 1), np.int32)
+    off = 0
+    for k, p in enumerate(pam_bytes):
+        pam_off[k] = off
+        pam_len[k] = len(p)
+        off += len(p)
+    max_pam_len = max((len(p) for p in pam_bytes), default=0)
+
+    wlen = np.array([len(b) for _, _, b in windows], dtype=np.int32)
+    woff = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        woff[1:] = np.cumsum(wlen[:-1], dtype=np.int64)
+    wbytes = np.empty(int(wlen.sum()) or 1, dtype=np.uint8)
+    for i, (_, _, b) in enumerate(windows):
+        wbytes[woff[i] : woff[i] + wlen[i]] = b
+    wstart1 = np.array([s for _, s, _ in windows], dtype=np.int64)
+    pass_mask = np.zeros(n, dtype=np.uint8)
+    for i, ps in enumerate(passes_list):
+        m = 0
+        for p in ps:
+            m |= 1 << cpp_pass_for(p, is5)
+        pass_mask[i] = m
+    if ranges is None:
+        ranges_arr = np.zeros((max(n, 1), 4), dtype=np.int32)
+    else:
+        ranges_arr = np.ascontiguousarray(ranges, dtype=np.int32)
+
+    flen = np.array([len(b) for _, b in flank_srcs], dtype=np.int32)
+    foff = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        foff[1:] = np.cumsum(flen[:-1], dtype=np.int64)
+    fbytes = np.empty(int(flen.sum()) or 1, dtype=np.uint8)
+    for i, (_, b) in enumerate(flank_srcs):
+        fbytes[foff[i] : foff[i] + flen[i]] = b
+    fstart1 = np.array([s for s, _ in flank_srcs], dtype=np.int64)
+
+    s = aligner.scorer
+    min_score = aligner.min_guide_score(guide, limits["max_guide_diffs"])
+    ext_total = (
+        limits["max_guide_diffs"]
+        + limits["max_gaps_between_guide_and_pam"]
+        + limits["max_pam_diffs"]
+    )
+
+    chromb = chrom0.encode("ascii")
+    c_id = consts["guide_id"].encode("ascii")
+    c_guide = consts["unpadded_guide"].encode("ascii")
+    c_build = consts["genome_build"].encode("ascii")
+    c_glen = consts["guide_len"].encode("ascii")
+    c_tail = consts["tail"].encode("ascii")
+
+    aln_width = Q + max_pam_len + limits["max_gaps_between_guide_and_pam"] + 8
+    const_len = (
+        len(c_id) + len(c_guide) + len(c_build) + len(chromb) + len(c_glen)
+        + len(c_tail)
+    )
+    line_width = const_len + 6 * aln_width + 120
+    max_out = max(256, 4 * n)
+    while True:
+        meta = np.empty((max_out, 8), dtype=np.int32)
+        lines_cap = max_out * line_width
+        out_lines = np.empty(lines_cap, dtype=np.uint8)
+        line_off = np.empty(max_out, dtype=np.int64)
+        line_len = np.empty(max_out, dtype=np.int32)
+        n_out = lib.finish_batch_render(
+            qbytes.ctypes.data, Q,
+            pam_cat.ctypes.data, pam_off.ctypes.data, pam_len.ctypes.data,
+            n_pams,
+            1 if is5 else 0,
+            s.match_score, s.mismatch_score, s.query_gap_score,
+            s.target_gap_score, s.pam_match_score, s.pam_mismatch_score,
+            int(min_score),
+            limits["max_guide_diffs"], limits["max_pam_diffs"],
+            limits["max_gaps_between_guide_and_pam"],
+            ext_total, limits["max_total_diffs"], limits["max_overlap"],
+            wbytes.ctypes.data, woff.ctypes.data, wlen.ctypes.data,
+            pass_mask.ctypes.data, ranges_arr.ctypes.data, n,
+            fbytes.ctypes.data, foff.ctypes.data, flen.ctypes.data,
+            fstart1.ctypes.data, wstart1.ctypes.data,
+            chromb, len(chromb),
+            c_id, len(c_id),
+            c_guide, len(c_guide),
+            c_build, len(c_build),
+            c_glen, len(c_glen),
+            c_tail, len(c_tail),
+            max_out,
+            meta.ctypes.data,
+            out_lines.ctypes.data, ctypes.c_int64(lines_cap),
+            line_off.ctypes.data, line_len.ctypes.data,
+        )
+        if n_out == -1:
+            max_out *= 4
+            continue
+        if n_out < 0:
+            raise AssertionError(f"native finish_batch_render error: {n_out}")
+        break
+
+    from calitas_tpu.search.hits import RenderedHit
+
+    buf = out_lines.tobytes()
+    c_guide_id = consts["guide_id"]
+    out: list[list] = [[] for _ in range(n)]
+    mv = meta[:n_out].tolist()
+    lo = line_off[:n_out].tolist()
+    ll = line_len[:n_out].tolist()
+    for k in range(n_out):
+        widx, strandc, cs, score, rh_end, _, _, _ = mv[k]
+        o = lo[k]
+        line = buf[o : o + ll[k]].decode("ascii")
+        out[widx].append(RenderedHit(
+            c_guide_id, chrom0, "+" if strandc == 0 else "-", None,
+            cs, score, rh_end, line,
+        ))
+    return out
+
+
 def make_render_consts(builder, guide: Guide) -> dict:
     """The constant output columns of a reference-pass row, prebuilt once
     per worker (mirrors the constant fields of HitBuilder.build)."""

@@ -104,6 +104,32 @@ def get_lib() -> Optional[ctypes.CDLL]:
             vp, i64, vp, vp, vp,  # out_str, cap, off, plen, ulen
             vp, i64, vp, vp,  # out_cig, cap, off, len
         ]
+        # finish_batch_render: finish_batch + full 34-column line
+        # composition in native code (the production reference-pass path).
+        lib.finish_batch_render.restype = i32
+        lib.finish_batch_render.argtypes = [
+            vp, i32,  # qletters, Q
+            vp, vp, vp, i32,  # pam_letters, pam_off, pam_len, n_pams
+            i32,  # is5prime
+            i32, i32, i32, i32,  # match, mismatch, qgap, tgap
+            i32, i32,  # pam_match, pam_mismatch
+            i32,  # min_score
+            i32, i32, i32, i32,  # max_guide_diffs, max_pam_mm, max_gap, ext_total
+            i32, i32,  # max_total_diffs, max_overlap
+            vp, vp, vp, vp, vp,  # wbytes, woff, wlen, pass_mask, ranges
+            i32,  # n_windows
+            vp, vp, vp, vp, vp,  # fbytes, foff, flen, fstart1, wstart1
+            vp, i32,  # chrom, chrom_len
+            vp, i32,  # guide_id
+            vp, i32,  # unpadded guide
+            vp, i32,  # genome build
+            vp, i32,  # guide-length digits
+            vp, i32,  # tail (aligner..time_stamp)
+            i32,  # max_out
+            vp,  # out_meta8
+            vp, i64,  # out_lines, cap
+            vp, vp,  # out_line_off, out_line_len
+        ]
         # build_variant_windows: one call per block of same-chrom VCF
         # records; raw pointers like search_pass (callers keep the
         # arrays alive across the call).

@@ -604,27 +604,128 @@ int count_attr(const std::string& pg, const std::string& pa, bool lower,
   return n;
 }
 
-}  // namespace
+// One fully-rendered alignment: strings + coordinates + counters, shared
+// by the buffer-emitting and line-emitting finishers.
+struct RenderOut {
+  std::string pg, pa, pt, ut, cig;
+  int32_t s0, e0, gs, ge;
+  int32_t mism, gapb, gmm, ggap, pmm, pgap;
+};
 
-extern "C" {
+// Render one kept alignment into ``r`` (mirrors Alignment.padded_strings +
+// GuideAlignment.create + the engine's 5'-PAM / reverse-pass flips with
+// the counter attribution quirks of GuideAlignment._count).
+// Returns 0, or -2 on internal inconsistency.
+int render_core(const FinAln& a, bool coord_flip, bool string_flip,
+                const uint8_t* qletters, int32_t Q,
+                const uint8_t* pam_letters, const int32_t* pam_off,
+                const int32_t* pam_len, const uint8_t* tb, int32_t T,
+                RenderOut& r) {
+  std::string& pg = r.pg;
+  std::string& pa = r.pa;
+  std::string& pt = r.pt;
+  std::string& ut = r.ut;
+  // ---- render padded strings in the pass-local frame -------------
+  pg.clear(); pa.clear(); pt.clear();
+  int32_t qi = 0, ti = a.s0;
+  const uint8_t* pamL =
+      a.pam_idx >= 0 ? pam_letters + pam_off[a.pam_idx] : nullptr;
+  const int32_t qfull_len = Q + (a.pam_idx >= 0 ? pam_len[a.pam_idx] : 0);
+  for (char op : a.ops) {
+    if (op == '=' || op == 'X') {
+      if (qi >= qfull_len) return -2;
+      pg.push_back(qi < Q ? (char)qletters[qi] : (char)pamL[qi - Q]);
+      pa.push_back(op == '=' ? '|' : '.');
+      pt.push_back((char)tb[ti]);
+      ++qi; ++ti;
+    } else if (op == 'I') {
+      if (qi >= qfull_len) return -2;
+      pg.push_back(qi < Q ? (char)qletters[qi] : (char)pamL[qi - Q]);
+      pa.push_back('~');
+      pt.push_back('-');
+      ++qi;
+    } else {  // 'D'
+      pg.push_back('-');
+      pa.push_back('~');
+      pt.push_back((char)tb[ti]);
+      ++ti;
+    }
+  }
+  // ---- guide-only coordinates (GuideAlignment.create, pre-flip) --
+  int first_up = -1, last_up = -1;
+  for (int i2 = 0; i2 < (int)pg.size(); ++i2) {
+    const char c = pg[i2];
+    if (c >= 'A' && c <= 'Z') {
+      if (first_up < 0) first_up = i2;
+      last_up = i2;
+    }
+  }
+  if (first_up < 0) return -2;
+  int left_delta = 0, right_delta = 0;
+  for (int i2 = 0; i2 < first_up; ++i2)
+    if (is_alpha_c(pt[i2])) ++left_delta;
+  for (int i2 = last_up + 1; i2 < (int)pt.size(); ++i2)
+    if (is_alpha_c(pt[i2])) ++right_delta;
+  int32_t s0 = a.s0, e0 = a.e0;
+  int32_t gs = s0 + left_delta, ge = e0 - right_delta;
+  if (coord_flip) {
+    const int32_t ns = T - e0, ne = T - s0;
+    const int32_t ngs = T - ge, nge = T - gs;
+    s0 = ns; e0 = ne; gs = ngs; ge = nge;
+  }
+  r.s0 = s0; r.e0 = e0; r.gs = gs; r.ge = ge;
+  // ---- string flips (5'-PAM kinds) -------------------------------
+  std::string cig_ops = a.ops;
+  if (string_flip) {
+    std::reverse(pg.begin(), pg.end());
+    std::reverse(pa.begin(), pa.end());
+    std::reverse(pt.begin(), pt.end());
+    for (char& c : pg) if (c != '-') c = (char)TBL.comp[(uint8_t)c];
+    for (char& c : pt) if (c != '-') c = (char)TBL.comp[(uint8_t)c];
+    std::reverse(cig_ops.begin(), cig_ops.end());
+  }
+  // ---- unpadded target under the uppercase guide span ------------
+  int fu = -1, lu = -1;
+  for (int i2 = 0; i2 < (int)pg.size(); ++i2) {
+    const char c = pg[i2];
+    if (c >= 'A' && c <= 'Z') {
+      if (fu < 0) fu = i2;
+      lu = i2;
+    }
+  }
+  ut.clear();
+  for (int i2 = fu; i2 <= lu; ++i2)
+    if (is_alpha_c(pt[i2])) ut.push_back(pt[i2]);
+  // ---- counters on the final strings -----------------------------
+  r.mism = 0; r.gapb = 0;
+  for (char c : pa) {
+    if (c == '.') ++r.mism;
+    else if (c == '~') ++r.gapb;
+  }
+  r.gmm = count_attr(pg, pa, false, false, true, false);
+  r.ggap = count_attr(pg, pa, false, false, false, true);
+  r.pmm = count_attr(pg, pa, true, true, true, false);
+  r.pgap = count_attr(pg, pa, true, true, false, true);
+  // ---- cigar string (run-length encode; coalesced by nature) -----
+  char cigbuf[64];
+  r.cig.clear();
+  for (size_t i2 = 0; i2 < cig_ops.size();) {
+    size_t j2 = i2;
+    while (j2 < cig_ops.size() && cig_ops[j2] == cig_ops[i2]) ++j2;
+    const int nn = std::snprintf(cigbuf, sizeof(cigbuf), "%d%c",
+                                 (int)(j2 - i2), cig_ops[i2]);
+    r.cig.append(cigbuf, nn);
+    i2 = j2;
+  }
+  return 0;
+}
 
-// Batched finisher.  Inputs: the DP-orientation query LETTERS (uppercase
-// guide; masks derived internally), PAM letters (lowercase), window BYTES
-// (uppercased by the caller's window materialization), per-window pass
-// mask (bit0: cpp pass 0 / forward target order, bit1: cpp pass 1 /
-// revcomp), and optional per-window per-pass end-column ranges
-// (ranges[w*4 + 2*pass + {0,1}] = lo,hi 1-based inclusive; lo <= 0 means
-// full).  Output: per kept alignment,
-//   out_meta[k*16 ...] = {widx, strand(0='+'), pam_idx, score, s0, e0,
-//     gs, ge, mismatches, gap_bases, guide_mm, guide_gaps, pam_mm,
-//     pam_gaps, kind(0=3fwd,1=3rev,2=5fwd,3=5rev), 0}
-//   (coords are window-local 0-based open; caller adds the genomic
-//    offset), the three padded strings + unpadded target packed into
-// out_str at out_str_off[k] as [pg|pa|pt] (each out_plen[k] chars) then
-// [unpadded target] (out_ulen[k] chars), and the cigar string in out_cig.
-// Returns kept count; -1 = an output buffer is full (retry with bigger
-// buffers); -2 = internal error.
-int32_t finish_batch(
+// The shared batched-finish skeleton: per window, per engine pass, run
+// the (range-sliced) DP pass + PAM extension, intra-pass dedup, render,
+// and hand each kept alignment to ``emit(w, ep_strand, kind_code, a, r)``
+// (emit returns 0 ok / -1 output full).  Returns kept count or <0.
+template <typename Emit>
+int32_t finish_windows_core(
     const uint8_t* qletters, int32_t Q, const uint8_t* pam_letters,
     const int32_t* pam_off, const int32_t* pam_len, int32_t n_pams,
     int32_t is5prime, int32_t match, int32_t mismatch, int32_t qgap,
@@ -633,11 +734,7 @@ int32_t finish_batch(
     int32_t max_gap_before_extending, int32_t extension_total_diffs,
     int32_t max_total_diffs, int32_t max_overlap, const uint8_t* wbytes,
     const int64_t* woff, const int32_t* wlen, const uint8_t* pass_mask,
-    const int32_t* ranges, int32_t n_windows, int32_t max_out,
-    int32_t* out_meta, char* out_str, int64_t out_str_cap,
-    int64_t* out_str_off, int32_t* out_plen, int32_t* out_ulen,
-    char* out_cig, int64_t out_cig_cap, int64_t* out_cig_off,
-    int32_t* out_cig_len) {
+    const int32_t* ranges, int32_t n_windows, Emit&& emit) {
   // Guide-constant masks.
   std::vector<uint8_t> qmask(Q);
   for (int32_t i = 0; i < Q; ++i) qmask[i] = TBL.mask[qletters[i]];
@@ -653,10 +750,9 @@ int32_t finish_batch(
   std::vector<uint8_t> tmask_fwd, tbytes_rc, tmask_rc;
   std::vector<FinAln> alns;
   std::vector<int> order, kept;
-  std::string pg, pa, pt, ut;
+  RenderOut r;
 
   int32_t n_out = 0;
-  int64_t str_pos = 0, cig_pos = 0;
 
   for (int32_t w = 0; w < n_windows; ++w) {
     const uint8_t* wb = wbytes + woff[w];
@@ -713,12 +809,12 @@ int32_t finish_batch(
       });
       kept.clear();
       for (int idx : order) {
-        const FinAln& r = alns[idx];
-        if (r.edits > max_total_diffs) continue;
+        const FinAln& ra = alns[idx];
+        if (ra.edits > max_total_diffs) continue;
         bool clash = false;
         for (int kidx : kept) {
           const FinAln& k = alns[kidx];
-          const int32_t o = std::min(k.e0, r.e0) - std::max(k.s0, r.s0);
+          const int32_t o = std::min(k.e0, ra.e0) - std::max(k.s0, ra.s0);
           if (o > max_overlap) { clash = true; break; }
         }
         if (!clash) kept.push_back(idx);
@@ -732,132 +828,264 @@ int32_t finish_batch(
 
       for (int idx : kept) {
         const FinAln& a = alns[idx];
-        // ---- render padded strings in the pass-local frame -------------
-        pg.clear(); pa.clear(); pt.clear();
-        int32_t qi = 0, ti = a.s0;
-        const uint8_t* pamL =
-            a.pam_idx >= 0 ? pam_letters + pam_off[a.pam_idx] : nullptr;
-        const int32_t qfull_len =
-            Q + (a.pam_idx >= 0 ? pam_len[a.pam_idx] : 0);
-        for (char op : a.ops) {
-          if (op == '=' || op == 'X') {
-            if (qi >= qfull_len) return -2;
-            pg.push_back(qi < Q ? (char)qletters[qi] : (char)pamL[qi - Q]);
-            pa.push_back(op == '=' ? '|' : '.');
-            pt.push_back((char)tb[ti]);
-            ++qi; ++ti;
-          } else if (op == 'I') {
-            if (qi >= qfull_len) return -2;
-            pg.push_back(qi < Q ? (char)qletters[qi] : (char)pamL[qi - Q]);
-            pa.push_back('~');
-            pt.push_back('-');
-            ++qi;
-          } else {  // 'D'
-            pg.push_back('-');
-            pa.push_back('~');
-            pt.push_back((char)tb[ti]);
-            ++ti;
-          }
-        }
-        // ---- guide-only coordinates (GuideAlignment.create, pre-flip) --
-        int first_up = -1, last_up = -1;
-        for (int i2 = 0; i2 < (int)pg.size(); ++i2) {
-          const char c = pg[i2];
-          if (c >= 'A' && c <= 'Z') {
-            if (first_up < 0) first_up = i2;
-            last_up = i2;
-          }
-        }
-        if (first_up < 0) return -2;
-        int left_delta = 0, right_delta = 0;
-        for (int i2 = 0; i2 < first_up; ++i2)
-          if (is_alpha_c(pt[i2])) ++left_delta;
-        for (int i2 = last_up + 1; i2 < (int)pt.size(); ++i2)
-          if (is_alpha_c(pt[i2])) ++right_delta;
-        int32_t s0 = a.s0, e0 = a.e0;
-        int32_t gs = s0 + left_delta, ge = e0 - right_delta;
-        if (coord_flip) {
-          const int32_t ns = T - e0, ne = T - s0;
-          const int32_t ngs = T - ge, nge = T - gs;
-          s0 = ns; e0 = ne; gs = ngs; ge = nge;
-        }
-        // ---- string flips (5'-PAM kinds) -------------------------------
-        std::string cig_ops = a.ops;
-        if (string_flip) {
-          std::reverse(pg.begin(), pg.end());
-          std::reverse(pa.begin(), pa.end());
-          std::reverse(pt.begin(), pt.end());
-          for (char& c : pg) if (c != '-') c = (char)TBL.comp[(uint8_t)c];
-          for (char& c : pt) if (c != '-') c = (char)TBL.comp[(uint8_t)c];
-          std::reverse(cig_ops.begin(), cig_ops.end());
-        }
-        // ---- unpadded target under the uppercase guide span ------------
-        int fu = -1, lu = -1;
-        for (int i2 = 0; i2 < (int)pg.size(); ++i2) {
-          const char c = pg[i2];
-          if (c >= 'A' && c <= 'Z') {
-            if (fu < 0) fu = i2;
-            lu = i2;
-          }
-        }
-        ut.clear();
-        for (int i2 = fu; i2 <= lu; ++i2)
-          if (is_alpha_c(pt[i2])) ut.push_back(pt[i2]);
-        // ---- counters on the final strings -----------------------------
-        int32_t mism = 0, gapb = 0;
-        for (char c : pa) {
-          if (c == '.') ++mism;
-          else if (c == '~') ++gapb;
-        }
-        const int32_t gmm = count_attr(pg, pa, false, false, true, false);
-        const int32_t ggap = count_attr(pg, pa, false, false, false, true);
-        const int32_t pmm = count_attr(pg, pa, true, true, true, false);
-        const int32_t pgap = count_attr(pg, pa, true, true, false, true);
-        // ---- cigar string (run-length encode; coalesced by nature) -----
-        char cigbuf[64];
-        std::string cig;
-        for (size_t i2 = 0; i2 < cig_ops.size();) {
-          size_t j2 = i2;
-          while (j2 < cig_ops.size() && cig_ops[j2] == cig_ops[i2]) ++j2;
-          const int nn = std::snprintf(cigbuf, sizeof(cigbuf), "%d%c",
-                                       (int)(j2 - i2), cig_ops[i2]);
-          cig.append(cigbuf, nn);
-          i2 = j2;
-        }
-        // ---- emit ------------------------------------------------------
-        const int32_t plen2 = (int32_t)pg.size();
-        const int64_t need_str = 3 * (int64_t)plen2 + (int64_t)ut.size();
-        if (n_out >= max_out || str_pos + need_str > out_str_cap ||
-            cig_pos + (int64_t)cig.size() > out_cig_cap)
-          return -1;
-        int32_t* m = out_meta + (int64_t)n_out * 16;
-        m[0] = w;
-        m[1] = ep == 0 ? 0 : 1;  // 0='+', 1='-'
-        m[2] = a.pam_idx;
-        m[3] = a.score;
-        m[4] = s0; m[5] = e0; m[6] = gs; m[7] = ge;
-        m[8] = mism; m[9] = gapb; m[10] = gmm; m[11] = ggap;
-        m[12] = pmm; m[13] = pgap;
-        m[14] = kind_code;
-        m[15] = 0;
-        out_str_off[n_out] = str_pos;
-        out_plen[n_out] = plen2;
-        out_ulen[n_out] = (int32_t)ut.size();
-        std::memcpy(out_str + str_pos, pg.data(), plen2);
-        std::memcpy(out_str + str_pos + plen2, pa.data(), plen2);
-        std::memcpy(out_str + str_pos + 2 * (int64_t)plen2, pt.data(), plen2);
-        std::memcpy(out_str + str_pos + 3 * (int64_t)plen2, ut.data(),
-                    ut.size());
-        str_pos += need_str;
-        out_cig_off[n_out] = cig_pos;
-        out_cig_len[n_out] = (int32_t)cig.size();
-        std::memcpy(out_cig + cig_pos, cig.data(), cig.size());
-        cig_pos += (int64_t)cig.size();
+        const int rr = render_core(a, coord_flip, string_flip, qletters, Q,
+                                   pam_letters, pam_off, pam_len, tb, T, r);
+        if (rr < 0) return rr;
+        const int ee = emit(w, ep == 0 ? 0 : 1, kind_code, a, r);
+        if (ee < 0) return ee;
         ++n_out;
       }
     }
   }
   return n_out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched finisher.  Inputs: the DP-orientation query LETTERS (uppercase
+// guide; masks derived internally), PAM letters (lowercase), window BYTES
+// (uppercased by the caller's window materialization), per-window pass
+// mask (bit0: cpp pass 0 / forward target order, bit1: cpp pass 1 /
+// revcomp), and optional per-window per-pass end-column ranges
+// (ranges[w*4 + 2*pass + {0,1}] = lo,hi 1-based inclusive; lo <= 0 means
+// full).  Output: per kept alignment,
+//   out_meta[k*16 ...] = {widx, strand(0='+'), pam_idx, score, s0, e0,
+//     gs, ge, mismatches, gap_bases, guide_mm, guide_gaps, pam_mm,
+//     pam_gaps, kind(0=3fwd,1=3rev,2=5fwd,3=5rev), 0}
+//   (coords are window-local 0-based open; caller adds the genomic
+//    offset), the three padded strings + unpadded target packed into
+// out_str at out_str_off[k] as [pg|pa|pt] (each out_plen[k] chars) then
+// [unpadded target] (out_ulen[k] chars), and the cigar string in out_cig.
+// Returns kept count; -1 = an output buffer is full (retry with bigger
+// buffers); -2 = internal error.
+int32_t finish_batch(
+    const uint8_t* qletters, int32_t Q, const uint8_t* pam_letters,
+    const int32_t* pam_off, const int32_t* pam_len, int32_t n_pams,
+    int32_t is5prime, int32_t match, int32_t mismatch, int32_t qgap,
+    int32_t tgap, int32_t pam_match, int32_t pam_mismatch, int32_t min_score,
+    int32_t max_guide_diffs, int32_t max_pam_mismatches,
+    int32_t max_gap_before_extending, int32_t extension_total_diffs,
+    int32_t max_total_diffs, int32_t max_overlap, const uint8_t* wbytes,
+    const int64_t* woff, const int32_t* wlen, const uint8_t* pass_mask,
+    const int32_t* ranges, int32_t n_windows, int32_t max_out,
+    int32_t* out_meta, char* out_str, int64_t out_str_cap,
+    int64_t* out_str_off, int32_t* out_plen, int32_t* out_ulen,
+    char* out_cig, int64_t out_cig_cap, int64_t* out_cig_off,
+    int32_t* out_cig_len) {
+  int32_t n_out = 0;
+  int64_t str_pos = 0, cig_pos = 0;
+  auto emit = [&](int32_t w, int32_t strandc, int32_t kind_code,
+                  const FinAln& a, const RenderOut& r) -> int {
+    const int32_t plen2 = (int32_t)r.pg.size();
+    const int64_t need_str = 3 * (int64_t)plen2 + (int64_t)r.ut.size();
+    if (n_out >= max_out || str_pos + need_str > out_str_cap ||
+        cig_pos + (int64_t)r.cig.size() > out_cig_cap)
+      return -1;
+    int32_t* m = out_meta + (int64_t)n_out * 16;
+    m[0] = w;
+    m[1] = strandc;  // 0='+', 1='-'
+    m[2] = a.pam_idx;
+    m[3] = a.score;
+    m[4] = r.s0; m[5] = r.e0; m[6] = r.gs; m[7] = r.ge;
+    m[8] = r.mism; m[9] = r.gapb; m[10] = r.gmm; m[11] = r.ggap;
+    m[12] = r.pmm; m[13] = r.pgap;
+    m[14] = kind_code;
+    m[15] = 0;
+    out_str_off[n_out] = str_pos;
+    out_plen[n_out] = plen2;
+    out_ulen[n_out] = (int32_t)r.ut.size();
+    std::memcpy(out_str + str_pos, r.pg.data(), plen2);
+    std::memcpy(out_str + str_pos + plen2, r.pa.data(), plen2);
+    std::memcpy(out_str + str_pos + 2 * (int64_t)plen2, r.pt.data(), plen2);
+    std::memcpy(out_str + str_pos + 3 * (int64_t)plen2, r.ut.data(),
+                r.ut.size());
+    str_pos += need_str;
+    out_cig_off[n_out] = cig_pos;
+    out_cig_len[n_out] = (int32_t)r.cig.size();
+    std::memcpy(out_cig + cig_pos, r.cig.data(), r.cig.size());
+    cig_pos += (int64_t)r.cig.size();
+    ++n_out;
+    return 0;
+  };
+  return finish_windows_core(
+      qletters, Q, pam_letters, pam_off, pam_len, n_pams, is5prime, match,
+      mismatch, qgap, tgap, pam_match, pam_mismatch, min_score,
+      max_guide_diffs, max_pam_mismatches, max_gap_before_extending,
+      extension_total_diffs, max_total_diffs, max_overlap, wbytes, woff,
+      wlen, pass_mask, ranges, n_windows, emit);
+}
+
+// Fully-rendered batched finisher: same search semantics as finish_batch,
+// but each kept alignment is composed into its COMPLETE 34-column
+// reference-pass TSV line in native code (the production path previously
+// assembled lines in Python at ~50 us/row; see align/batch.py).
+//
+// Per-window extras beyond finish_batch's inputs:
+//   fbytes/foff/flen  - UPPERCASE flank-source bases covering at least
+//                       [window_start - 10, window_end + 10] clamped to
+//                       the contig (positions outside the source render
+//                       as 'N', matching HitBuilder._fetch's contig-edge
+//                       N-padding - ReferenceHit.scala:261-266);
+//   fstart1           - 1-based genomic position of fbytes[foff[w]];
+//   wstart1           - 1-based genomic start of the (trimmed) window.
+// Call-constant strings (length-prefixed, no NUL): chrom, guide_id,
+// unpadded guide, genome build, guide-length digits, and the pre-joined
+// tail (aligner..time_stamp).
+//
+// Output: out_meta8[k*8] = {widx, strand(0='+'), cs, score, rh_end, 0,0,0}
+// (cs = genomic guide-only start; rh_end = cs + length_on_target - 1, the
+// ReferenceHit.end dedup key), and the line bytes (newline included)
+// packed into out_lines at out_line_off[k] (out_line_len[k] chars).
+// Returns kept count; -1 = buffer full (retry bigger); -2 = internal.
+int32_t finish_batch_render(
+    const uint8_t* qletters, int32_t Q, const uint8_t* pam_letters,
+    const int32_t* pam_off, const int32_t* pam_len, int32_t n_pams,
+    int32_t is5prime, int32_t match, int32_t mismatch, int32_t qgap,
+    int32_t tgap, int32_t pam_match, int32_t pam_mismatch, int32_t min_score,
+    int32_t max_guide_diffs, int32_t max_pam_mismatches,
+    int32_t max_gap_before_extending, int32_t extension_total_diffs,
+    int32_t max_total_diffs, int32_t max_overlap, const uint8_t* wbytes,
+    const int64_t* woff, const int32_t* wlen, const uint8_t* pass_mask,
+    const int32_t* ranges, int32_t n_windows,
+    const uint8_t* fbytes, const int64_t* foff, const int32_t* flen,
+    const int64_t* fstart1, const int64_t* wstart1,
+    const char* chrom, int32_t chrom_len,
+    const char* c_guide_id, int32_t c_guide_id_len,
+    const char* c_guide, int32_t c_guide_len,
+    const char* c_build, int32_t c_build_len,
+    const char* c_glen, int32_t c_glen_len,
+    const char* c_tail, int32_t c_tail_len,
+    int32_t max_out, int32_t* out_meta8,
+    char* out_lines, int64_t out_lines_cap,
+    int64_t* out_line_off, int32_t* out_line_len) {
+  // pam_used per pam index: the lowercase chars of the final guide string
+  // = the PAM as written for 3' guides, its (case-preserving) revcomp for
+  // 5' guides (ReferenceHit.scala:229; PAM letters are lowercase by
+  // construction).
+  std::vector<std::string> pam_used(std::max(n_pams, 0));
+  for (int32_t p = 0; p < n_pams; ++p) {
+    std::string s(reinterpret_cast<const char*>(pam_letters + pam_off[p]),
+                  (size_t)pam_len[p]);
+    if (is5prime) {
+      std::reverse(s.begin(), s.end());
+      for (char& c : s) c = (char)TBL.comp[(uint8_t)c];
+    }
+    pam_used[p] = std::move(s);
+  }
+
+  int32_t n_out = 0;
+  int64_t line_pos = 0;
+  std::string line;
+  line.reserve(512);
+  char num[16];
+
+  auto emit = [&](int32_t w, int32_t strandc, int32_t kind_code,
+                  const FinAln& a, const RenderOut& r) -> int {
+    (void)kind_code;
+    const int64_t toff = wstart1[w] - 1;
+    const int64_t cs = toff + r.gs;
+    const int64_t ce = toff + r.ge;
+    const int64_t sf = toff + r.s0;
+    const int64_t ef = toff + r.e0;
+    const bool pos = strandc == 0;
+    const uint8_t* fsrc = fbytes + foff[w];
+    const int64_t fs1 = fstart1[w];
+    const int32_t fn = flen[w];
+
+    line.clear();
+    auto tab = [&]() { line.push_back('\t'); };
+    auto put = [&](const char* s, int32_t n) { line.append(s, (size_t)n); };
+    auto put_i = [&](int64_t v) {
+      const int nn = std::snprintf(num, sizeof(num), "%lld", (long long)v);
+      line.append(num, nn);
+    };
+    // Flank span [a1, b1] 1-based closed genomic; uppercase source;
+    // positions outside the source render 'N'; minus-strand flanks
+    // revcomp (case is already upper so comp stays upper).
+    auto put_flank = [&](int64_t a1, int64_t b1) {
+      if (pos) {
+        for (int64_t g = a1; g <= b1; ++g) {
+          const int64_t i = g - fs1;
+          line.push_back(i >= 0 && i < fn ? (char)fsrc[i] : 'N');
+        }
+      } else {
+        for (int64_t g = b1; g >= a1; --g) {
+          const int64_t i = g - fs1;
+          line.push_back(
+              i >= 0 && i < fn ? (char)TBL.comp[fsrc[i]] : 'N');
+        }
+      }
+    };
+
+    put(c_guide_id, c_guide_id_len); tab();
+    put(c_guide, c_guide_len); tab();
+    put(c_build, c_build_len); tab();
+    put(chrom, chrom_len); tab();
+    put_i(cs); tab();
+    put_i(ce); tab();
+    line.push_back(pos ? '+' : '-'); tab();
+    line.append(r.ut); tab();
+    // ten_bases_5'/3': flank the protospacer; labels strand-swap.
+    if (pos) {
+      put_flank(cs - 9, cs); tab();
+      put_flank(ce + 1, ce + 10); tab();
+    } else {
+      put_flank(ce + 1, ce + 10); tab();
+      put_flank(cs - 9, cs); tab();
+    }
+    if (a.pam_idx >= 0) line.append(pam_used[a.pam_idx]);
+    tab();
+    tab(); tab(); tab(); tab();  // variant_id/description/vcf/allele_freq
+    put_i(a.score); tab();
+    put_i(r.gmm); tab();
+    put_i(r.ggap); tab();
+    put_i(r.gmm + r.ggap); tab();
+    put_i(r.pmm); tab();
+    put_i(r.mism + r.gapb); tab();
+    line.append(r.pg); tab();
+    line.append(r.pa); tab();
+    line.append(r.pt); tab();
+    // padded_extra_8: flank the whole alignment; labels strand-swap.
+    if (pos) {
+      put_flank(sf - 7, sf); tab();
+      put_flank(ef + 1, ef + 8); tab();
+    } else {
+      put_flank(ef + 1, ef + 8); tab();
+      put_flank(sf - 7, sf); tab();
+    }
+    line.append(r.cig); tab();
+    put(c_glen, c_glen_len); tab();
+    put_i((int64_t)r.ut.size()); tab();
+    put(c_tail, c_tail_len);
+    line.push_back('\n');
+
+    if (n_out >= max_out ||
+        line_pos + (int64_t)line.size() > out_lines_cap)
+      return -1;
+    int32_t* m = out_meta8 + (int64_t)n_out * 8;
+    m[0] = w;
+    m[1] = strandc;
+    m[2] = (int32_t)cs;
+    m[3] = a.score;
+    // ReferenceHit.end quirk preserved: guide-only start + full-cigar
+    // length-on-target (= e0 - s0) - 1 (ReferenceHit.scala:135-138).
+    m[4] = (int32_t)(cs + (r.e0 - r.s0) - 1);
+    m[5] = 0; m[6] = 0; m[7] = 0;
+    out_line_off[n_out] = line_pos;
+    out_line_len[n_out] = (int32_t)line.size();
+    std::memcpy(out_lines + line_pos, line.data(), line.size());
+    line_pos += (int64_t)line.size();
+    ++n_out;
+    return 0;
+  };
+  return finish_windows_core(
+      qletters, Q, pam_letters, pam_off, pam_len, n_pams, is5prime, match,
+      mismatch, qgap, tgap, pam_match, pam_mismatch, min_score,
+      max_guide_diffs, max_pam_mismatches, max_gap_before_extending,
+      extension_total_diffs, max_total_diffs, max_overlap, wbytes, woff,
+      wlen, pass_mask, ranges, n_windows, emit);
 }
 
 }  // extern "C"

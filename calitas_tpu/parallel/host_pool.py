@@ -374,7 +374,7 @@ def _mp_finish_chunk(spec: dict, chunk: list):
         chain_ranges_to_pass,
         max_target_span,
     )
-    from calitas_tpu.search.windows import materialize_window
+    from calitas_tpu.search.windows import materialize_window, upper_bytes
 
     aligner, guide, ref, builder = _mp_finish_state(spec)
     window_size = spec["window_size"]
@@ -384,17 +384,29 @@ def _mp_finish_chunk(spec: dict, chunk: list):
     min_score = aligner.min_guide_score(guide, kw["max_guide_diffs"])
     scorer = aligner.scorer
 
+    #: flank margin around the raw window: every output flank lies within
+    #: [window_start - 9, window_end + 10] (finish_batch_render contract)
+    FLANK_PAD = 10
+
     out: list = [[] for _ in chunk]
-    mat = []  # (item_idx, RefWindow, passes, pass_ranges)
+    mat = []  # (item_idx, RefWindow, passes, pass_ranges, flank_src)
     for i, item in enumerate(chunk):
         chrom, start0, passes = item[0], item[1], item[2]
         cr = item[3] if len(item) > 3 else None
         try:
             seq_len = ref.sequence_length(chrom)
             end = min(seq_len, start0 + window_size)
-            raw = np.frombuffer(
-                ref.get_subsequence(chrom, start0 + 1, end), dtype=np.uint8
+            # One mmap read covers the window AND its flank margin: the
+            # raw window is the interior slice, the uppercased whole is
+            # the native line-renderer's flank source.
+            ctx_start1 = max(1, start0 + 1 - FLANK_PAD)
+            ctx_end1 = min(seq_len, end + FLANK_PAD)
+            ctx = np.frombuffer(
+                ref.get_subsequence(chrom, ctx_start1, ctx_end1),
+                dtype=np.uint8,
             )
+            a = start0 + 1 - ctx_start1
+            raw = ctx[a : a + (end - start0)]
             w = materialize_window(chrom, raw, 0, window_size)
             # materialize_window worked on the extracted slice; shift its
             # 1-based coordinates to the genome.
@@ -412,20 +424,24 @@ def _mp_finish_chunk(spec: dict, chunk: list):
                         min_score, T,
                     ),
                 )
-            mat.append((i, w, passes, ranges))
+            mat.append((i, w, passes, ranges, (ctx_start1, upper_bytes(ctx))))
         except Exception as ex:
             out[i] = ("__error__", repr(ex))
     if not mat:
         return out
     try:
-        from calitas_tpu.align.batch import finish_rendered, make_render_consts
+        from calitas_tpu.align.batch import (
+            finish_lines,
+            finish_rendered,
+            make_render_consts,
+        )
 
-        windows = [(w.chrom, w.start, w.bases) for _, w, _, _ in mat]
-        passes_list = [ps for _, _, ps, _ in mat]
+        windows = [(w.chrom, w.start, w.bases) for _, w, _, _, _ in mat]
+        passes_list = [ps for _, _, ps, _, _ in mat]
         ranges_arr = None
-        if any(r is not None for _, _, _, r in mat):
+        if any(r is not None for _, _, _, r, _ in mat):
             ranges_arr = np.zeros((len(mat), 4), np.int32)
-            for k, (_, _, _, r) in enumerate(mat):
+            for k, (_, _, _, r, _) in enumerate(mat):
                 if r is not None:
                     ranges_arr[k] = r
         limits = dict(
@@ -445,6 +461,17 @@ def _mp_finish_chunk(spec: dict, chunk: list):
             consts = make_render_consts(builder, guide)
             _MP_FINISH_CACHE[cache_key] = consts
 
+        # Fastest path: the COMPLETE line (flanks included) renders in
+        # native code; Python only slices the line buffer.
+        per_window = finish_lines(
+            guide, aligner, windows, passes_list, ranges_arr, consts,
+            [fs for _, _, _, _, fs in mat], **limits,
+        )
+        if per_window is not None:
+            for (i, _w, _, _, _), rows in zip(mat, per_window):
+                out[i] = rows
+            return out
+
         def fetch(chrom, a, b):
             return builder._fetch(chrom, a, b, False)
 
@@ -455,7 +482,7 @@ def _mp_finish_chunk(spec: dict, chunk: list):
             fetch, **limits,
         )
         if per_window is not None:
-            for (i, _w, _, _), rows in zip(mat, per_window):
+            for (i, _w, _, _, _), rows in zip(mat, per_window):
                 out[i] = rows
             return out
 
@@ -469,9 +496,9 @@ def _mp_finish_chunk(spec: dict, chunk: list):
                 guide, w.bases, target_name=w.chrom,
                 target_offset=w.start - 1, passes=ps, **kw,
             )
-            for _, w, ps, _ in mat
+            for _, w, ps, _, _ in mat
         ]
-        for (i, w, _, _), alns in zip(mat, per_window):
+        for (i, w, _, _, _), alns in zip(mat, per_window):
             out[i] = [
                 RenderedHit.of(h, render_row(h, fields))
                 for h in (builder.build(a) for a in alns)

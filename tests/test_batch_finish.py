@@ -211,3 +211,88 @@ def test_rendered_rows_match_object_path(gi, tmp_path):
         assert (r.coordinate_start, r.score, r.end) == (
             h.coordinate_start, h.score, h.end,
         )
+
+
+@pytest.mark.parametrize("gi", range(len(GUIDES)))
+def test_native_lines_match_rendered(gi, tmp_path):
+    """finish_lines (C++ composes the full 34-column line, flanks
+    included) == finish_rendered line-for-line and key-for-key, including
+    contig-edge N-padding, both strands, all guide kinds — the production
+    worker path vs the Python-assembly path it replaced."""
+    from calitas_tpu.align.batch import (
+        finish_lines,
+        finish_rendered,
+        make_render_consts,
+    )
+    from calitas_tpu.io.fasta import ReferenceSetBuilder, IndexedFasta
+    from calitas_tpu.search.hits import HitBuilder
+    from calitas_tpu.search.windows import materialize_window, upper_bytes
+
+    guide = GUIDES[gi]
+    rng = np.random.default_rng(500 + gi)
+    alpha = np.frombuffer(b"ACGTacgt", dtype=np.uint8)  # soft-masked case
+    contig = rng.choice(alpha, size=900)
+    plant = (guide.guide + (guide.pams_3prime[0].upper() if guide.pams_3prime else "")) \
+        if not guide.pams_5prime else (guide.pams_5prime[0].upper() + guide.guide)
+    pb = np.frombuffer(plant.encode(), dtype=np.uint8)
+    contig[2 : 2 + len(pb)] = pb          # flanks off the contig start
+    contig[870 : 870 + len(pb)] = pb      # flanks off the contig end
+    contig[400 : 400 + len(pb)] = pb
+    contig[100:110] = ord("N")            # N-trim interplay
+    b = ReferenceSetBuilder(assembly="nl")
+    b.add("chrL").add(contig.tobytes().decode())
+    fa = b.to_file(tmp_path / "l.fa")
+    ref = IndexedFasta(fa)
+
+    aligner = SequentialAligner()
+    builder = HitBuilder(
+        guide_id="gid", guide=guide, ref=ref, vcf=None,
+        aligner_id="CALITAS:SearchReference", arguments="args",
+    )
+    consts = make_render_consts(builder, guide)
+
+    # Overlapping windows covering the contig, reference semantics
+    # (N-trim via materialize_window), with flank sources built exactly
+    # as the production worker builds them.
+    PAD = 10
+    window_size = 300
+    windows, passes, srcs = [], [], []
+    for start0 in range(0, 899, 270):
+        end = min(900, start0 + window_size)
+        c1 = max(1, start0 + 1 - PAD)
+        c2 = min(900, end + PAD)
+        ctx = np.frombuffer(
+            ref.get_subsequence("chrL", c1, c2), dtype=np.uint8
+        )
+        a = start0 + 1 - c1
+        w = materialize_window("chrL", ctx[a : a + (end - start0)], 0, window_size)
+        w.start += start0
+        w.end += start0
+        if len(w.bases) < len(guide.guide):
+            continue
+        windows.append((w.chrom, w.start, w.bases))
+        passes.append(("fwd", "rev"))
+        srcs.append((c1, upper_bytes(ctx)))
+
+    got = finish_lines(
+        guide, aligner, windows, passes, None, consts, srcs, **KW
+    )
+    want = finish_rendered(
+        guide, aligner, windows, passes, None, consts,
+        lambda c, a, z: builder._fetch(c, a, z, False), **KW,
+    )
+    assert got is not None and want is not None
+    total = 0
+    for lg, lw in zip(got, want):
+        assert len(lg) == len(lw)
+        for rg, rw in zip(lg, lw):
+            total += 1
+            assert rg._line == rw._line
+            assert (
+                rg.guide_id, rg.chromosome, rg.strand, rg.variant_description,
+                rg.coordinate_start, rg.score, rg.end,
+            ) == (
+                rw.guide_id, rw.chromosome, rw.strand, rw.variant_description,
+                rw.coordinate_start, rw.score, rw.end,
+            )
+    assert total >= 3  # planted hits actually exercised the comparison
