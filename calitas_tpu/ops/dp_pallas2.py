@@ -354,14 +354,21 @@ def _pallas_screen_dual(
 
 # ---------------------------------------------------------------------------
 # Multi-guide fused kernel: a set of same-length guides share one pass over
-# each window block (the block is re-used across the guide grid dimension,
-# so windows are fetched from HBM once per block instead of once per guide)
+# each window block (the window block stays resident in VMEM across the
+# guide grid dimension, so it is fetched from HBM once per block instead of
+# once per guide).  FULL single-guide contract per guide: PAM-gated end
+# columns (shared tcols bits 4/5 — guides in a group share one PAM spec)
+# and per-guide qualifying end-column ranges against per-guide min scores.
 # ---------------------------------------------------------------------------
 
 def _kernel_multi(
     qvals_ref,  # [G, 2, Q] int32 in SMEM: fw and rc masks per guide
-    tcols_ref,  # [T, SUBLANES, LANES] int32 target masks (low 4 bits)
+    minscore_ref,  # [G] int32 in SMEM: per-guide qualifying-end thresholds
+    tcols_ref,  # [T, SUBLANES, LANES] int32: low 4 bits = target mask;
+    #             bit 4 = PAM-ok chain-A END; bit 5 = PAM-ok chain-B START
     best_ref,  # [1, 2, SUBLANES, LANES] int32 out: per-chain maxima
+    ranges_ref=None,  # [1, 2, 2, SUBLANES, LANES] int32 out (emit_ranges):
+    #             per chain (min, max) 1-based qualifying end column
     *,
     T: int,
     Q: int,
@@ -369,6 +376,8 @@ def _kernel_multi(
     mismatch: int,
     qgap: int,
     tgap: int,
+    pam_gate: bool,
+    emit_ranges: bool,
 ):
     g = pl.program_id(1)
     zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
@@ -380,9 +389,10 @@ def _kernel_multi(
     mm = jnp.int32(mismatch)
     qg = jnp.int32(qgap)
     tg = jnp.int32(tgap)
+    ms = minscore_ref[g]
 
-    def chain(state, tcol, q):
-        new = [zeros]
+    def chain(state, tcol, q, row0):
+        new = [row0]
         diag_in = state[0]
         for i in range(1, Q + 1):
             qi = qvals_ref[g, q, i - 1]
@@ -394,62 +404,128 @@ def _kernel_multi(
         return tuple(new)
 
     def body(j, carry):
-        s_fw, s_rc, best_fw, best_rc = carry
-        tcol = tcols_ref[j].astype(jnp.int32) & 15
-        n_fw = chain(s_fw, tcol, 0)
-        n_rc = chain(s_rc, tcol, 1)
-        best_fw = jnp.maximum(best_fw, n_fw[Q])
+        s_fw, s_rc, best_fw, best_rc, rng = carry
+        tcol_raw = tcols_ref[j].astype(jnp.int32)
+        tcol = tcol_raw & 15
+        if pam_gate:
+            # Same gate semantics as the single-guide dual kernel
+            # (_kernel2): chain A's PAM follows the alignment (gate END
+            # columns), chain B's precedes it (gate the free start).
+            end_ok = (tcol_raw & 16) != 0
+            start_ok = (tcol_raw & 32) != 0
+            row0_rc = jnp.where(start_ok, 0, NEG_GATE)
+        else:
+            end_ok = None
+            row0_rc = zeros
+        n_fw = chain(s_fw, tcol, 0, zeros)
+        n_rc = chain(s_rc, tcol, 1, row0_rc)
+        end_fw = (
+            jnp.where(end_ok, n_fw[Q], NEG_INF) if pam_gate else n_fw[Q]
+        )
+        best_fw = jnp.maximum(best_fw, end_fw)
         best_rc = jnp.maximum(best_rc, n_rc[Q])
-        return n_fw, n_rc, best_fw, best_rc
+        if emit_ranges:
+            mn_fw, mx_fw, mn_rc, mx_rc = rng
+            jj = j + 1
+            q_fw = end_fw >= ms
+            q_rc = n_rc[Q] >= ms
+            mn_fw = jnp.where(q_fw, jnp.minimum(mn_fw, jj), mn_fw)
+            mx_fw = jnp.where(q_fw, jj, mx_fw)
+            mn_rc = jnp.where(q_rc, jnp.minimum(mn_rc, jj), mn_rc)
+            mx_rc = jnp.where(q_rc, jj, mx_rc)
+            rng = (mn_fw, mx_fw, mn_rc, mx_rc)
+        return n_fw, n_rc, best_fw, best_rc, rng
 
-    _, _, best_fw, best_rc = jax.lax.fori_loop(
-        0, T, body, (init, init, best0, best0)
+    rng0 = (
+        (jnp.full((SUBLANES, LANES), T + 1, jnp.int32), zeros,
+         jnp.full((SUBLANES, LANES), T + 1, jnp.int32), zeros)
+        if emit_ranges
+        else ()
+    )
+    _, _, best_fw, best_rc, rng = jax.lax.fori_loop(
+        0, T, body, (init, init, best0, best0, rng0)
     )
     # Per-chain maxima let the host skip the strand pass whose chain is
     # below threshold (same contract as the single-guide dual kernel).
     best_ref[0, 0, :, :] = best_fw
     best_ref[0, 1, :, :] = best_rc
+    if emit_ranges:
+        ranges_ref[0, 0, 0, :, :] = rng[0]
+        ranges_ref[0, 0, 1, :, :] = rng[1]
+        ranges_ref[0, 1, 0, :, :] = rng[2]
+        ranges_ref[0, 1, 1, :, :] = rng[3]
 
 
 @partial(
     jax.jit,
-    static_argnames=("Q", "match", "mismatch", "qgap", "tgap", "interpret"),
+    static_argnames=(
+        "Q", "match", "mismatch", "qgap", "tgap", "pam_gate", "emit_ranges",
+        "interpret",
+    ),
 )
 def _pallas_screen_multi(
-    qvals, tcols, *, Q, match, mismatch, qgap, tgap, interpret=False
+    qvals, tcols, min_scores=None, *, Q, match, mismatch, qgap, tgap,
+    pam_gate=False, emit_ranges=False, interpret=False,
 ):
     """Both-strand screen for G same-length guides over one window block
     set: qvals [G, 2, Q]; returns per-chain maxima
-    [G, 2, n_blocks*8, 128] int32 (chain 0 = fw query, 1 = rc query)."""
+    [G, 2, n_blocks*8, 128] int32 (chain 0 = fw query, 1 = rc query).
+    With ``emit_ranges`` also returns [G, 2, 2, n_blocks*8, 128] int32
+    per-guide per-chain (min, max) 1-based end columns scoring >= that
+    guide's ``min_scores[g]`` (min is T+1 / max is 0 when none qualify).
+    ``pam_gate`` applies the tcols bit-4/5 PAM gates exactly like the
+    single-guide dual kernel (guides in the group share one PAM spec)."""
     T = tcols.shape[0]
     n_blocks = tcols.shape[1] // SUBLANES
     G = qvals.shape[0]
+    if min_scores is None:
+        min_scores = jnp.zeros((G,), jnp.int32)
     kernel = partial(
         _kernel_multi, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
-        tgap=tgap,
+        tgap=tgap, pam_gate=pam_gate, emit_ranges=emit_ranges,
     )
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (1, 2, SUBLANES, LANES), lambda i, g: (g, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, 2, n_blocks * SUBLANES, LANES), jnp.int32),
+    ]
+    if emit_ranges:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 2, 2, SUBLANES, LANES), lambda i, g: (g, 0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (G, 2, 2, n_blocks * SUBLANES, LANES), jnp.int32
+            )
+        )
+    out = pl.pallas_call(
         kernel,
         grid=(n_blocks, G),  # guide dim innermost: the window block is
         # revisited across guides without re-fetching from HBM
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (T, SUBLANES, LANES), lambda i, g: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2, SUBLANES, LANES), lambda i, g: (g, 0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (G, 2, n_blocks * SUBLANES, LANES), jnp.int32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=16 * T * Q * n_blocks * BLOCK_W * G,
             bytes_accessed=T * n_blocks * BLOCK_W * 4 * G,
             transcendentals=0,
         ),
-    )(qvals, tcols)
+    )(qvals, jnp.asarray(min_scores, jnp.int32).reshape(G), tcols)
+    if emit_ranges:
+        return out[0], out[1]
+    return out[0]

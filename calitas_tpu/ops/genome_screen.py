@@ -720,6 +720,115 @@ class GenomeScreen:
             out.append((i0, n_seg, resolve))
         return out
 
+    def screen_contig_multi_async(
+        self,
+        genome_dev: jax.Array,
+        contig_len: int,
+        step: int,
+        dp_queries: list,  # [(dp_query, dp_query_rc), ...] all same length
+        min_scores: list,  # [G] per-guide qualifying thresholds
+        pam_spec=None,  # shared (dp-orientation pams, max_pam_mm, max_gap)
+        segments: int | None = None,
+    ) -> list:
+        """The multi-guide form of :meth:`screen_contig_async` — FULL
+        single-guide contract per guide (PAM gate, per-chain flags,
+        coarse end-column ranges), with the window blocks extracted,
+        transposed and PAM-annotated ONCE per batch for the whole guide
+        group (the fused kernel revisits each resident block per guide
+        instead of re-fetching it from HBM).
+
+        Guides must share a length and (when given) a PAM spec — the
+        gate bit planes live in the shared tcols.  Returns
+        ``(start_index, n_windows, resolve)`` triples; ``resolve()`` ->
+        ``(chain_flags [G, 2, n_seg] bool, ranges [G, 2, n_seg, 2]
+        uint8)``.  Per guide, values are bit-identical to that guide's
+        own :meth:`screen_contig_async` (pinned by tests/test_screen.py).
+        """
+        if self.window > 2048:
+            raise ValueError(
+                f"ranges need window <= 2048 (got {self.window})"
+            )
+        starts = self.window_starts(contig_len, step)
+        n = len(starts)
+        G = len(dp_queries)
+        if n == 0 or G == 0:
+            return []
+        unit = BLOCK_W if self.use_pallas else LANES
+        Q = len(dp_queries[0][0])
+        use_pallas = self.use_pallas and Q <= 48
+        bw = min(
+            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
+        )
+        n_batches = -(-n // bw)
+        if segments is None:
+            segments = max(
+                1,
+                min(self.SEGMENTS, n_batches // self.MIN_BATCHES_PER_SEGMENT),
+            )
+        segments = max(1, min(segments, n_batches))
+        bps = -(-n_batches // segments)
+        segments = -(-n_batches // bps)
+        max_batches = 1 << (bps - 1).bit_length()
+        last_base = (segments - 1) * bps * bw * step
+        need = last_base + (max_batches * bw - 1) * step + self.window + step
+        if need > genome_dev.shape[0]:
+            need = 1 << (need - 1).bit_length()
+            extra = need - genome_dev.shape[0]
+            genome_dev = jnp.concatenate(
+                [genome_dev, jnp.zeros(extra, jnp.uint8)]
+            )
+        s = self.scorer
+        qvals = jnp.asarray(
+            np.stack(
+                [
+                    np.stack([encode_query(q), encode_query(qrc)]).astype(
+                        np.int32
+                    )
+                    for q, qrc in dp_queries
+                ]
+            )
+        )
+        ms = jnp.asarray(np.asarray(min_scores, dtype=np.int32))
+        static_pam_spec = None
+        if pam_spec is not None and use_pallas:
+            pams, max_pam_mm, max_gap = pam_spec
+            if pams and all(len(p) > 0 for p in pams):
+                static_pam_spec = (
+                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
+                    int(max_pam_mm),
+                    int(max_gap),
+                )
+        out = []
+        for seg in range(segments):
+            b0 = seg * bps
+            nb = min(bps, n_batches - b0)
+            i0 = b0 * bw
+            n_seg = min(n - i0, bps * bw)
+            packed, packed_ranges = _screen_genome_multi_span(
+                genome_dev, qvals, jnp.int32(nb), ms,
+                jnp.int32(b0 * bw * step),
+                window=self.window, step=step, batch_windows=bw,
+                max_batches=max_batches, Q=Q, G=G, match=s.match_score,
+                mismatch=s.mismatch_score, qgap=s.query_gap_score,
+                tgap=s.target_gap_score, use_pallas=use_pallas,
+                pam_spec=static_pam_spec, emit_ranges=True,
+                interpret=self.interpret,
+            )
+            try:
+                packed.copy_to_host_async()
+                packed_ranges.copy_to_host_async()
+            except Exception:
+                pass
+
+            def resolve(packed=packed, packed_ranges=packed_ranges,
+                        n_seg=n_seg):
+                chain_flags = _unpack_flag_bits(np.asarray(packed), n_seg)
+                ranges = np.asarray(packed_ranges)[:, :, :n_seg]
+                return chain_flags, ranges
+
+            out.append((i0, n_seg, resolve))
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Multi-device sharding
@@ -1063,22 +1172,17 @@ class ShardedGenomeScreen(GenomeScreen):
 
 
 # ---------------------------------------------------------------------------
-# Multi-guide screening (same-length guide groups share window extraction)
+# Multi-guide screening (same-length guide groups share window extraction
+# AND per-block HBM traffic; full single-guide contract per guide: PAM
+# gate via the shared tcols bit planes + per-guide end-column ranges)
 # ---------------------------------------------------------------------------
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "window", "step", "batch_windows", "max_batches",
-        "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
-        "interpret",
-    ),
-)
-def _screen_genome_multi(
+def _screen_grid_multi(
     genome,
     qvals,  # [G, 2, Q] int32
     n_batches,  # traced scalar
     min_scores,  # [G] int32: per-guide candidate thresholds
+    base0,  # traced int32 genome offset of the first window
     *,
     window: int,
     step: int,
@@ -1091,47 +1195,145 @@ def _screen_genome_multi(
     qgap: int,
     tgap: int,
     use_pallas: bool,
+    pam_spec=None,
+    emit_ranges: bool = False,
     interpret: bool = False,
 ):
+    """The multi-guide analogue of :func:`_screen_grid`: one window
+    extraction + PAM-plane pass per batch serves every guide in the
+    group.  Returns ([G, 2, total//8] uint8 flags, [G, 2, total, 2]
+    uint8 coarse ranges — [G, 2, 1, 2] placeholder when ranges off)."""
     lens_flat = jnp.full((batch_windows,), window, jnp.int32)
     n_total = max_batches * batch_windows
 
-    def body(b, out):
+    def body(b, outs):
+        out, out_r = outs
         wins = extract_window_grid(
-            genome, b * batch_windows * step, batch_windows, step, window
+            genome, base0 + b * batch_windows * step, batch_windows, step,
+            window,
         )
+        rng = None
         if use_pallas:
             from calitas_tpu.ops.dp_pallas2 import _pallas_screen_multi
 
-            tcols = wins.T.astype(jnp.int32).reshape(
+            if pam_spec is not None:
+                end_ok, start_ok = _pam_bit_planes(wins, pam_spec)
+                packed_w = wins | (end_ok << 4) | (start_ok << 5)
+            else:
+                packed_w = wins
+            tcols = packed_w.T.astype(jnp.int32).reshape(
                 window, batch_windows // LANES, LANES
             )
-            best = _pallas_screen_multi(
-                qvals, tcols,
+            res = _pallas_screen_multi(
+                qvals, tcols, min_scores,
                 Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap,
+                pam_gate=pam_spec is not None, emit_ranges=emit_ranges,
                 interpret=interpret,
-            ).reshape(G, 2, batch_windows)
+            )
+            if emit_ranges:
+                best = res[0].reshape(G, 2, batch_windows)
+                rng = res[1].reshape(G, 2, 2, batch_windows)
+            else:
+                best = res.reshape(G, 2, batch_windows)
         else:
-            from calitas_tpu.ops.dp_screen import _screen_scores
+            from calitas_tpu.ops.dp_screen import (
+                _screen_scores,
+                _screen_scores_ranges,
+            )
 
             skw = dict(match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
             per_guide = []
+            per_rng = []
             for g in range(G):
-                bf = _screen_scores(
-                    qvals[g, 0].astype(jnp.uint8), wins, lens_flat, **skw
-                )
-                br = _screen_scores(
-                    qvals[g, 1].astype(jnp.uint8), wins, lens_flat, **skw
-                )
+                if emit_ranges:
+                    bf, mn_f, mx_f = _screen_scores_ranges(
+                        qvals[g, 0].astype(jnp.uint8), wins, lens_flat,
+                        min_scores[g], **skw
+                    )
+                    br, mn_r, mx_r = _screen_scores_ranges(
+                        qvals[g, 1].astype(jnp.uint8), wins, lens_flat,
+                        min_scores[g], **skw
+                    )
+                    per_rng.append(
+                        jnp.stack(
+                            [jnp.stack([mn_f, mx_f]), jnp.stack([mn_r, mx_r])]
+                        )
+                    )
+                else:
+                    bf = _screen_scores(
+                        qvals[g, 0].astype(jnp.uint8), wins, lens_flat, **skw
+                    )
+                    br = _screen_scores(
+                        qvals[g, 1].astype(jnp.uint8), wins, lens_flat, **skw
+                    )
                 per_guide.append(jnp.stack([bf, br]))
             best = jnp.stack(per_guide)  # [G, 2, bw]
+            if emit_ranges:
+                rng = jnp.stack(per_rng)  # [G, 2, 2, bw]
         packed = _pack_flag_bits(best >= min_scores[:, None, None])
-        return jax.lax.dynamic_update_slice(
+        out = jax.lax.dynamic_update_slice(
             out, packed, (0, 0, b * (batch_windows // 8))
         )
+        if emit_ranges:
+            mn, mx = rng[:, :, 0], rng[:, :, 1]
+            mnb = jnp.clip((mn - 1) // 8, 0, 255).astype(jnp.uint8)
+            mxb = jnp.clip((mx - 1) // 8, 0, 255).astype(jnp.uint8)
+            pr = jnp.stack([mnb, mxb], axis=-1)  # [G, 2, bw, 2]
+            out_r = jax.lax.dynamic_update_slice(
+                out_r, pr, (0, 0, b * batch_windows, 0)
+            )
+        return out, out_r
 
     out0 = jnp.zeros((G, 2, n_total // 8), jnp.uint8)
-    return jax.lax.fori_loop(0, n_batches, body, out0)
+    out_r0 = jnp.zeros((G, 2, n_total if emit_ranges else 1, 2), jnp.uint8)
+    return jax.lax.fori_loop(0, n_batches, body, (out0, out_r0))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "step", "batch_windows", "max_batches",
+        "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
+        "pam_spec", "emit_ranges", "interpret",
+    ),
+)
+def _screen_genome_multi(
+    genome, qvals, n_batches, min_scores, *,
+    window, step, batch_windows, max_batches, Q, G, match, mismatch, qgap,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+):
+    return _screen_grid_multi(
+        genome, qvals, n_batches, min_scores, jnp.int32(0),
+        window=window, step=step, batch_windows=batch_windows,
+        max_batches=max_batches, Q=Q, G=G, match=match, mismatch=mismatch,
+        qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
+        emit_ranges=emit_ranges, interpret=interpret,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "step", "batch_windows", "max_batches",
+        "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
+        "pam_spec", "emit_ranges", "interpret",
+    ),
+)
+def _screen_genome_multi_span(
+    genome, qvals, n_batches, min_scores, base0, *,
+    window, step, batch_windows, max_batches, Q, G, match, mismatch, qgap,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+):
+    """A window-span slice of the multi-guide contig screen (traced
+    ``base0``), the segmented-dispatch unit of
+    :meth:`GenomeScreen.screen_contig_multi_async`."""
+    return _screen_grid_multi(
+        genome, qvals, n_batches, min_scores, base0,
+        window=window, step=step, batch_windows=batch_windows,
+        max_batches=max_batches, Q=Q, G=G, match=match, mismatch=mismatch,
+        qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
+        emit_ranges=emit_ranges, interpret=interpret,
+    )
 
 
 @partial(
@@ -1273,7 +1475,7 @@ def screen_contig_multi(
         ]
     )
     s = screen.scorer
-    packed = _screen_genome_multi(
+    packed, _ = _screen_genome_multi(
         genome_dev, jnp.asarray(qvals), jnp.int32(n_batches),
         jnp.asarray(np.asarray(min_scores, dtype=np.int32)),
         window=screen.window, step=step, batch_windows=bw,

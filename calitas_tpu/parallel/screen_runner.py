@@ -31,6 +31,19 @@ from calitas_tpu.ops.genome_screen import GenomeScreen
 from calitas_tpu.search.windows import RefWindow, materialize_window
 
 
+def _memoize(resolve):
+    """Resolve once, serve every caller (a guide group's segment readback
+    is shared by all its guides' candidate streams)."""
+    cell: list = []
+
+    def get():
+        if not cell:
+            cell.append(resolve())
+        return cell[0]
+
+    return get
+
+
 @dataclass(frozen=True)
 class GuideTask:
     """One guide's search parameters within a (possibly multi-guide) run."""
@@ -142,9 +155,13 @@ def _search_contig(
 
     # Production path: pre-dispatch every guide's SEGMENTED screen before
     # any finishing starts — the device works through all guides' spans
-    # back to back while the host pool finishes earlier guides' candidates
-    # (per-guide segmented spans carry the PAM gate and end-column ranges
-    # the fused multi-guide kernel lacks, so the finish is sliced too).
+    # back to back while the host pool finishes earlier guides' candidates.
+    # Same-shape guide groups (equal DP-query length, step and PAM spec)
+    # share ONE fused dispatch per span: the window blocks are extracted,
+    # transposed and PAM-annotated once for the whole group, and the
+    # fused kernel revisits each VMEM-resident block per guide — with the
+    # full single-guide contract (PAM gate + per-guide end-column
+    # ranges), so the sliced finish applies to every guide.
     want_ranges = hit_spec is not None and window_size <= 2048
     seg_dispatch: dict = {}
     # Both the single-device and the mesh-sharded screens provide the
@@ -152,7 +169,7 @@ def _search_contig(
     if want_ranges and genome_dev is not None and isinstance(
         screen, GenomeScreen
     ):
-        for task in tasks:
+        def _task_shape(task):
             g = task.guide
             dq = g.guide_rc if g.pam_is_5prime else g.guide_fw
             dp_pams = g.pams_rc if g.pam_is_5prime else g.pams_fw
@@ -165,18 +182,66 @@ def _search_contig(
                 if dp_pams
                 else None
             )
+            return dq, pspec
+
+        shape_groups: dict[tuple, list] = {}
+        for task in tasks:
+            dq, pspec = _task_shape(task)
+            shape_groups.setdefault(
+                (len(dq), task.step_size, pspec), []
+            ).append((task, dq, pspec))
+
+        # The fused group dispatch needs the multi-async interface
+        # (single-device screen; the sharded subclass screens per guide).
+        can_fuse = type(screen) is GenomeScreen
+        for (_qlen, step_size, pspec), group in shape_groups.items():
             try:
-                seg_dispatch[task.guide_id] = screen.screen_contig_async(
-                    genome_dev, contig_len, task.step_size, dq, revcomp(dq),
-                    aligner.min_guide_score(g, align_kwargs["max_guide_diffs"]),
-                    pam_spec=pspec,
-                )
+                if len(group) >= 2 and can_fuse:
+                    dqs = [(dq, revcomp(dq)) for _, dq, _ in group]
+                    mss = [
+                        aligner.min_guide_score(
+                            t.guide, align_kwargs["max_guide_diffs"]
+                        )
+                        for t, _, _ in group
+                    ]
+                    segs = screen.screen_contig_multi_async(
+                        genome_dev, contig_len, step_size, dqs, mss,
+                        pam_spec=pspec,
+                    )
+                    # Per-guide views over the group's memoized resolvers:
+                    # the group resolves once; guide gi reads its slice.
+                    memo = [
+                        (i0, n_seg, _memoize(res)) for i0, n_seg, res in segs
+                    ]
+                    for gi, (task, _, _) in enumerate(group):
+                        seg_dispatch[task.guide_id] = [
+                            (
+                                i0, n_seg,
+                                (lambda get=get, gi=gi:
+                                 (lambda r: (r[0][gi], r[1][gi]))(get())),
+                            )
+                            for i0, n_seg, get in memo
+                        ]
+                else:
+                    for task, dq, _ in group:
+                        seg_dispatch[task.guide_id] = (
+                            screen.screen_contig_async(
+                                genome_dev, contig_len, task.step_size, dq,
+                                revcomp(dq),
+                                aligner.min_guide_score(
+                                    task.guide,
+                                    align_kwargs["max_guide_diffs"],
+                                ),
+                                pam_spec=pspec,
+                            )
+                        )
             except Exception:
                 import logging
 
                 logging.getLogger("calitas_tpu.SearchReference").warning(
-                    "Segmented screen dispatch failed for %s/%s; using the "
-                    "single-span screen.", name, task.guide_id, exc_info=True,
+                    "Segmented screen dispatch failed for %s (%d guides); "
+                    "using the single-span screen.", name, len(group),
+                    exc_info=True,
                 )
 
     # Group same-length guides: one window-extraction pass per group

@@ -582,3 +582,77 @@ class TestPackedStaging:
         expect[0::2] = packed & 15
         expect[1::2] = packed >> 4
         np.testing.assert_array_equal(out, expect)
+
+
+class TestMultiGuideFullContract:
+    """screen_contig_multi_async must match each guide's own
+    screen_contig_async bit-for-bit — flags AND coarse ranges, PAM gate
+    included — on both the XLA path and the Pallas kernel (interpret).
+    One contract, no weaker multi-guide fallback (VERDICT r2 item 3)."""
+
+    def _setup(self):
+        from calitas_tpu.core.guide import Guide
+
+        rng = np.random.default_rng(77)
+        bases = rng.choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), 200_000
+        ).astype(np.uint8)
+        guides = [
+            Guide.parse("CTTGCCCCACAGGGCAGTAAnrg"),
+            Guide.parse("ACGTACATGCTCGATACGACnrg"),
+            Guide.parse("TTGACCAAGCAAAACAGACCnrg"),
+        ]
+        for g, pos in zip(guides, (5_000, 77_777, 150_101)):
+            site = (g.guide + g.pams_3prime[0].replace("n", "a").replace(
+                "r", "g").upper()).encode()
+            planted = np.frombuffer(site, dtype=np.uint8)
+            bases[pos : pos + len(planted)] = planted
+        return bases, guides
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_multi_async_equals_per_guide_async(self, use_pallas):
+        from calitas_tpu.core.scoring import derive_scorer
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        bases, guides = self._setup()
+        scorer = derive_scorer()
+        screen = GenomeScreen(
+            scorer, window=256, batch_windows=1024, use_pallas=use_pallas,
+            interpret=use_pallas,
+        )
+        gdev = screen.stage(bases)
+        step = 230
+        dqs = [(g.guide_fw, revcomp(g.guide_fw)) for g in guides]
+        mss = [60 * len(g.guide_fw) - 5 * 122 for g in guides]
+        pam_spec = (tuple(guides[0].pams_fw), 1, 3)
+
+        segs = screen.screen_contig_multi_async(
+            gdev, len(bases), step, dqs, mss, pam_spec=pam_spec,
+        )
+        parts_f, parts_r = [], []
+        for _i0, n_seg, resolve in segs:
+            cf, cr = resolve()
+            assert cf.shape[0] == len(guides) and cf.shape[2] == n_seg
+            parts_f.append(cf)
+            parts_r.append(cr)
+        multi_f = np.concatenate(parts_f, axis=2)
+        multi_r = np.concatenate(parts_r, axis=2)
+
+        hit_windows = 0
+        for gi, g in enumerate(guides):
+            single = screen.screen_contig_async(
+                gdev, len(bases), step, dqs[gi][0], dqs[gi][1], mss[gi],
+                pam_spec=pam_spec,
+            )
+            sf, sr = [], []
+            for _i0, _n, resolve in single:
+                cf, cr = resolve()
+                sf.append(cf)
+                sr.append(cr)
+            sf = np.concatenate(sf, axis=1)
+            sr = np.concatenate(sr, axis=1)
+            np.testing.assert_array_equal(multi_f[gi], sf)
+            np.testing.assert_array_equal(multi_r[gi], sr)
+            hit_windows += int(sf.any(axis=0).sum())
+        assert hit_windows >= len(guides)  # planted hits flagged
