@@ -527,6 +527,153 @@ def finish_lines(
     return out
 
 
+def materialize_finish_lines(
+    guide: Guide,
+    aligner,
+    chrom: str,
+    ctxs: Sequence[bytes],  # raw (original-case) context slices per window
+    cstart1: np.ndarray,  # int64 [n]: 1-based genomic pos of ctx[0]
+    wstart0: np.ndarray,  # int64 [n]: 0-based genomic start of raw window
+    wraw_len: np.ndarray,  # int32 [n]: raw window length
+    passes_list: Sequence[tuple[str, ...]],
+    cranges: Optional[np.ndarray],  # int32 [n, 4] screen bounds or None
+    consts: dict,
+    min_window_len: int,
+    **limits,
+) -> Optional[list[list]]:
+    """The fully-native finish: raw mmap context slices in, RenderedHit
+    rows out.  N-trim, uppercase, screen-range mapping
+    (chain_ranges_to_pass) and the complete line rendering all happen in
+    ONE C++ call (``materialize_finish_render``); per-window results are
+    line-identical to materialize_window + finish_rendered (pinned by
+    tests/test_batch_finish.py)."""
+    from calitas_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "materialize_finish_render"):
+        return None
+    n = len(ctxs)
+    if n == 0:
+        return []
+
+    is5 = guide.pam_is_5prime
+    query = guide.guide_rc if is5 else guide.guide_fw
+    pams = guide.pams_rc if is5 else guide.pams_fw
+    qbytes = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+    Q = len(qbytes)
+    pam_bytes = [p.encode("ascii") for p in pams]
+    pam_cat = np.frombuffer(b"".join(pam_bytes) or b"\0", dtype=np.uint8)
+    n_pams = len(pam_bytes)
+    pam_off = np.zeros(max(n_pams, 1), np.int32)
+    pam_len = np.zeros(max(n_pams, 1), np.int32)
+    off = 0
+    for k, p in enumerate(pam_bytes):
+        pam_off[k] = off
+        pam_len[k] = len(p)
+        off += len(p)
+    max_pam_len = max((len(p) for p in pam_bytes), default=0)
+
+    clen = np.array([len(c) for c in ctxs], dtype=np.int32)
+    coff = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        coff[1:] = np.cumsum(clen[:-1], dtype=np.int64)
+    cbytes = np.frombuffer(b"".join(ctxs) or b"\0", dtype=np.uint8)
+    pass_mask = np.zeros(n, dtype=np.uint8)
+    for i, ps in enumerate(passes_list):
+        m = 0
+        for p in ps:
+            m |= 1 << cpp_pass_for(p, is5)
+        pass_mask[i] = m
+    if cranges is None:
+        cr = np.full((n, 4), -1, dtype=np.int32)
+    else:
+        cr = np.ascontiguousarray(cranges, dtype=np.int32)
+
+    s = aligner.scorer
+    min_score = aligner.min_guide_score(guide, limits["max_guide_diffs"])
+    ext_total = (
+        limits["max_guide_diffs"]
+        + limits["max_gaps_between_guide_and_pam"]
+        + limits["max_pam_diffs"]
+    )
+
+    chromb = chrom.encode("ascii")
+    c_id = consts["guide_id"].encode("ascii")
+    c_guide = consts["unpadded_guide"].encode("ascii")
+    c_build = consts["genome_build"].encode("ascii")
+    c_glen = consts["guide_len"].encode("ascii")
+    c_tail = consts["tail"].encode("ascii")
+    aln_width = Q + max_pam_len + limits["max_gaps_between_guide_and_pam"] + 8
+    const_len = (
+        len(c_id) + len(c_guide) + len(c_build) + len(chromb) + len(c_glen)
+        + len(c_tail)
+    )
+    line_width = const_len + 6 * aln_width + 120
+    cs1 = np.ascontiguousarray(cstart1, dtype=np.int64)
+    ws0 = np.ascontiguousarray(wstart0, dtype=np.int64)
+    wrl = np.ascontiguousarray(wraw_len, dtype=np.int32)
+
+    max_out = max(256, 4 * n)
+    while True:
+        meta = np.empty((max_out, 8), dtype=np.int32)
+        lines_cap = max_out * line_width
+        out_lines = np.empty(lines_cap, dtype=np.uint8)
+        line_off = np.empty(max_out, dtype=np.int64)
+        line_len = np.empty(max_out, dtype=np.int32)
+        n_out = lib.materialize_finish_render(
+            qbytes.ctypes.data, Q,
+            pam_cat.ctypes.data, pam_off.ctypes.data, pam_len.ctypes.data,
+            n_pams,
+            1 if is5 else 0,
+            s.match_score, s.mismatch_score, s.query_gap_score,
+            s.target_gap_score, s.pam_match_score, s.pam_mismatch_score,
+            int(min_score),
+            limits["max_guide_diffs"], limits["max_pam_diffs"],
+            limits["max_gaps_between_guide_and_pam"],
+            ext_total, limits["max_total_diffs"], limits["max_overlap"],
+            cbytes.ctypes.data, coff.ctypes.data, clen.ctypes.data,
+            cs1.ctypes.data, ws0.ctypes.data, wrl.ctypes.data,
+            pass_mask.ctypes.data, cr.ctypes.data, n,
+            int(min_window_len),
+            chromb, len(chromb),
+            c_id, len(c_id),
+            c_guide, len(c_guide),
+            c_build, len(c_build),
+            c_glen, len(c_glen),
+            c_tail, len(c_tail),
+            max_out,
+            meta.ctypes.data,
+            out_lines.ctypes.data, ctypes.c_int64(lines_cap),
+            line_off.ctypes.data, line_len.ctypes.data,
+        )
+        if n_out == -1:
+            max_out *= 4
+            continue
+        if n_out < 0:
+            raise AssertionError(
+                f"native materialize_finish_render error: {n_out}"
+            )
+        break
+
+    from calitas_tpu.search.hits import RenderedHit
+
+    buf = out_lines.tobytes()
+    c_guide_id = consts["guide_id"]
+    out: list[list] = [[] for _ in range(n)]
+    mv = meta[:n_out].tolist()
+    lo = line_off[:n_out].tolist()
+    ll = line_len[:n_out].tolist()
+    for k in range(n_out):
+        widx, strandc, cs, score, rh_end, _, _, _ = mv[k]
+        o = lo[k]
+        line = buf[o : o + ll[k]].decode("ascii")
+        out[widx].append(RenderedHit(
+            c_guide_id, chrom, "+" if strandc == 0 else "-", None,
+            cs, score, rh_end, line,
+        ))
+    return out
+
+
 def make_render_consts(builder, guide: Guide) -> dict:
     """The constant output columns of a reference-pass row, prebuilt once
     per worker (mirrors the constant fields of HitBuilder.build)."""

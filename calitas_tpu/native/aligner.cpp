@@ -1088,4 +1088,124 @@ int32_t finish_batch_render(
       wlen, pass_mask, ranges, n_windows, emit);
 }
 
+// Window materialization + finish_batch_render in ONE native call: the
+// worker's only per-candidate Python is the mmap read of the raw
+// context slice (window + flank margin, ORIGINAL case).  Per window this
+// function applies the reference's exact window semantics
+// (SearchReference.scala:52-68 — N-trim of UPPERCASE 'N' only at both
+// ends, then uppercase) plus the screen-range -> pass-range mapping of
+// align/batch.py::chain_ranges_to_pass, and then runs the line-rendering
+// finisher.  Inputs per window:
+//   cbytes/coff/clen - raw context rows; cstart1 - 1-based genomic pos of
+//   each row's first byte; wstart0 - 0-based genomic start of the RAW
+//   window inside the context; wraw_len - raw window length;
+//   cranges[w*4+{0..3}] - (loA, hiA, loB, hiB) 1-based inclusive screen
+//   end-column bounds, or loA <= -1 for "no ranges" (full DP).
+// Windows whose trimmed length < min_window_len are skipped (too short
+// to hold the guide string; also covers the all-N placeholder).
+int32_t materialize_finish_render(
+    const uint8_t* qletters, int32_t Q, const uint8_t* pam_letters,
+    const int32_t* pam_off, const int32_t* pam_len, int32_t n_pams,
+    int32_t is5prime, int32_t match, int32_t mismatch, int32_t qgap,
+    int32_t tgap, int32_t pam_match, int32_t pam_mismatch, int32_t min_score,
+    int32_t max_guide_diffs, int32_t max_pam_mismatches,
+    int32_t max_gap_before_extending, int32_t extension_total_diffs,
+    int32_t max_total_diffs, int32_t max_overlap,
+    const uint8_t* cbytes, const int64_t* coff, const int32_t* clen,
+    const int64_t* cstart1, const int64_t* wstart0, const int32_t* wraw_len,
+    const uint8_t* pass_mask, const int32_t* cranges, int32_t n_windows,
+    int32_t min_window_len,
+    const char* chrom, int32_t chrom_len,
+    const char* c_guide_id, int32_t c_guide_id_len,
+    const char* c_guide, int32_t c_guide_len,
+    const char* c_build, int32_t c_build_len,
+    const char* c_glen, int32_t c_glen_len,
+    const char* c_tail, int32_t c_tail_len,
+    int32_t max_out, int32_t* out_meta8,
+    char* out_lines, int64_t out_lines_cap,
+    int64_t* out_line_off, int32_t* out_line_len) {
+  // Uppercase table (flank sources and window bytes are uppercased;
+  // masks are case-insensitive anyway, but rendered strings must match
+  // the reference's uppercased windows/flanks).
+  uint8_t upper[256];
+  for (int i = 0; i < 256; ++i)
+    upper[i] = (i >= 'a' && i <= 'z') ? (uint8_t)(i - 32) : (uint8_t)i;
+
+  int64_t ctx_total = 0;
+  for (int32_t w = 0; w < n_windows; ++w) ctx_total += clen[w];
+  std::vector<uint8_t> fb((size_t)std::max<int64_t>(ctx_total, 1));
+  std::vector<uint8_t> wb((size_t)std::max<int64_t>(ctx_total, 1));
+  std::vector<int64_t> woff(n_windows), fstart1(n_windows),
+      wstart1(n_windows);
+  std::vector<int32_t> wlen(n_windows);
+  std::vector<uint8_t> pm(n_windows);
+  std::vector<int32_t> ranges((size_t)n_windows * 4, 0);
+
+  const int64_t surplus = (int64_t)match * Q - min_score;
+
+  int64_t pos = 0;
+  for (int32_t w = 0; w < n_windows; ++w) {
+    const uint8_t* row = cbytes + coff[w];
+    const int32_t cl = clen[w];
+    // uppercase flank source (whole context row)
+    for (int32_t j = 0; j < cl; ++j) fb[coff[w] + j] = upper[row[j]];
+    fstart1[w] = cstart1[w];
+    // raw window inside the context
+    int64_t a = wstart0[w] + 1 - cstart1[w];  // context offset of window
+    int32_t s = 0, e = wraw_len[w];
+    if (a < 0 || a + e > cl) {  // caller geometry error: skip window
+      wlen[w] = 0; pm[w] = 0; woff[w] = pos; wstart1[w] = 1;
+      continue;
+    }
+    const uint8_t* rw = row + a;
+    while (s < e && rw[s] == 'N') ++s;
+    while (s < e && rw[e - 1] == 'N') --e;
+    const int32_t T = e - s;
+    woff[w] = pos;
+    wstart1[w] = wstart0[w] + s + 1;
+    if (T < min_window_len || T <= 0) {
+      wlen[w] = 0; pm[w] = 0;
+      continue;
+    }
+    for (int32_t j = 0; j < T; ++j) wb[pos + j] = upper[rw[s + j]];
+    wlen[w] = T;
+    pos += T;
+    pm[w] = pass_mask[w];
+    const int32_t loA = cranges[(int64_t)w * 4 + 0];
+    if (loA > -1) {
+      const int32_t hiA = cranges[(int64_t)w * 4 + 1];
+      const int32_t loB = cranges[(int64_t)w * 4 + 2];
+      const int32_t hiB = cranges[(int64_t)w * 4 + 3];
+      // span = Q + D_max guide-gap columns (max_target_span semantics:
+      // d = surplus//-qgap when qgap < 0, else T; 0 when no surplus).
+      int64_t d = 0;
+      if (surplus > 0) d = qgap < 0 ? surplus / -(int64_t)qgap : (int64_t)T;
+      const int64_t span = (int64_t)Q + d;
+      // chain A maps by the trim shift; chain B mirrors with span
+      // widening (chain_ranges_to_pass semantics, align/batch.py).
+      int64_t lo0 = std::max<int64_t>(1, (int64_t)loA - s);
+      int64_t hi0 = std::min<int64_t>(T, (int64_t)hiA - s);
+      int64_t lo1 = std::max<int64_t>(1, (int64_t)T + 1 - ((int64_t)hiB - s));
+      int64_t hi1 = std::min<int64_t>(T, (int64_t)T - ((int64_t)loB - s) + span);
+      if (hi0 < lo0) { lo0 = 1; hi0 = 0; }
+      if (hi1 < lo1) { lo1 = 1; hi1 = 0; }
+      ranges[(int64_t)w * 4 + 0] = (int32_t)lo0;
+      ranges[(int64_t)w * 4 + 1] = (int32_t)hi0;
+      ranges[(int64_t)w * 4 + 2] = (int32_t)lo1;
+      ranges[(int64_t)w * 4 + 3] = (int32_t)hi1;
+    }
+  }
+  return finish_batch_render(
+      qletters, Q, pam_letters, pam_off, pam_len, n_pams, is5prime, match,
+      mismatch, qgap, tgap, pam_match, pam_mismatch, min_score,
+      max_guide_diffs, max_pam_mismatches, max_gap_before_extending,
+      extension_total_diffs, max_total_diffs, max_overlap, wb.data(),
+      woff.data(), wlen.data(), pm.data(), ranges.data(), n_windows,
+      fb.data(), coff, clen, fstart1.data(), wstart1.data(),
+      chrom, chrom_len, c_guide_id, c_guide_id_len, c_guide, c_guide_len,
+      c_build, c_build_len, c_glen, c_glen_len, c_tail, c_tail_len,
+      max_out, out_meta8, out_lines, out_lines_cap, out_line_off,
+      out_line_len);
+}
+
 }  // extern "C"

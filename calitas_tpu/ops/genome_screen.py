@@ -1399,6 +1399,16 @@ def _slot_flags_multi(
     return _pack_flag_bits(flags)
 
 
+@jax.jit
+def _unpack_slot_nibbles(packed):
+    """[B, T/2] uint8 nibble pairs -> [B, T] uint8 4-bit masks on device
+    (column 2i = low nibble of byte i, 2i+1 = high nibble)."""
+    B = packed.shape[0]
+    return jnp.stack(
+        [packed & jnp.uint8(15), packed >> 4], axis=-1
+    ).reshape(B, -1)
+
+
 def screen_slots_multi(
     scorer: Scorer,
     tmasks: np.ndarray,  # [B, T] uint8, B a multiple of 8 (1024 if pallas)
@@ -1410,9 +1420,17 @@ def screen_slots_multi(
     batch uploads ONCE and each group costs one fused dispatch plus one
     bit-packed readback (the variant/pair passes' device cost is flat in
     guide count).  Returns one zero-arg resolver per group; resolving
-    blocks on that group's (tiny) D2H and returns [G, B] bool flags."""
-    B = tmasks.shape[0]
-    tm = jnp.asarray(tmasks)
+    blocks on that group's (tiny) D2H and returns [G, B] bool flags.
+
+    Transport is link-adaptive like genome staging: on slow (tunneled)
+    links the 4-bit masks ship nibble-packed — HALF the H2D bytes, the
+    per-batch bottleneck of the variant pass — and unpack on device."""
+    B, T = tmasks.shape
+    if T % 2 == 0 and _packing_pays():
+        packed = tmasks[:, 0::2] | (tmasks[:, 1::2] << 4)
+        tm = _unpack_slot_nibbles(jnp.asarray(packed))
+    else:
+        tm = jnp.asarray(tmasks)
     ln = jnp.asarray(lengths.astype(np.int32))
     outs = []
     for use_pallas, qvals, min_scores in groups:

@@ -388,6 +388,64 @@ def _mp_finish_chunk(spec: dict, chunk: list):
     #: [window_start - 9, window_end + 10] (finish_batch_render contract)
     FLANK_PAD = 10
 
+    # Fully-native fast path: ONE mmap read per candidate, then one C++
+    # call does N-trim, uppercase, screen-range mapping and the complete
+    # line rendering (materialize_finish_render).  Any failure falls
+    # through to the incremental paths below, which rebuild from scratch.
+    try:
+        from calitas_tpu.align.batch import (
+            make_render_consts,
+            materialize_finish_lines,
+        )
+
+        chrom0 = chunk[0][0] if chunk else None
+        if chrom0 is not None and all(item[0] == chrom0 for item in chunk):
+            seq_len = ref.sequence_length(chrom0)
+            n = len(chunk)
+            ctxs: list = []
+            cs1 = np.empty(n, np.int64)
+            ws0 = np.empty(n, np.int64)
+            wrl = np.empty(n, np.int32)
+            cr = np.full((n, 4), -1, np.int32)
+            passes_list = []
+            for i, item in enumerate(chunk):
+                start0, passes = item[1], item[2]
+                end = min(seq_len, start0 + window_size)
+                c1 = max(1, start0 + 1 - FLANK_PAD)
+                ctxs.append(
+                    ref.get_subsequence(chrom0, c1, min(seq_len, end + FLANK_PAD))
+                )
+                cs1[i] = c1
+                ws0[i] = start0
+                wrl[i] = end - start0
+                passes_list.append(item[2])
+                if len(item) > 3 and item[3] is not None:
+                    cr[i] = item[3]
+            cache_key = (
+                spec["key"], spec["guide_id"], spec["ref_path"],
+                spec["aligner_id"], spec["arguments"], spec["vcf_id"],
+                spec["timestamp"], spec.get("aligner_version"), "rc",
+            )
+            consts = _MP_FINISH_CACHE.get(cache_key)
+            if consts is None:
+                consts = make_render_consts(builder, guide)
+                _MP_FINISH_CACHE[cache_key] = consts
+            per = materialize_finish_lines(
+                guide, aligner, chrom0, ctxs, cs1, ws0, wrl, passes_list,
+                cr, consts, guide_length,
+                max_guide_diffs=kw["max_guide_diffs"],
+                max_pam_diffs=kw["max_pam_diffs"],
+                max_gaps_between_guide_and_pam=kw[
+                    "max_gaps_between_guide_and_pam"
+                ],
+                max_total_diffs=kw["max_total_diffs"],
+                max_overlap=kw["max_overlap"],
+            )
+            if per is not None:
+                return per
+    except Exception:
+        pass  # incremental paths below recover (and isolate bad items)
+
     out: list = [[] for _ in chunk]
     mat = []  # (item_idx, RefWindow, passes, pass_ranges, flank_src)
     for i, item in enumerate(chunk):
@@ -540,21 +598,36 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
     ``extra`` carries the device screen's verdict: in all-hits mode a
     ``passes`` tuple (possibly empty — the window provably holds no
     qualifying alignment); in best mode a pass-DP-bounds dict for the
-    engine's exact rev-pass skip."""
+    engine's exact rev-pass skip (used only by the per-item fallback).
+
+    Like the pairwise worker, items sharing a query batch through ONE
+    native ``finish_batch`` call over their (mmap-fetched) loci windows;
+    per-window results are sorted with the engine's SORT_KEY, which is
+    exactly ``align_to_ref``'s contract, and best mode takes the head
+    like ``align_to_ref_best`` (batched both-pass run == the bounds path,
+    output-identically, per engine.align_to_ref_best's merge note)."""
     from calitas_tpu.core.guide import Guide
 
     aligner = _mp_ref_aligner_for(spec)
-    out = []
-    for item in chunk:
-        task_id, query, chrom, pos = item[:4]
+    ref = aligner.ref
+    out: list = [None] * len(chunk)
+    all_hits = spec["all_hits"]
+    window_size = spec["window_size"]
+    groups: dict[str, list[int]] = {}
+    for i, item in enumerate(chunk):
+        groups.setdefault(item[1], []).append(i)
+
+    def _fallback(i):
+        item = chunk[i]
+        _task_id, query, chrom, pos = item[:4]
         extra = item[4] if len(item) > 4 else None
         try:
             guide = Guide.parse(query)
-            if spec["all_hits"]:
+            if all_hits:
                 passes = ("fwd", "rev") if extra is None else tuple(extra)
                 alns = (
                     aligner.align_to_ref(
-                        guide, chrom, pos, spec["window_size"],
+                        guide, chrom, pos, window_size,
                         passes=passes, **spec["align_kwargs"],
                     )
                     if passes
@@ -563,39 +636,169 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
             else:
                 alns = [
                     aligner.align_to_ref_best(
-                        guide, chrom, pos, spec["window_size"],
+                        guide, chrom, pos, window_size,
                         max_gaps_between_guide_and_pam=spec["align_kwargs"][
                             "max_gaps_between_guide_and_pam"
                         ],
                         pass_dp_bounds=extra,
                     )
                 ]
-            out.append((guide, alns))
+            out[i] = (guide, alns)
         except Exception as ex:
-            out.append(("__error__", repr(ex)))
+            out[i] = ("__error__", repr(ex))
+
+    import numpy as np
+
+    from calitas_tpu.align.batch import finish_windows
+    from calitas_tpu.align.guide_alignment import SORT_KEY
+
+    for q, idxs in groups.items():
+        try:
+            guide = Guide.parse(q)
+        except Exception as ex:
+            err = ("__error__", repr(ex))
+            for i in idxs:
+                out[i] = err
+            continue
+        if all_hits:
+            kw = dict(spec["align_kwargs"])
+        else:
+            gaps = spec["align_kwargs"]["max_gaps_between_guide_and_pam"]
+            kw = dict(
+                max_guide_diffs=guide.protospacer_length,
+                max_gaps_between_guide_and_pam=gaps,
+                max_pam_diffs=guide.pam_length,
+                max_total_diffs=guide.protospacer_length + gaps
+                + guide.pam_length,
+                max_overlap=0,
+            )
+        windows: list = []
+        passes_list: list = []
+        live: list = []  # chunk indices batched (errors resolved inline)
+        padding = (
+            (window_size // 2) if window_size is not None
+            else guide.length * 2
+        )
+        for i in idxs:
+            item = chunk[i]
+            chrom, pos = item[2], item[3]
+            extra = item[4] if len(item) > 4 else None
+            passes = ("fwd", "rev")
+            if all_hits and extra is not None:
+                passes = tuple(extra)
+            try:
+                seq_len = ref.sequence_length(chrom)
+                if seq_len is None:
+                    raise ValueError(f"Unknown chromosome: {chrom}")
+                if not passes:
+                    out[i] = (guide, [])
+                    continue
+                region_start = max(pos - padding, 1)
+                region_end = min(pos + padding, seq_len)
+                target = ref.get_subsequence(chrom, region_start, region_end)
+                windows.append(
+                    (chrom, region_start, np.frombuffer(target, np.uint8))
+                )
+                passes_list.append(passes)
+                live.append(i)
+            except Exception as ex:
+                out[i] = ("__error__", repr(ex))
+        if not live:
+            continue
+        per_window = None
+        try:
+            per_window = finish_windows(
+                guide, aligner, windows, passes_list, None, **kw
+            )
+        except Exception:
+            per_window = None
+        if per_window is None:  # no native lib: per-item engine path
+            for i in live:
+                _fallback(i)
+            continue
+        for i, alns in zip(live, per_window):
+            ordered = sorted(alns, key=SORT_KEY)
+            if all_hits:
+                out[i] = (guide, ordered)
+            elif ordered:
+                out[i] = (guide, ordered[:1])
+            else:  # align_to_ref_best raises IndexError on no alignments
+                out[i] = ("__error__", "IndexError('list index out of range')")
     return out
 
 
 def _mp_pairwise_chunk(spec: dict, chunk: list):
     """PairwiseAlignSequences worker: chunk of (query, target[, bounds])
-    -> GuideAlignments.  ``bounds`` is the optional device pass-DP-bounds
-    dict enabling the engine's exact rev-pass skip."""
+    -> best GuideAlignment per pair.
+
+    Pairs sharing a query string (the common case: one guide vs
+    thousands of sites) are finished through ONE batched native
+    ``finish_batch`` call with align_best's maxed-out limits — the
+    per-pair engine layers (parse, encode, per-pass ctypes calls, light
+    records) collapse into a per-chunk constant.  Best-alignment
+    selection preserves align_best's first-max-wins tie-break exactly:
+    finish_windows returns alignments in the engine's order (fwd pass
+    then rev, each sorted + deduped).  ``bounds`` (the optional device
+    pass-DP-bounds dict) only steers the per-pair engine fallback; the
+    batched native path runs both passes outright, which is
+    output-identical and cheaper than skipping."""
+    import numpy as np
+
     from calitas_tpu.core.guide import Guide
 
     aligner, _ = _mp_aligner_for({**spec, "guide": "A",
                                   "pams_3prime": (), "pams_5prime": ()})
-    out = []
-    for item in chunk:
-        query, target = item[:2]
-        bounds = item[2] if len(item) > 2 else None
+    out: list = [None] * len(chunk)
+    groups: dict[str, list[int]] = {}
+    for i, item in enumerate(chunk):
+        groups.setdefault(item[0], []).append(i)
+    for q, idxs in groups.items():
         try:
-            out.append(
-                aligner.align_best(
-                    Guide.parse(query), target,
+            guide = Guide.parse(q)
+        except Exception as ex:
+            err = ("__error__", repr(ex))
+            for i in idxs:
+                out[i] = err
+            continue
+        kw = dict(
+            max_guide_diffs=guide.protospacer_length,
+            max_gaps_between_guide_and_pam=spec["max_gaps"],
+            max_pam_diffs=guide.pam_length,
+            max_total_diffs=guide.protospacer_length + spec["max_gaps"]
+            + guide.pam_length,
+            max_overlap=0,
+        )
+        per_pair = None
+        try:
+            from calitas_tpu.align.batch import finish_windows
+
+            windows = [
+                ("pair", 1,
+                 np.frombuffer(chunk[i][1].encode("ascii"), np.uint8))
+                for i in idxs
+            ]
+            per_pair = finish_windows(
+                guide, aligner, windows, [("fwd", "rev")] * len(idxs),
+                None, **kw,
+            )
+        except Exception:
+            per_pair = None  # fall back to the per-pair engine path
+        if per_pair is not None:
+            for i, alns in zip(idxs, per_pair):
+                try:
+                    out[i] = max(alns, key=lambda a: a.score)
+                except ValueError as ex:  # no alignment at all
+                    out[i] = ("__error__", repr(ex))
+            continue
+        for i in idxs:
+            item = chunk[i]
+            bounds = item[2] if len(item) > 2 else None
+            try:
+                out[i] = aligner.align_best(
+                    guide, item[1],
                     max_gaps_between_guide_and_pam=spec["max_gaps"],
                     pass_dp_bounds=bounds,
                 )
-            )
-        except Exception as ex:
-            out.append(("__error__", repr(ex)))
+            except Exception as ex:
+                out[i] = ("__error__", repr(ex))
     return out

@@ -296,3 +296,62 @@ def test_native_lines_match_rendered(gi, tmp_path):
                 rw.coordinate_start, rw.score, rw.end,
             )
     assert total >= 3  # planted hits actually exercised the comparison
+
+
+@pytest.mark.parametrize("gi", range(len(GUIDES)))
+def test_materialized_native_chunk_matches_incremental(gi, tmp_path, monkeypatch):
+    """The fully-native worker path (one mmap read per candidate ->
+    materialize_finish_render) must produce the same rows, line for
+    line, as the incremental materialize_window + finish_lines path —
+    across N-trim windows, soft-masked bases, contig edges, pass
+    restrictions and screen ranges."""
+    import calitas_tpu.align.batch as batch
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.parallel.host_pool import _mp_finish_chunk, make_finish_spec
+
+    guide = GUIDES[gi]
+    rng = np.random.default_rng(900 + gi)
+    alpha = np.frombuffer(b"ACGTacgt", dtype=np.uint8)
+    contig = rng.choice(alpha, size=3000)
+    plant = (guide.guide + (guide.pams_3prime[0].upper() if guide.pams_3prime else "")) \
+        if not guide.pams_5prime else (guide.pams_5prime[0].upper() + guide.guide)
+    pb = np.frombuffer(plant.encode(), dtype=np.uint8)
+    for pos in (3, 777, 1500, 2960):
+        contig[pos : pos + len(pb)] = pb
+    contig[700:760] = ord("N")   # leading-N trim inside a window
+    contig[1600:1610] = ord("n") # lowercase n must NOT trim
+    b = ReferenceSetBuilder(assembly="mn")
+    b.add("chrM").add(contig.tobytes().decode())
+    ref_path = b.to_file(tmp_path / "m.fa")
+
+    aligner = SequentialAligner()
+    spec = make_finish_spec(
+        guide, aligner, KW, guide_id="gid", ref_path=ref_path,
+        aligner_id="CALITAS:SearchReference", arguments="args",
+        vcf_id=None, timestamp="Mon Jan 01 00:00:00 UTC 2026",
+        window_size=400, guide_length=len(guide.guide) + guide.pam_length,
+    )
+    chunk = []
+    for start0 in range(0, 2999, 370):
+        ps = ("fwd", "rev") if start0 % 740 else ("fwd",)
+        # alternate: no ranges / full-width explicit ranges (both exact)
+        cr = None if start0 % 1110 else (1, 400, 1, 400)
+        chunk.append(("chrM", start0, ps, cr))
+
+    native_rows = _mp_finish_chunk(spec, chunk)
+
+    monkeypatch.setattr(batch, "materialize_finish_lines",
+                        lambda *a, **k: None)
+    incr_rows = _mp_finish_chunk(spec, chunk)
+
+    assert len(native_rows) == len(incr_rows)
+    total = 0
+    for a, b2 in zip(native_rows, incr_rows):
+        assert len(a) == len(b2)
+        for ra, rb in zip(a, b2):
+            total += 1
+            assert ra._line == rb._line
+            assert (ra.coordinate_start, ra.score, ra.end, ra.strand) == (
+                rb.coordinate_start, rb.score, rb.end, rb.strand,
+            )
+    assert total >= 3
