@@ -539,6 +539,7 @@ def materialize_finish_lines(
     cranges: Optional[np.ndarray],  # int32 [n, 4] screen bounds or None
     consts: dict,
     min_window_len: int,
+    block: bool = False,
     **limits,
 ) -> Optional[list[list]]:
     """The fully-native finish: raw mmap context slices in, RenderedHit
@@ -546,7 +547,12 @@ def materialize_finish_lines(
     (chain_ranges_to_pass) and the complete line rendering all happen in
     ONE C++ call (``materialize_finish_render``); per-window results are
     line-identical to materialize_window + finish_rendered (pinned by
-    tests/test_batch_finish.py)."""
+    tests/test_batch_finish.py).
+
+    With ``block=True`` the result is a single columnar
+    :class:`~calitas_tpu.search.hits.RenderedBlock` for the whole chunk
+    (rows in emission order) — zero per-row Python objects; the parent's
+    dedup reads the key arrays directly."""
     from calitas_tpu import native
 
     lib = native.get_lib()
@@ -578,12 +584,17 @@ def materialize_finish_lines(
     if n > 1:
         coff[1:] = np.cumsum(clen[:-1], dtype=np.int64)
     cbytes = np.frombuffer(b"".join(ctxs) or b"\0", dtype=np.uint8)
-    pass_mask = np.zeros(n, dtype=np.uint8)
-    for i, ps in enumerate(passes_list):
-        m = 0
-        for p in ps:
-            m |= 1 << cpp_pass_for(p, is5)
-        pass_mask[i] = m
+    if isinstance(passes_list, np.ndarray):
+        # Native pass-mask array straight from the screen's chain flags
+        # (chain A = cpp pass 0, chain B = cpp pass 1 — same encoding).
+        pass_mask = np.ascontiguousarray(passes_list, dtype=np.uint8)
+    else:
+        pass_mask = np.zeros(n, dtype=np.uint8)
+        for i, ps in enumerate(passes_list):
+            m = 0
+            for p in ps:
+                m |= 1 << cpp_pass_for(p, is5)
+            pass_mask[i] = m
     if cranges is None:
         cr = np.full((n, 4), -1, dtype=np.int32)
     else:
@@ -655,10 +666,28 @@ def materialize_finish_lines(
             )
         break
 
+    c_guide_id = consts["guide_id"]
+    if block:
+        from calitas_tpu.search.hits import RenderedBlock
+
+        m = meta[:n_out]
+        offs = np.empty(n_out + 1, np.int64)
+        offs[:n_out] = line_off[:n_out]
+        offs[n_out] = (
+            (line_off[n_out - 1] + line_len[n_out - 1]) if n_out else 0
+        )
+        nbytes = int(offs[n_out])
+        return RenderedBlock(
+            c_guide_id, chrom,
+            np.where(m[:, 1] == 0, np.uint8(43), np.uint8(45)),  # '+'/'-'
+            m[:, 2].astype(np.int64), m[:, 3].astype(np.int64),
+            m[:, 4].astype(np.int64), offs,
+            out_lines[:nbytes].tobytes(),
+        )
+
     from calitas_tpu.search.hits import RenderedHit
 
     buf = out_lines.tobytes()
-    c_guide_id = consts["guide_id"]
     out: list[list] = [[] for _ in range(n)]
     mv = meta[:n_out].tolist()
     lo = line_off[:n_out].tolist()

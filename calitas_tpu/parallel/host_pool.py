@@ -359,9 +359,100 @@ def _mp_finish_state(spec: dict):
     return _MP_FINISH_CACHE[key]
 
 
+def _mp_finish_batch_item(spec: dict, item: tuple):
+    """Worker: ONE array-batched candidate item
+    ``("__batch__", chrom, starts int64[], sel uint8[]|None,
+    cranges int32[k,4]|None)`` -> a columnar RenderedBlock (or a flat
+    RenderedHit list from the per-window fallback).
+
+    ``sel`` is the screen's per-window chain-flag code (bit0 = chain A =
+    native pass 0, bit1 = chain B = native pass 1); None means both
+    passes, unscreened.  The block path has ZERO per-candidate Python
+    beyond the mmap read of each raw context slice."""
+    import numpy as np
+
+    _tag, chrom, starts, sel, cr = item
+    aligner, guide, ref, builder = _mp_finish_state(spec)
+    window_size = spec["window_size"]
+    kw = spec["align_kwargs"]
+    FLANK_PAD = 10
+    try:
+        from calitas_tpu.align.batch import (
+            make_render_consts,
+            materialize_finish_lines,
+        )
+
+        seq_len = ref.sequence_length(chrom)
+        n = len(starts)
+        ends = np.minimum(seq_len, starts + window_size)
+        cs1 = np.maximum(1, starts + 1 - FLANK_PAD)
+        c2 = np.minimum(seq_len, ends + FLANK_PAD)
+        cs1_l = cs1.tolist()
+        c2_l = c2.tolist()
+        gs = ref.get_subsequence
+        ctxs = [gs(chrom, cs1_l[i], c2_l[i]) for i in range(n)]
+        wrl = (ends - starts).astype(np.int32)
+        mask = (
+            np.full(n, 3, np.uint8)
+            if sel is None
+            else np.ascontiguousarray(sel, np.uint8)
+        )
+        cache_key = (
+            spec["key"], spec["guide_id"], spec["ref_path"],
+            spec["aligner_id"], spec["arguments"], spec["vcf_id"],
+            spec["timestamp"], spec.get("aligner_version"), "rc",
+        )
+        consts = _MP_FINISH_CACHE.get(cache_key)
+        if consts is None:
+            consts = make_render_consts(builder, guide)
+            _MP_FINISH_CACHE[cache_key] = consts
+        blk = materialize_finish_lines(
+            guide, aligner, chrom, ctxs, cs1, starts, wrl, mask, cr,
+            consts, spec["guide_length"], block=True,
+            max_guide_diffs=kw["max_guide_diffs"],
+            max_pam_diffs=kw["max_pam_diffs"],
+            max_gaps_between_guide_and_pam=kw["max_gaps_between_guide_and_pam"],
+            max_total_diffs=kw["max_total_diffs"],
+            max_overlap=kw["max_overlap"],
+        )
+        if blk is not None:
+            return blk
+    except Exception:
+        pass
+    # Fallback: expand into classic per-window items (isolates bad
+    # windows exactly like the reference's per-window log-and-swallow).
+    a_name = "rev" if guide.pam_is_5prime else "fwd"
+    b_name = "fwd" if guide.pam_is_5prime else "rev"
+    ptab = ((), (a_name,), (b_name,), (a_name, b_name))
+    sel_l = (
+        [3] * len(starts) if sel is None else np.asarray(sel).tolist()
+    )
+    cr_l = (
+        [None] * len(starts) if cr is None else np.asarray(cr).tolist()
+    )
+    items = [
+        (chrom, int(s), ptab[c], r)
+        for s, c, r in zip(np.asarray(starts).tolist(), sel_l, cr_l)
+    ]
+    flat: list = []
+    import logging
+
+    for res in _mp_finish_chunk(spec, items):
+        if isinstance(res, tuple) and len(res) == 2 and res[0] == "__error__":
+            logging.getLogger("calitas_tpu.SearchReference").error(
+                "Window finish failed (swallowed): %s", res[1]
+            )
+            continue
+        flat.extend(res)
+    return flat
+
+
 def _mp_finish_chunk(spec: dict, chunk: list):
     """Worker: chunk of (chrom, start0, passes, ranges|None) candidate
-    windows -> per-item lists of ReferenceHit rows.
+    windows -> per-item lists of ReferenceHit rows.  A chunk of ONE
+    array-batched item (``("__batch__", ...)``, see
+    :func:`_mp_finish_batch_item`) returns a one-element list holding
+    that batch's RenderedBlock.
 
     Materializes each window from the mmap'd reference with the exact
     reference semantics (N-trim on raw bytes, uppercase, 1-based closed —
@@ -369,6 +460,9 @@ def _mp_finish_chunk(spec: dict, chunk: list):
     call, and builds the output rows in-process so the parent only
     collects them."""
     import numpy as np
+
+    if chunk and type(chunk[0]) is tuple and chunk[0][0] == "__batch__":
+        return [_mp_finish_batch_item(spec, item) for item in chunk]
 
     from calitas_tpu.align.batch import (
         chain_ranges_to_pass,

@@ -31,6 +31,11 @@ from calitas_tpu.ops.genome_screen import GenomeScreen
 from calitas_tpu.search.windows import RefWindow, materialize_window
 
 
+#: candidates per array-batch item shipped to the finish workers (one
+#: columnar RenderedBlock comes back per item)
+_CAND_BATCH = 1024
+
+
 def _memoize(resolve):
     """Resolve once, serve every caller (a guide group's segment readback
     is shared by all its guides' candidate streams)."""
@@ -364,30 +369,7 @@ def _search_contig(
             chain_flags = None
             cranges = None
             hit_idx = np.arange(len(starts))
-        # chain A (DP-orientation query over the forward genome) IS the
-        # engine's fwd pass for 3'/PAM-less guides and the rev pass for
-        # 5'-PAM guides; chain B is the mirror-equivalent of the other
-        # pass, so a chain below threshold lets the host skip that pass
-        # (a skipped pass would contribute no alignments anyway).
-        chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
-        chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
-        # Per-candidate start/passes/ranges built as vector ops + one
-        # C-level tolist() each (a per-candidate Python loop here was a
-        # measurable slice of genome-scale runs).
         n_cand = len(hit_idx)
-        cstarts = starts[hit_idx].tolist() if n_cand else []
-        if chain_flags is not None and n_cand:
-            _ptab = (
-                (), (chain_a_pass,), (chain_b_pass,),
-                (chain_a_pass, chain_b_pass),
-            )
-            sel = (
-                chain_flags[0, hit_idx].astype(np.int8)
-                + 2 * chain_flags[1, hit_idx].astype(np.int8)
-            )
-            passes_l = [_ptab[k] for k in sel.tolist()]
-        else:
-            passes_l = [("fwd", "rev")] * n_cand
 
         import logging
 
@@ -399,9 +381,10 @@ def _search_contig(
         )
 
         if hit_spec is not None:
-            # Production path: workers materialize windows from the
-            # mmap'd reference, finish the chunk in one native call
-            # and build the output rows themselves.
+            # Production path: candidates ship to the workers as ARRAY
+            # batches (one item per ~1k windows: starts + chain-flag
+            # codes + widened ranges); each worker returns one columnar
+            # RenderedBlock — per-candidate work is all native.
             from calitas_tpu.parallel.host_pool import (
                 _mp_finish_chunk,
                 make_finish_spec,
@@ -415,35 +398,67 @@ def _search_contig(
                 guide_length=task.guide_length,
                 **hit_spec,
             )
+            cstarts = starts[hit_idx]
+            sel = (
+                (
+                    chain_flags[0, hit_idx].astype(np.uint8)
+                    + 2 * chain_flags[1, hit_idx].astype(np.uint8)
+                )
+                if chain_flags is not None
+                else None
+            )
             # Widen the coarse 8-column blocks back to 1-based column
             # bounds (the worker trim-shifts, mirrors chain B and clips
             # — align/batch.py::chain_ranges_to_pass).
+            cr4 = None
             if cranges is not None and n_cand:
-                cr = cranges[:, hit_idx, :].astype(np.int64) * 8
-                cr_l = np.stack(
+                cr = cranges[:, hit_idx, :].astype(np.int32) * 8
+                cr4 = np.stack(
                     [cr[0, :, 0] + 1, cr[0, :, 1] + 8,
                      cr[1, :, 0] + 1, cr[1, :, 1] + 8], axis=1
-                ).tolist()
-            else:
-                cr_l = [None] * n_cand
+                )
 
-            cand = (
-                (name, s, p, r)
-                for s, p, r in zip(cstarts, passes_l, cr_l)
-            )
-            for (c, s0, *_rest), rows in map_items_mp(
-                cand, spec, threads,
+            def cand():
+                for c0 in range(0, n_cand, _CAND_BATCH):
+                    c1 = c0 + _CAND_BATCH
+                    yield (
+                        "__batch__", name, cstarts[c0:c1],
+                        None if sel is None else sel[c0:c1],
+                        None if cr4 is None else cr4[c0:c1],
+                    )
+
+            for (_tag, c, bstarts, *_rest), rows in map_items_mp(
+                cand(), spec, threads,
                 worker_fn=_mp_finish_chunk,
                 to_payload=lambda t: t,
-                # larger chunks amortize the native call's buffer
-                # setup and the per-chunk IPC round trip
-                chunk=256,
+                chunk=1,
                 swallow_errors=swallow_errors,
                 logger=log,
             ):
-                if rows:
-                    yield task, c, s0 + 1, rows
+                if len(rows):
+                    yield task, c, int(bstarts[0]) + 1, rows
             continue
+
+        # chain A (DP-orientation query over the forward genome) IS the
+        # engine's fwd pass for 3'/PAM-less guides and the rev pass for
+        # 5'-PAM guides; chain B is the mirror-equivalent of the other
+        # pass, so a chain below threshold lets the host skip that pass
+        # (a skipped pass would contribute no alignments anyway).
+        chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
+        chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
+        cstarts = starts[hit_idx].tolist() if n_cand else []
+        if chain_flags is not None and n_cand:
+            _ptab = (
+                (), (chain_a_pass,), (chain_b_pass,),
+                (chain_a_pass, chain_b_pass),
+            )
+            sel = (
+                chain_flags[0, hit_idx].astype(np.int8)
+                + 2 * chain_flags[1, hit_idx].astype(np.int8)
+            )
+            passes_l = [_ptab[k] for k in sel.tolist()]
+        else:
+            passes_l = [("fwd", "rev")] * n_cand
 
         if bases is None:
             bases = fasta.get_bases(name)
@@ -488,11 +503,6 @@ def _finish_segments(
     import logging
 
     log = logging.getLogger("calitas_tpu.SearchReference")
-    chain_a_pass = "rev" if guide.pam_is_5prime else "fwd"
-    chain_b_pass = "fwd" if guide.pam_is_5prime else "rev"
-    _ptab = (
-        (), (chain_a_pass,), (chain_b_pass,), (chain_a_pass, chain_b_pass),
-    )
     stats = {"cand": 0}
 
     def cand_stream():
@@ -511,8 +521,10 @@ def _finish_segments(
                     )
             if degraded:
                 stats["cand"] += n_seg
-                for s in starts[i0 : i0 + n_seg].tolist():
-                    yield (name, s, ("fwd", "rev"), None)
+                span = starts[i0 : i0 + n_seg]
+                for c0 in range(0, n_seg, _CAND_BATCH):
+                    yield ("__batch__", name, span[c0 : c0 + _CAND_BATCH],
+                           None, None)
                 continue
             flags = chain_flags.any(axis=0)
             hit_idx = np.nonzero(flags)[0]
@@ -520,19 +532,20 @@ def _finish_segments(
             stats["cand"] += n_cand
             if not n_cand:
                 continue
-            cstarts = starts[i0 + hit_idx].tolist()
+            cstarts = starts[i0 + hit_idx]
             sel = (
-                chain_flags[0, hit_idx].astype(np.int8)
-                + 2 * chain_flags[1, hit_idx].astype(np.int8)
+                chain_flags[0, hit_idx].astype(np.uint8)
+                + 2 * chain_flags[1, hit_idx].astype(np.uint8)
             )
-            passes_l = [_ptab[k] for k in sel.tolist()]
-            cr = cranges[:, hit_idx, :].astype(np.int64) * 8
-            cr_l = np.stack(
+            cr = cranges[:, hit_idx, :].astype(np.int32) * 8
+            cr4 = np.stack(
                 [cr[0, :, 0] + 1, cr[0, :, 1] + 8,
                  cr[1, :, 0] + 1, cr[1, :, 1] + 8], axis=1
-            ).tolist()
-            for t in zip(cstarts, passes_l, cr_l):
-                yield (name, *t)
+            )
+            for c0 in range(0, n_cand, _CAND_BATCH):
+                c1 = c0 + _CAND_BATCH
+                yield ("__batch__", name, cstarts[c0:c1], sel[c0:c1],
+                       cr4[c0:c1])
 
     from calitas_tpu.parallel.host_pool import (
         _mp_finish_chunk,
@@ -547,16 +560,16 @@ def _finish_segments(
         guide_length=task.guide_length,
         **hit_spec,
     )
-    for (c, s0, *_rest), rows in map_items_mp(
+    for (_tag, c, bstarts, *_rest), rows in map_items_mp(
         cand_stream(), spec, threads,
         worker_fn=_mp_finish_chunk,
         to_payload=lambda t: t,
-        chunk=256,
+        chunk=1,
         swallow_errors=swallow_errors,
         logger=log,
     ):
-        if rows:
-            yield task, c, s0 + 1, rows
+        if len(rows):
+            yield task, c, int(bstarts[0]) + 1, rows
     log.info(
         "Screen %s/%s: %d of %d windows are candidates (%.2f%%).",
         name, task.guide_id, stats["cand"], len(starts),

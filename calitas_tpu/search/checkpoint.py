@@ -80,8 +80,10 @@ class CheckpointState:
         (search.hits.RenderedHit) persist as their TSV line; full
         dataclass rows as field dicts — in hit order, so a resumed run
         rebuilds the exact pre-dedup sequence."""
+        from calitas_tpu.search.hits import iter_rows
+
         recs = []
-        for h in hits:
+        for h in iter_rows(hits):  # expands columnar RenderedBlocks
             line = getattr(h, "_line", None)
             if line is not None:
                 recs.append({"l": line})

@@ -150,6 +150,65 @@ class RenderedHit:
         )
 
 
+class RenderedBlock:
+    """A chunk of reference-pass rows in columnar form: ONE object per
+    worker chunk (a lines blob + numpy key arrays) instead of one
+    RenderedHit per row.  IPC cost and parent-side key extraction become
+    per-chunk instead of per-row; the global dedup reads the arrays
+    directly and only dedup SURVIVORS materialize as RenderedHit.
+
+    Reference-pass only: ``variant_description`` is None for every row
+    (variant-pass rows carry variant columns and flow as objects)."""
+
+    __slots__ = (
+        "guide_id", "chromosome", "strands", "starts", "scores", "ends",
+        "line_offs", "blob",
+    )
+
+    def __init__(self, guide_id, chromosome, strands, starts, scores, ends,
+                 line_offs, blob):
+        self.guide_id = guide_id
+        self.chromosome = chromosome
+        self.strands = strands        # uint8, ord('+') / ord('-')
+        self.starts = starts          # int64 coordinate_start
+        self.scores = scores          # int64 score
+        self.ends = ends              # int64 ReferenceHit.end
+        self.line_offs = line_offs    # int64 [n+1] offsets into blob
+        self.blob = blob              # bytes: concatenated TSV lines
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def line(self, i: int) -> str:
+        return self.blob[
+            self.line_offs[i] : self.line_offs[i + 1]
+        ].decode("ascii")
+
+    def row(self, i: int) -> RenderedHit:
+        return RenderedHit(
+            self.guide_id, self.chromosome,
+            "+" if self.strands[i] == 43 else "-", None,
+            int(self.starts[i]), int(self.scores[i]), int(self.ends[i]),
+            self.line(i),
+        )
+
+    def __iter__(self):
+        return (self.row(i) for i in range(len(self.starts)))
+
+
+def iter_rows(hits) -> "Iterator":
+    """Iterate row objects over a mixed list of rows and RenderedBlocks."""
+    for h in hits:
+        if type(h) is RenderedBlock:
+            yield from h
+        else:
+            yield h
+
+
+def count_rows(hits) -> int:
+    return sum(len(h) if type(h) is RenderedBlock else 1 for h in hits)
+
+
 def now_timestamp() -> str:
     """UTC run-start timestamp, format ``EEE MMM dd HH:mm:ss z yyyy``
     (ReferenceHit.scala:169-173)."""
@@ -493,6 +552,17 @@ def _dedup_kept_indices(hits, max_overlap: int):
     start = np.fromiter((h.coordinate_start for h in hits), np.int64, n)
     end = np.fromiter((h.end for h in hits), np.int64, n)
     score = np.fromiter((h.score for h in hits), np.int64, n)
+    return _dedup_core(gid, start, end, score, max_overlap)
+
+
+def _dedup_core(gid, start, end, score, max_overlap: int):
+    """The array core of the vectorized dedup (see _dedup_kept_indices):
+    group ids must be numbered in first-appearance order of the hit
+    traversal — that numbering is what makes the kept order (and with it
+    full-key tie resolution in the final sort) identical to the scan."""
+    import numpy as np
+
+    n = len(gid)
     # int32 sort keys are ~30% faster; scores always fit, coordinates do
     # unless a contig exceeds 2^31 bases.  gid itself stays int64: the
     # cummax lift below multiplies it past int32 range.
@@ -558,14 +628,22 @@ def _dedup_kept_indices(hits, max_overlap: int):
 
 
 def dedup_and_sort(
-    hits: Sequence[ReferenceHit],
+    hits: Sequence,
     max_overlap: int,
     dictionary: Optional[SequenceDictionary],
 ) -> list[ReferenceHit]:
     """``sort_hits(remove_overlaps(...))`` fused over one set of attribute
     arrays — the production ``_finalize`` path; ~2x the two-call sequence
     at the 1M-row scale because keepers are never materialized as an
-    intermediate list and the sort keys are extracted once."""
+    intermediate list and the sort keys are extracted once.
+
+    ``hits`` may mix row objects with :class:`RenderedBlock` columnar
+    chunks (the reference-pass production transport): block key arrays
+    feed the dedup directly and only dedup survivors materialize as
+    RenderedHit."""
+    has_blocks = any(type(h) is RenderedBlock for h in hits)
+    if has_blocks:
+        return _dedup_and_sort_mixed(hits, max_overlap, dictionary)
     if len(hits) < 8192:
         return sort_hits(remove_overlaps(hits, max_overlap, dictionary), dictionary)
     import numpy as np
@@ -583,3 +661,102 @@ def dedup_and_sort(
     # stable within kept order == sort_hits applied to the keeper list
     final = k[np.lexsort((-score[k], strand[k], start[k], chrom_key[k]))]
     return [hits[j] for j in final]
+
+
+def _dedup_and_sort_mixed(
+    hits: Sequence,
+    max_overlap: int,
+    dictionary: Optional[SequenceDictionary],
+) -> list[ReferenceHit]:
+    """dedup_and_sort over a mixed rows/RenderedBlock list: key arrays
+    come straight from the blocks (group ids still numbered in
+    first-appearance traversal order, so the result is bit-identical to
+    flattening every block into RenderedHits first — pinned by
+    tests/test_rendered_hit.py)."""
+    import numpy as np
+
+    n = count_rows(hits)
+    if n == 0:
+        return []
+    gid = np.empty(n, np.int64)
+    start = np.empty(n, np.int64)
+    end = np.empty(n, np.int64)
+    score = np.empty(n, np.int64)
+    strand = np.empty(n, np.uint8)
+    # row j -> its source: src[j] >= 0 indexes blocks, -1 = object row
+    src = np.empty(n, np.int32)
+    local = np.empty(n, np.int64)
+    blocks: list = []
+    objects: list = []
+    chrom_segs: list = []  # (pos, count, chrom) runs for chrom_key
+    keymap: dict = {}
+    add = keymap.setdefault
+    pos = 0
+    for h in hits:
+        if type(h) is RenderedBlock:
+            m = len(h)
+            if m == 0:
+                continue
+            sl = slice(pos, pos + m)
+            strands = h.strands
+            # group keys in first-appearance order WITHIN the block (the
+            # scan path's dict-insertion order over the flattened rows)
+            plus = strands == 43
+            idx_p = int(np.argmax(plus)) if plus.any() else -1
+            idx_m = int(np.argmax(~plus)) if (~plus).any() else -1
+            kp = km = 0
+            for strand_ch, idx in sorted(
+                (("+", idx_p), ("-", idx_m)), key=lambda t: t[1]
+            ):
+                if idx < 0:
+                    continue
+                k = add((h.guide_id, h.chromosome, strand_ch, ""), len(keymap))
+                if strand_ch == "+":
+                    kp = k
+                else:
+                    km = k
+            gid[sl] = np.where(plus, kp, km)
+            start[sl] = h.starts
+            end[sl] = h.ends
+            score[sl] = h.scores
+            strand[sl] = strands
+            src[sl] = len(blocks)
+            local[sl] = np.arange(m)
+            blocks.append(h)
+            chrom_segs.append((pos, m, h.chromosome))
+            pos += m
+        else:
+            gid[pos] = add(
+                (h.guide_id, h.chromosome, h.strand,
+                 h.variant_description or ""),
+                len(keymap),
+            )
+            start[pos] = h.coordinate_start
+            end[pos] = h.end
+            score[pos] = h.score
+            strand[pos] = ord(h.strand)
+            src[pos] = -1
+            local[pos] = len(objects)
+            objects.append(h)
+            chrom_segs.append((pos, 1, h.chromosome))
+            pos += 1
+
+    kept_idx, start32, score32 = _dedup_core(gid, start, end, score, max_overlap)
+
+    if dictionary is not None:
+        uniq = {c: dictionary.index(c) for (_p, _m, c) in chrom_segs}
+        chrom_key = np.empty(n, np.int32)
+        for p, m, c in chrom_segs:
+            chrom_key[p : p + m] = uniq[c]
+    else:  # lexicographic chromosome fallback (no dictionary)
+        chrom_key = np.concatenate(
+            [np.repeat(np.array([c]), m) for (_p, m, c) in chrom_segs]
+        )
+    k = kept_idx
+    final = k[np.lexsort((-score32[k], strand[k], start32[k], chrom_key[k]))]
+    out = []
+    src_l = src[final].tolist()
+    loc_l = local[final].tolist()
+    for bid, li in zip(src_l, loc_l):
+        out.append(objects[li] if bid < 0 else blocks[bid].row(li))
+    return out

@@ -27,7 +27,13 @@ from calitas_tpu.core.scoring import Defaults
 from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.io.fasta import IndexedFasta, extract_dictionary
 from calitas_tpu.io.tsv import MetricWriter, open_output
-from calitas_tpu.search.hits import HitBuilder, ReferenceHit, dedup_and_sort
+from calitas_tpu.search.hits import (
+    HitBuilder,
+    ReferenceHit,
+    RenderedBlock,
+    count_rows,
+    dedup_and_sort,
+)
 from calitas_tpu.search.windows import window_iterator
 from calitas_tpu.utils import camel_to_gnu
 
@@ -350,8 +356,13 @@ def _run_both_passes(
             hit_spec=hit_spec, screen=screen, prestaged=prestaged,
             **align_kwargs,
         ):
-            hits.extend(rows)
-            progress.record(wchrom, wstart)
+            # Columnar blocks append whole (the dedup reads their key
+            # arrays directly); object rows extend as before.
+            if type(rows) is RenderedBlock:
+                hits.append(rows)
+            else:
+                hits.extend(rows)
+            progress.record(wchrom, wstart, n=len(rows))
     else:
         from calitas_tpu.parallel.host_pool import make_align_spec, map_windows_mp
         from calitas_tpu.search.windows import window_iterator
@@ -504,7 +515,7 @@ def _finalize(
     total_bases = sum(e.length for e in dictionary) if dictionary else 0
     logger.info(
         "Done: %d guides, %s genome bases, %d raw hits, %d kept, %.1fs (%.2g bases/s).",
-        len(specs), f"{total_bases:,}", len(hits), len(keepers), elapsed,
+        len(specs), f"{total_bases:,}", count_rows(hits), len(keepers), elapsed,
         (total_bases * len(specs)) / elapsed if elapsed > 0 else 0.0,
     )
 

@@ -33,11 +33,11 @@ class ProgressLogger:
         self._count = 0
         self._start = _time.monotonic()
 
-    def record(self, chrom: str = "", pos: int = 0) -> None:
+    def record(self, chrom: str = "", pos: int = 0, n: int = 1) -> None:
         import time as _time
 
-        self._count += 1
-        if self._count % self._unit == 0:
+        self._count += n
+        if self._count % self._unit < n:
             elapsed = _time.monotonic() - self._start
             rate = self._count / elapsed if elapsed > 0 else 0.0
             where = f" Last {self._noun[:-1]}: {chrom}:{pos}." if chrom else ""

@@ -48,12 +48,14 @@ def rows_of(ref, guide, screen):
     hs = dict(ref_path=str(fasta.path), aligner_id="A", arguments="x",
               vcf_id=None, timestamp="t")
     out = []
-    for _t, chrom, start, rows in screened_search(
+    # the yielded start is batch-granular progress info, not a row key —
+    # rows carry their own coordinates (and the final table sorts anyway)
+    for _t, chrom, _start, rows in screened_search(
         fasta, None, [task], SequentialAligner(), window_size=1000,
         threads=1, hit_spec=hs, screen=screen, **KW,
     ):
         for r in rows:
-            out.append((chrom, start, r._line))
+            out.append((chrom, r._line))
     return out
 
 

@@ -194,3 +194,98 @@ def test_sort_hits_lexsort_matches_tuple_sort():
         expect = sorted(hits, key=key)
         got = sort_hits(hits, d)
         assert [h._line for h in got] == [h._line for h in expect]
+
+
+class TestRenderedBlock:
+    def _mk_block(self, rng, guide_id, chrom, n, base=0):
+        import numpy as np
+
+        from calitas_tpu.search.hits import RenderedBlock
+
+        starts = np.sort(rng.choice(10**7, n, replace=False)) + base
+        scores = rng.integers(500, 1600, n)
+        ends = starts + rng.integers(18, 26, n)
+        strands = np.where(rng.random(n) < 0.5, 43, 45).astype(np.uint8)
+        lines = []
+        offs = [0]
+        for i in range(n):
+            l = f"{guide_id}\t{chrom}\t{int(starts[i])}\trow\n"
+            lines.append(l.encode())
+            offs.append(offs[-1] + len(lines[-1]))
+        return RenderedBlock(
+            guide_id, chrom, strands, starts.astype(np.int64),
+            scores.astype(np.int64), ends.astype(np.int64),
+            np.asarray(offs, np.int64), b"".join(lines),
+        )
+
+    def test_iter_and_row_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        blk = self._mk_block(rng, "g", "chr1", 50)
+        rows = list(blk)
+        assert len(rows) == 50
+        for i, r in enumerate(rows):
+            assert r.guide_id == "g" and r.chromosome == "chr1"
+            assert r.coordinate_start == int(blk.starts[i])
+            assert r.score == int(blk.scores[i])
+            assert r.end == int(blk.ends[i])
+            assert r.strand == ("+" if blk.strands[i] == 43 else "-")
+            assert r._line == blk.line(i)
+
+    def test_mixed_dedup_equals_flattened(self):
+        """dedup_and_sort over blocks must be row-identical to the same
+        call over the flattened RenderedHit list — including the
+        first-appearance group numbering that resolves full-key ties."""
+        import numpy as np
+
+        from calitas_tpu.io.fasta import DictEntry, SequenceDictionary
+        from calitas_tpu.search.hits import dedup_and_sort
+
+        rng = np.random.default_rng(7)
+        d = SequenceDictionary(
+            [DictEntry(name="chr1", length=10**8, assembly="t"),
+             DictEntry(name="chr2", length=10**8, assembly="t")]
+        )
+        mixed = [
+            self._mk_block(rng, "g1", "chr1", 4000),
+            self._mk_block(rng, "g2", "chr1", 3000),
+            self._mk_block(rng, "g1", "chr2", 3000),
+        ]
+        # overlapping duplicates to actually exercise the drop chain
+        dup = self._mk_block(rng, "g1", "chr1", 2000)
+        dup.starts[:] = mixed[0].starts[:2000] + 3
+        dup.ends[:] = dup.starts + 21
+        dup.strands[:] = mixed[0].strands[:2000]
+        mixed.append(dup)
+        # plus plain object rows interleaved
+        objs = list(self._mk_block(rng, "g3", "chr2", 500))
+        mixed.extend(objs)
+
+        flat = [r for b in mixed[:4] for r in b] + objs
+        got = dedup_and_sort(mixed, 10, d)
+        want = dedup_and_sort(flat, 10, d)
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert a._line == b._line
+            assert (a.guide_id, a.chromosome, a.strand, a.coordinate_start,
+                    a.score, a.end) == (
+                b.guide_id, b.chromosome, b.strand, b.coordinate_start,
+                b.score, b.end,
+            )
+
+    def test_small_mixed_list_matches_scan(self):
+        """Below the vector threshold the mixed path must still match
+        the object-path scan dedup."""
+        import numpy as np
+
+        from calitas_tpu.io.fasta import DictEntry, SequenceDictionary
+        from calitas_tpu.search.hits import dedup_and_sort
+
+        rng = np.random.default_rng(9)
+        d = SequenceDictionary([DictEntry(name="chr1", length=10**8,
+                                          assembly="t")])
+        blk = self._mk_block(rng, "g", "chr1", 40)
+        got = dedup_and_sort([blk], 10, d)
+        want = dedup_and_sort(list(blk), 10, d)
+        assert [r._line for r in got] == [r._line for r in want]
