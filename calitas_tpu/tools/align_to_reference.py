@@ -160,6 +160,14 @@ def run(
     from calitas_tpu.tools.search_reference import _resolve_engine
 
     use_tpu = _resolve_engine(engine, n_tasks=len(tasks))
+    if use_tpu and engine == "auto":
+        # The batched native worker outruns screen-then-skip (see
+        # tools/pairwise.py); auto prefers host whenever the native
+        # library exists, explicit --engine tpu still screens on device.
+        from calitas_tpu import native
+
+        if native.available():
+            use_tpu = False
     pair_screen = None
     if use_tpu:
         from calitas_tpu.ops.pair_screen import PairScreen
