@@ -915,6 +915,39 @@ def make_sharded_grid_screen(
     return jax.jit(shard)
 
 
+def make_sharded_grid_screen_multi(
+    mesh, *, window, step, batch_windows, batches_per_dev, Q, G,
+    match, mismatch, qgap, tgap, use_pallas, pam_spec=None,
+    emit_ranges=False, interpret=False,
+):
+    """Jit a mesh-sharded :func:`_screen_grid_multi`: the multi-guide
+    analogue of :func:`make_sharded_grid_screen` — each device owns a
+    contiguous batch span and runs the SAME fused guide-group loop as the
+    single-device screen, so per-guide flags/ranges gathered across the
+    mesh are bit-identical to single-device execution."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(genome, base0, n_batches, min_scores, qvals):
+        return _screen_grid_multi(
+            genome, qvals, n_batches[0], min_scores, base0[0],
+            window=window, step=step, batch_windows=batch_windows,
+            max_batches=batches_per_dev, Q=Q, G=G, match=match,
+            mismatch=mismatch, qgap=qgap, tgap=tgap, use_pallas=use_pallas,
+            pam_spec=pam_spec, emit_ranges=emit_ranges, interpret=interpret,
+        )
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(None, None, axis), P(None, None, axis, None)),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
 class ShardedGenomeScreen(GenomeScreen):
     """GenomeScreen over a device mesh: the window-batch grid is split
     into contiguous per-device spans; the genome is replicated.  Same
@@ -1165,6 +1198,122 @@ class ShardedGenomeScreen(GenomeScreen):
                         n_seg=n_seg):
                 chain_flags = _unpack_flag_bits(np.asarray(packed), n_seg)
                 ranges = np.asarray(packed_ranges)[:, :n_seg]
+                return chain_flags, ranges
+
+            out.append((i0, n_seg, resolve))
+        return out
+
+    def screen_contig_multi_async(
+        self,
+        genome_dev,
+        contig_len: int,
+        step: int,
+        dp_queries: list,
+        min_scores: list,
+        pam_spec=None,
+        segments: int | None = None,
+    ) -> list:
+        """Mesh-sharded multi-guide segmented screen: same interface and
+        per-guide bit-identical semantics as the single-device
+        :meth:`GenomeScreen.screen_contig_multi_async`, with each
+        segment's batches sharded across the mesh exactly like
+        :meth:`screen_contig_async` (pinned by tests/test_sharding.py)."""
+        if self.window > 2048:
+            raise ValueError(
+                f"ranges need window <= 2048 (got {self.window})"
+            )
+        starts = self.window_starts(contig_len, step)
+        n = len(starts)
+        G = len(dp_queries)
+        if n == 0 or G == 0:
+            return []
+        n_dev = self.mesh.devices.size
+        s = self.scorer
+        Q = len(dp_queries[0][0])
+        use_pallas = self.use_pallas and Q <= 48
+        unit = BLOCK_W if use_pallas else LANES
+        bw = min(
+            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
+        )
+        batches_total = -(-n // bw)
+        if segments is None:
+            segments = max(
+                1,
+                min(
+                    self.SEGMENTS,
+                    batches_total // (self.MIN_BATCHES_PER_SEGMENT * n_dev),
+                ),
+            )
+        segments = max(1, min(segments, batches_total))
+        batches_per_dev = 1 << (
+            -(-batches_total // (segments * n_dev)) - 1
+        ).bit_length()
+        seg_batches = n_dev * batches_per_dev
+        segments = -(-batches_total // seg_batches)
+        need = (batches_total * bw + bw - 1) * step + self.window + step
+        if need > genome_dev.shape[0]:
+            need = 1 << (need - 1).bit_length()
+            genome_dev = self._pad_replicated(genome_dev, need)
+        static_pam_spec = None
+        if pam_spec is not None and use_pallas:
+            pams, max_pam_mm, max_gap = pam_spec
+            if pams and all(len(p) > 0 for p in pams):
+                static_pam_spec = (
+                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
+                    int(max_pam_mm),
+                    int(max_gap),
+                )
+        key = (
+            "multi", Q, G, step, bw, batches_per_dev, static_pam_spec,
+            use_pallas,
+        )
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = make_sharded_grid_screen_multi(
+                self.mesh, window=self.window, step=step, batch_windows=bw,
+                batches_per_dev=batches_per_dev, Q=Q, G=G,
+                match=s.match_score, mismatch=s.mismatch_score,
+                qgap=s.query_gap_score, tgap=s.target_gap_score,
+                use_pallas=use_pallas, pam_spec=static_pam_spec,
+                emit_ranges=True, interpret=self.interpret,
+            )
+            self._fn_cache[key] = fn
+        qvals = jnp.asarray(
+            np.stack(
+                [
+                    np.stack([encode_query(q), encode_query(qrc)]).astype(
+                        np.int32
+                    )
+                    for q, qrc in dp_queries
+                ]
+            )
+        )
+        ms = jnp.asarray(np.asarray(min_scores, dtype=np.int32))
+        out = []
+        for seg in range(segments):
+            b0 = seg * seg_batches
+            base0 = (
+                (b0 + np.arange(n_dev) * batches_per_dev) * (bw * step)
+            ).astype(np.int32)
+            live = np.clip(
+                batches_total - b0 - np.arange(n_dev) * batches_per_dev,
+                0, batches_per_dev,
+            ).astype(np.int32)
+            packed, packed_ranges = fn(
+                genome_dev, jnp.asarray(base0), jnp.asarray(live), ms, qvals,
+            )
+            try:
+                packed.copy_to_host_async()
+                packed_ranges.copy_to_host_async()
+            except Exception:
+                pass
+            i0 = b0 * bw
+            n_seg = min(n - i0, seg_batches * bw)
+
+            def resolve(packed=packed, packed_ranges=packed_ranges,
+                        n_seg=n_seg):
+                chain_flags = _unpack_flag_bits(np.asarray(packed), n_seg)
+                ranges = np.asarray(packed_ranges)[:, :, :n_seg]
                 return chain_flags, ranges
 
             out.append((i0, n_seg, resolve))

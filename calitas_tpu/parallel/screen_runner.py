@@ -196,9 +196,9 @@ def _search_contig(
                 (len(dq), task.step_size, pspec), []
             ).append((task, dq, pspec))
 
-        # The fused group dispatch needs the multi-async interface
-        # (single-device screen; the sharded subclass screens per guide).
-        can_fuse = type(screen) is GenomeScreen
+        # Both the single-device and the mesh-sharded screens provide the
+        # fused multi-async interface with per-guide-identical semantics.
+        can_fuse = isinstance(screen, GenomeScreen)
         for (_qlen, step_size, pspec), group in shape_groups.items():
             try:
                 if len(group) >= 2 and can_fuse:

@@ -231,3 +231,58 @@ class TestShardedAsyncScreen:
         np.testing.assert_array_equal(f1, f2)
         np.testing.assert_array_equal(r1, r2)
         assert f1.any()
+
+
+class TestShardedMultiGuideScreen:
+    def test_sharded_multi_async_equals_single_device_multi(self, mesh8):
+        """The mesh-sharded fused multi-guide screen must match the
+        single-device multi screen per guide — flags AND ranges, PAM
+        gate included (one contract across both screens)."""
+        from calitas_tpu.core.guide import Guide
+        from calitas_tpu.ops.genome_screen import (
+            GenomeScreen,
+            ShardedGenomeScreen,
+        )
+
+        rng = np.random.default_rng(31)
+        bases = rng.choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), 120_000
+        ).astype(np.uint8)
+        guides = [
+            Guide.parse("CTTGCCCCACAGGGCAGTAAnrg"),
+            Guide.parse("ACGTACATGCTCGATACGACnrg"),
+        ]
+        for g, pos in zip(guides, (7_000, 90_000)):
+            site = (g.guide + "TGG").encode()
+            bases[pos : pos + len(site)] = np.frombuffer(site, dtype=np.uint8)
+        scorer = derive_scorer()
+        dqs = [(g.guide_fw, revcomp(g.guide_fw)) for g in guides]
+        mss = [60 * len(g.guide_fw) - 5 * 122 for g in guides]
+        pam_spec = (tuple(guides[0].pams_fw), 1, 3)
+
+        def run(screen):
+            gdev = screen.stage(bases)
+            parts_f, parts_r = [], []
+            for _i0, n_seg, resolve in screen.screen_contig_multi_async(
+                gdev, len(bases), 230, dqs, mss, pam_spec=pam_spec,
+            ):
+                cf, cr = resolve()
+                assert cf.shape[2] == n_seg and cr.shape[2] == n_seg
+                parts_f.append(cf)
+                parts_r.append(cr)
+            return (
+                np.concatenate(parts_f, axis=2),
+                np.concatenate(parts_r, axis=2),
+            )
+
+        f1, r1 = run(
+            GenomeScreen(scorer, window=256, batch_windows=1024,
+                         use_pallas=False)
+        )
+        f2, r2 = run(
+            ShardedGenomeScreen(scorer, mesh8, window=256,
+                                batch_windows=1024, use_pallas=False)
+        )
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(r1, r2)
+        assert f1.any(axis=(1, 2)).all()  # every guide found its plant
