@@ -531,7 +531,7 @@ def materialize_finish_lines(
     guide: Guide,
     aligner,
     chrom: str,
-    ctxs: Sequence[bytes],  # raw (original-case) context slices per window
+    ctxs: Optional[Sequence[bytes]],  # raw (original-case) context slices
     cstart1: np.ndarray,  # int64 [n]: 1-based genomic pos of ctx[0]
     wstart0: np.ndarray,  # int64 [n]: 0-based genomic start of raw window
     wraw_len: np.ndarray,  # int32 [n]: raw window length
@@ -540,6 +540,7 @@ def materialize_finish_lines(
     consts: dict,
     min_window_len: int,
     block: bool = False,
+    raw_ctx: Optional[tuple] = None,  # (fasta buf, byte_off, byte_len, n_bases)
     **limits,
 ) -> Optional[list[list]]:
     """The fully-native finish: raw mmap context slices in, RenderedHit
@@ -548,6 +549,12 @@ def materialize_finish_lines(
     ONE C++ call (``materialize_finish_render``); per-window results are
     line-identical to materialize_window + finish_rendered (pinned by
     tests/test_batch_finish.py).
+
+    With ``raw_ctx`` (from :meth:`IndexedFasta.raw_spans`: the whole
+    mmap'd FASTA as one uint8 view + per-window byte offsets/lengths and
+    expected base counts) ``ctxs`` is ignored and the contexts are read
+    — newline-stripped — directly from the file bytes in native code
+    (``materialize_finish_render_raw``): zero per-candidate Python.
 
     With ``block=True`` the result is a single columnar
     :class:`~calitas_tpu.search.hits.RenderedBlock` for the whole chunk
@@ -558,7 +565,11 @@ def materialize_finish_lines(
     lib = native.get_lib()
     if lib is None or not hasattr(lib, "materialize_finish_render"):
         return None
-    n = len(ctxs)
+    if raw_ctx is not None and not hasattr(
+        lib, "materialize_finish_render_raw"
+    ):
+        return None
+    n = len(raw_ctx[1]) if raw_ctx is not None else len(ctxs)
     if n == 0:
         return []
 
@@ -579,11 +590,18 @@ def materialize_finish_lines(
         off += len(p)
     max_pam_len = max((len(p) for p in pam_bytes), default=0)
 
-    clen = np.array([len(c) for c in ctxs], dtype=np.int32)
-    coff = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        coff[1:] = np.cumsum(clen[:-1], dtype=np.int64)
-    cbytes = np.frombuffer(b"".join(ctxs) or b"\0", dtype=np.uint8)
+    if raw_ctx is not None:
+        cbytes, coff, craw_len, clen = raw_ctx
+        coff = np.ascontiguousarray(coff, dtype=np.int64)
+        craw_len = np.ascontiguousarray(craw_len, dtype=np.int32)
+        clen = np.ascontiguousarray(clen, dtype=np.int32)
+    else:
+        craw_len = None
+        clen = np.array([len(c) for c in ctxs], dtype=np.int32)
+        coff = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            coff[1:] = np.cumsum(clen[:-1], dtype=np.int64)
+        cbytes = np.frombuffer(b"".join(ctxs) or b"\0", dtype=np.uint8)
     if isinstance(passes_list, np.ndarray):
         # Native pass-mask array straight from the screen's chain flags
         # (chain A = cpp pass 0, chain B = cpp pass 1 — same encoding).
@@ -631,7 +649,18 @@ def materialize_finish_lines(
         out_lines = np.empty(lines_cap, dtype=np.uint8)
         line_off = np.empty(max_out, dtype=np.int64)
         line_len = np.empty(max_out, dtype=np.int32)
-        n_out = lib.materialize_finish_render(
+        ctx_args = (
+            (cbytes.ctypes.data, coff.ctypes.data, craw_len.ctypes.data,
+             clen.ctypes.data)
+            if raw_ctx is not None
+            else (cbytes.ctypes.data, coff.ctypes.data, clen.ctypes.data)
+        )
+        fn = (
+            lib.materialize_finish_render_raw
+            if raw_ctx is not None
+            else lib.materialize_finish_render
+        )
+        n_out = fn(
             qbytes.ctypes.data, Q,
             pam_cat.ctypes.data, pam_off.ctypes.data, pam_len.ctypes.data,
             n_pams,
@@ -642,7 +671,7 @@ def materialize_finish_lines(
             limits["max_guide_diffs"], limits["max_pam_diffs"],
             limits["max_gaps_between_guide_and_pam"],
             ext_total, limits["max_total_diffs"], limits["max_overlap"],
-            cbytes.ctypes.data, coff.ctypes.data, clen.ctypes.data,
+            *ctx_args,
             cs1.ctypes.data, ws0.ctypes.data, wrl.ctypes.data,
             pass_mask.ctypes.data, cr.ctypes.data, n,
             int(min_window_len),
@@ -660,6 +689,10 @@ def materialize_finish_lines(
         if n_out == -1:
             max_out *= 4
             continue
+        if n_out == -3 and raw_ctx is not None:
+            # Raw-span base count mismatch (unexpected file geometry):
+            # let the caller rebuild through the sliced-context path.
+            return None
         if n_out < 0:
             raise AssertionError(
                 f"native materialize_finish_render error: {n_out}"

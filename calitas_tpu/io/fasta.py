@@ -153,12 +153,14 @@ class IndexedFasta:
         self._by_name = {e.name: e for e in self.entries}
         self._fh = open(self.path, "rb")
         self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        self._raw_view: Optional[np.ndarray] = None  # lazy mmap uint8 view
         dp = dict_path_for(self.path)
         self.dictionary: Optional[SequenceDictionary] = (
             SequenceDictionary.read(dp) if dp.exists() else None
         )
 
     def close(self) -> None:
+        self._raw_view = None  # drop the mmap buffer export first
         self._mm.close()
         self._fh.close()
 
@@ -195,6 +197,31 @@ class IndexedFasta:
         """The full contig as a uint8 array (case as on disk)."""
         e = self._by_name[chrom]
         return np.frombuffer(self._slice_raw(e, 0, e.length), dtype=np.uint8).copy()
+
+    def raw_spans(
+        self, chrom: str, start1, end1
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized raw-file addressing for 1-based closed ranges
+        ``[start1[i], end1[i]]``: returns ``(buffer, byte_off, byte_len)``
+        where ``buffer`` is a zero-copy uint8 view of the mmap'd FASTA and
+        ``buffer[byte_off[i] : byte_off[i]+byte_len[i]]`` contains exactly
+        the ranges' bases WITH the file's newlines still embedded (the
+        native finisher strips them — no per-range Python slicing/copy).
+        Requires uniform line geometry, which the .fai format guarantees.
+        """
+        e = self._by_name[chrom]
+        p0 = np.asarray(start1, dtype=np.int64) - 1  # 0-based first base
+        pl = np.asarray(end1, dtype=np.int64) - 1  # 0-based last base
+        if len(p0) and (p0.min() < 0 or pl.max() >= e.length):
+            raise ValueError(f"raw_spans out of range for {chrom}")
+        lb, lw = e.line_bases, e.line_width
+        b0 = e.offset + (p0 // lb) * lw + p0 % lb
+        b1 = e.offset + (pl // lb) * lw + pl % lb + 1
+        buf = self._raw_view
+        if buf is None:
+            buf = np.frombuffer(self._mm, dtype=np.uint8)
+            self._raw_view = buf
+        return buf, b0, (b1 - b0).astype(np.int32)
 
     def iter_contigs(self) -> Iterator[tuple[str, np.ndarray]]:
         for e in self.entries:

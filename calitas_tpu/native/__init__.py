@@ -157,6 +157,35 @@ def get_lib() -> Optional[ctypes.CDLL]:
             vp, i64,  # out_lines, cap
             vp, vp,  # out_line_off, out_line_len
         ]
+        # materialize_finish_render_raw: contexts addressed directly in
+        # the mmap'd FASTA file bytes (newlines stripped natively) — the
+        # worker ships ONE buffer pointer + three offset/length arrays,
+        # zero per-candidate Python.
+        lib.materialize_finish_render_raw.restype = i32
+        lib.materialize_finish_render_raw.argtypes = [
+            vp, i32,  # qletters, Q
+            vp, vp, vp, i32,  # pam_letters, pam_off, pam_len, n_pams
+            i32,  # is5prime
+            i32, i32, i32, i32,  # match, mismatch, qgap, tgap
+            i32, i32,  # pam_match, pam_mismatch
+            i32,  # min_score
+            i32, i32, i32, i32,  # max_guide_diffs, max_pam_mm, max_gap, ext_total
+            i32, i32,  # max_total_diffs, max_overlap
+            vp, vp, vp, vp,  # fasta_bytes, raw_off, raw_len, cbase_len
+            vp, vp, vp,  # cstart1, wstart0, wraw_len
+            vp, vp, i32,  # pass_mask, cranges, n_windows
+            i32,  # min_window_len
+            vp, i32,  # chrom
+            vp, i32,  # guide_id
+            vp, i32,  # unpadded guide
+            vp, i32,  # genome build
+            vp, i32,  # guide-length digits
+            vp, i32,  # tail
+            i32,  # max_out
+            vp,  # out_meta8
+            vp, i64,  # out_lines, cap
+            vp, vp,  # out_line_off, out_line_len
+        ]
         # build_variant_windows: one call per block of same-chrom VCF
         # records; raw pointers like search_pass (callers keep the
         # arrays alive across the call).

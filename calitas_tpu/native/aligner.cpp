@@ -1208,4 +1208,68 @@ int32_t materialize_finish_render(
       out_line_len);
 }
 
+// materialize_finish_render over RAW FASTA-file bytes: each window's
+// context is addressed directly in the caller's mmap'd FASTA (byte
+// offset + raw byte length INCLUDING newlines + expected base count).
+// This removes the worker's last per-candidate Python work (the per-
+// window mmap slice + newline strip): one linear pass here packs the
+// newline-stripped contexts, then the packed finisher above runs
+// unchanged.  Returns -3 if any row's stripped base count does not
+// match cbase_len (caller geometry error -> caller falls back).
+int32_t materialize_finish_render_raw(
+    const uint8_t* qletters, int32_t Q, const uint8_t* pam_letters,
+    const int32_t* pam_off, const int32_t* pam_len, int32_t n_pams,
+    int32_t is5prime, int32_t match, int32_t mismatch, int32_t qgap,
+    int32_t tgap, int32_t pam_match, int32_t pam_mismatch, int32_t min_score,
+    int32_t max_guide_diffs, int32_t max_pam_mismatches,
+    int32_t max_gap_before_extending, int32_t extension_total_diffs,
+    int32_t max_total_diffs, int32_t max_overlap,
+    const uint8_t* fasta_bytes, const int64_t* raw_off,
+    const int32_t* raw_len, const int32_t* cbase_len,
+    const int64_t* cstart1, const int64_t* wstart0, const int32_t* wraw_len,
+    const uint8_t* pass_mask, const int32_t* cranges, int32_t n_windows,
+    int32_t min_window_len,
+    const char* chrom, int32_t chrom_len,
+    const char* c_guide_id, int32_t c_guide_id_len,
+    const char* c_guide, int32_t c_guide_len,
+    const char* c_build, int32_t c_build_len,
+    const char* c_glen, int32_t c_glen_len,
+    const char* c_tail, int32_t c_tail_len,
+    int32_t max_out, int32_t* out_meta8,
+    char* out_lines, int64_t out_lines_cap,
+    int64_t* out_line_off, int32_t* out_line_len) {
+  int64_t total = 0;
+  for (int32_t w = 0; w < n_windows; ++w) total += cbase_len[w];
+  std::vector<uint8_t> packed((size_t)std::max<int64_t>(total, 1));
+  std::vector<int64_t> poff(std::max(n_windows, 1));
+  int64_t pos = 0;
+  for (int32_t w = 0; w < n_windows; ++w) {
+    poff[w] = pos;
+    const uint8_t* src = fasta_bytes + raw_off[w];
+    const int32_t rl = raw_len[w];
+    const int64_t lim = pos + (int64_t)cbase_len[w];  // never overflow packed
+    int64_t k = pos;
+    for (int32_t j = 0; j < rl; ++j) {
+      const uint8_t b = src[j];
+      if (b != '\n' && b != '\r') {
+        if (k >= lim) return -3;
+        packed[(size_t)k++] = b;
+      }
+    }
+    if (k != lim) return -3;
+    pos = k;
+  }
+  return materialize_finish_render(
+      qletters, Q, pam_letters, pam_off, pam_len, n_pams, is5prime, match,
+      mismatch, qgap, tgap, pam_match, pam_mismatch, min_score,
+      max_guide_diffs, max_pam_mismatches, max_gap_before_extending,
+      extension_total_diffs, max_total_diffs, max_overlap,
+      packed.data(), poff.data(), cbase_len, cstart1, wstart0, wraw_len,
+      pass_mask, cranges, n_windows, min_window_len,
+      chrom, chrom_len, c_guide_id, c_guide_id_len, c_guide, c_guide_len,
+      c_build, c_build_len, c_glen, c_glen_len, c_tail, c_tail_len,
+      max_out, out_meta8, out_lines, out_lines_cap, out_line_off,
+      out_line_len);
+}
+
 }  // extern "C"

@@ -606,8 +606,13 @@ class GenomeScreen:
 
     #: segments per contig for the pipelined screen (screen_contig_async);
     #: each segment is its own device dispatch, so the host finishes
-    #: segment N's candidates while the device screens segment N+1
-    SEGMENTS = 4
+    #: segment N's candidates while the device screens segment N+1.
+    #: Measured on the 1 Gb bench workload (interleaved in-process A/B):
+    #: 16 segments ~0.44s vs 4 segments ~0.52s vs 2 segments ~0.60s —
+    #: finer spans drain the finish pool sooner and shrink the tail where
+    #: the host finishes the last span with an idle device; 32 showed no
+    #: further gain.  Multi-guide (4x1Gb fused) confirmed 16 >= 4.
+    SEGMENTS = 16
     #: below this many window batches segmentation can't amortize its
     #: extra dispatches — fall back to one span
     MIN_BATCHES_PER_SEGMENT = 4

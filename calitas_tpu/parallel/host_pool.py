@@ -387,10 +387,6 @@ def _mp_finish_batch_item(spec: dict, item: tuple):
         ends = np.minimum(seq_len, starts + window_size)
         cs1 = np.maximum(1, starts + 1 - FLANK_PAD)
         c2 = np.minimum(seq_len, ends + FLANK_PAD)
-        cs1_l = cs1.tolist()
-        c2_l = c2.tolist()
-        gs = ref.get_subsequence
-        ctxs = [gs(chrom, cs1_l[i], c2_l[i]) for i in range(n)]
         wrl = (ends - starts).astype(np.int32)
         mask = (
             np.full(n, 3, np.uint8)
@@ -406,15 +402,38 @@ def _mp_finish_batch_item(spec: dict, item: tuple):
         if consts is None:
             consts = make_render_consts(builder, guide)
             _MP_FINISH_CACHE[cache_key] = consts
-        blk = materialize_finish_lines(
-            guide, aligner, chrom, ctxs, cs1, starts, wrl, mask, cr,
-            consts, spec["guide_length"], block=True,
+        fin_kw = dict(
+            block=True,
             max_guide_diffs=kw["max_guide_diffs"],
             max_pam_diffs=kw["max_pam_diffs"],
             max_gaps_between_guide_and_pam=kw["max_gaps_between_guide_and_pam"],
             max_total_diffs=kw["max_total_diffs"],
             max_overlap=kw["max_overlap"],
         )
+        blk = None
+        raw_spans = getattr(ref, "raw_spans", None)
+        if raw_spans is not None:
+            # Zero-per-candidate-Python path: contexts stay in the
+            # mmap'd file; native code strips newlines itself.
+            try:
+                buf, roff, rlen = raw_spans(chrom, cs1, c2)
+                blen = (c2 - cs1 + 1).astype(np.int32)
+                blk = materialize_finish_lines(
+                    guide, aligner, chrom, None, cs1, starts, wrl, mask,
+                    cr, consts, spec["guide_length"],
+                    raw_ctx=(buf, roff, rlen, blen), **fin_kw,
+                )
+            except Exception:
+                blk = None
+        if blk is None:
+            cs1_l = cs1.tolist()
+            c2_l = c2.tolist()
+            gs = ref.get_subsequence
+            ctxs = [gs(chrom, cs1_l[i], c2_l[i]) for i in range(n)]
+            blk = materialize_finish_lines(
+                guide, aligner, chrom, ctxs, cs1, starts, wrl, mask, cr,
+                consts, spec["guide_length"], **fin_kw,
+            )
         if blk is not None:
             return blk
     except Exception:

@@ -355,3 +355,95 @@ def test_materialized_native_chunk_matches_incremental(gi, tmp_path, monkeypatch
                 rb.coordinate_start, rb.score, rb.end, rb.strand,
             )
     assert total >= 3
+
+
+def test_raw_spans_match_get_subsequence(tmp_path):
+    """IndexedFasta.raw_spans byte addressing: stripping newlines from
+    the returned raw slices must reproduce get_subsequence exactly, for
+    ranges crossing line boundaries and at contig edges."""
+    from calitas_tpu.io.fasta import ReferenceSetBuilder, IndexedFasta
+
+    rng = np.random.default_rng(4100)
+    alpha = np.frombuffer(b"ACGTacgtN", dtype=np.uint8)
+    contig = rng.choice(alpha, size=507).tobytes().decode()
+    b = ReferenceSetBuilder(assembly="rs", line_length=60)
+    b.add("chrR").add(contig)
+    b.add("chrS").add(contig[:123])  # second contig shifts file offsets
+    ref = IndexedFasta(b.to_file(tmp_path / "r.fa"))
+
+    for chrom, clen in (("chrR", 507), ("chrS", 123)):
+        s1 = rng.integers(1, clen + 1, size=200)
+        e1 = np.minimum(clen, s1 + rng.integers(0, 140, size=200))
+        buf, off, rlen = ref.raw_spans(chrom, s1, e1)
+        for i in range(len(s1)):
+            raw = buf[off[i] : off[i] + rlen[i]].tobytes()
+            stripped = raw.replace(b"\n", b"").replace(b"\r", b"")
+            assert stripped == ref.get_subsequence(
+                chrom, int(s1[i]), int(e1[i])
+            ), (chrom, s1[i], e1[i])
+
+    with pytest.raises(ValueError):
+        ref.raw_spans("chrR", np.array([0]), np.array([5]))
+    with pytest.raises(ValueError):
+        ref.raw_spans("chrS", np.array([1]), np.array([124]))
+
+
+@pytest.mark.parametrize("gi", range(len(GUIDES)))
+def test_batch_raw_ctx_matches_sliced(gi, tmp_path, monkeypatch):
+    """The raw-mmap batch finish (materialize_finish_render_raw: contexts
+    addressed in the FASTA file bytes, newlines stripped natively) must
+    return a RenderedBlock identical to the sliced-context path — across
+    line-wrap boundaries, contig edges, N-trim, soft-masking, pass
+    restrictions and screen ranges."""
+    from calitas_tpu.io import fasta as fasta_mod
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.parallel.host_pool import (
+        _mp_finish_batch_item,
+        make_finish_spec,
+    )
+    from calitas_tpu.search.hits import RenderedBlock
+
+    guide = GUIDES[gi]
+    rng = np.random.default_rng(4200 + gi)
+    alpha = np.frombuffer(b"ACGTacgt", dtype=np.uint8)
+    contig = rng.choice(alpha, size=3000)
+    plant = (guide.guide + (guide.pams_3prime[0].upper() if guide.pams_3prime else "")) \
+        if not guide.pams_5prime else (guide.pams_5prime[0].upper() + guide.guide)
+    pb = np.frombuffer(plant.encode(), dtype=np.uint8)
+    for pos in (1, 777, 1500, 2960):
+        contig[pos : pos + len(pb)] = pb
+    contig[700:760] = ord("N")
+    b = ReferenceSetBuilder(assembly="rb", line_length=61)  # force wraps
+    b.add("chrB").add(contig.tobytes().decode())
+    ref_path = b.to_file(tmp_path / "b.fa")
+
+    aligner = SequentialAligner()
+    spec = make_finish_spec(
+        guide, aligner, KW, guide_id="gid", ref_path=ref_path,
+        aligner_id="CALITAS:SearchReference", arguments="args",
+        vcf_id=None, timestamp="Mon Jan 01 00:00:00 UTC 2026",
+        window_size=400, guide_length=len(guide.guide) + guide.pam_length,
+    )
+    starts = np.arange(0, 2999, 370, dtype=np.int64)
+    sel = np.array([1 if i % 4 == 3 else 3 for i in range(len(starts))],
+                   dtype=np.uint8)
+    item = ("__batch__", "chrB", starts, sel, None)
+
+    got = _mp_finish_batch_item(spec, item)
+    assert isinstance(got, RenderedBlock)
+
+    # Disable the raw path: identical block must come out of the
+    # sliced-context tier.
+    monkeypatch.setattr(
+        fasta_mod.IndexedFasta, "raw_spans",
+        property(lambda self: None), raising=True,
+    )
+    want = _mp_finish_batch_item(spec, item)
+    assert isinstance(want, RenderedBlock)
+    assert got.blob == want.blob
+    np.testing.assert_array_equal(got.strands, want.strands)
+    np.testing.assert_array_equal(got.starts, want.starts)
+    np.testing.assert_array_equal(got.scores, want.scores)
+    np.testing.assert_array_equal(got.ends, want.ends)
+    np.testing.assert_array_equal(got.line_offs, want.line_offs)
+    assert len(got) >= 3  # planted hits actually exercised the comparison
