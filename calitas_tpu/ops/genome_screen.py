@@ -29,6 +29,27 @@ from calitas_tpu.core.sequence import TARGET_MASK_TABLE, encode_query
 from calitas_tpu.ops.dp_pallas2 import _pallas_screen2, LANES, SUBLANES, BLOCK_W
 
 
+#: widest window the coarse uint8 end-column ranges support — the block
+#: width doubles with the window so 256 blocks always cover it
+RANGE_MAX_WINDOW = 16384
+
+
+def range_block(window: int) -> int:
+    """Column width of one coarse end-column range block at this window.
+
+    Ranges travel as one (min_block, max_block) uint8 pair per chain per
+    window, so the block width is the smallest power-of-two multiple of 8
+    with ``window <= 256 * block``: 8 columns up to ``-w 2048``, then
+    16/32/64 up to :data:`RANGE_MAX_WINDOW`.  A coarser block only widens
+    the host finish's DP column slice (by < block columns per side),
+    never its correctness — the widened slice is always a superset of the
+    qualifying end columns."""
+    rb = 8
+    while window > rb * 256:
+        rb *= 2
+    return rb
+
+
 def default_device_platform() -> str:
     """Platform of the device computations will actually land on —
     honors ``jax_default_device`` (tests pin it to CPU)."""
@@ -364,12 +385,14 @@ def _screen_grid(
             out, packed, (0, b * (batch_windows // 8))
         )
         if emit_ranges:
-            # Coarse (8-column-block) uint8 ranges: 4 bytes per window on
+            # Coarse block-granular uint8 ranges: 4 bytes per window on
             # the D2H path; the host widens each block edge back out, so
-            # coarseness only costs <= 7 extra DP columns per side.
+            # coarseness only costs < range_block(window) extra DP
+            # columns per side.
+            rb = range_block(window)
             mn, mx = rng[:, 0], rng[:, 1]
-            mnb = jnp.clip((mn - 1) // 8, 0, 255).astype(jnp.uint8)
-            mxb = jnp.clip((mx - 1) // 8, 0, 255).astype(jnp.uint8)
+            mnb = jnp.clip((mn - 1) // rb, 0, 255).astype(jnp.uint8)
+            mxb = jnp.clip((mx - 1) // rb, 0, 255).astype(jnp.uint8)
             pr = jnp.stack([mnb, mxb], axis=-1)  # [2, bw, 2]
             out_r = jax.lax.dynamic_update_slice(
                 out_r, pr, (0, b * batch_windows, 0)
@@ -541,13 +564,14 @@ class GenomeScreen:
         c all lie within [min_block*8 + 1, (max_block+1)*8].  Only
         meaningful where the chain flag is set.
         """
-        if return_ranges and self.window > 2048:
-            # The coarse ranges are uint8 8-column blocks: windows wider
-            # than 256*8 columns would silently clip qualifying ends
-            # (false negatives).  Callers must screen without ranges at
-            # such widths (screen_runner gates on this too).
+        if return_ranges and self.window > RANGE_MAX_WINDOW:
+            # The coarse ranges are uint8 blocks of range_block(window)
+            # columns: windows wider than 256 blocks would silently clip
+            # qualifying ends (false negatives).  Callers must screen
+            # without ranges at such widths (screen_runner gates too).
             raise ValueError(
-                f"return_ranges supports window <= 2048 (got {self.window})"
+                f"return_ranges supports window <= {RANGE_MAX_WINDOW} "
+                f"(got {self.window})"
             )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
@@ -641,9 +665,10 @@ class GenomeScreen:
         call: the spans partition the same window grid, and each span
         runs the same device batch loop (``_screen_grid``) the
         single-span screen runs (pinned by tests/test_screen.py)."""
-        if self.window > 2048:
+        if self.window > RANGE_MAX_WINDOW:
             raise ValueError(
-                f"ranges need window <= 2048 (got {self.window})"
+                f"ranges need window <= {RANGE_MAX_WINDOW} "
+                f"(got {self.window})"
             )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
@@ -749,9 +774,10 @@ class GenomeScreen:
         uint8)``.  Per guide, values are bit-identical to that guide's
         own :meth:`screen_contig_async` (pinned by tests/test_screen.py).
         """
-        if self.window > 2048:
+        if self.window > RANGE_MAX_WINDOW:
             raise ValueError(
-                f"ranges need window <= 2048 (got {self.window})"
+                f"ranges need window <= {RANGE_MAX_WINDOW} "
+                f"(got {self.window})"
             )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
@@ -1024,9 +1050,10 @@ class ShardedGenomeScreen(GenomeScreen):
         return_chains: bool = False,
         return_ranges: bool = False,
     ):
-        if return_ranges and self.window > 2048:
+        if return_ranges and self.window > RANGE_MAX_WINDOW:
             raise ValueError(
-                f"return_ranges supports window <= 2048 (got {self.window})"
+                f"return_ranges supports window <= {RANGE_MAX_WINDOW} "
+                f"(got {self.window})"
             )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
@@ -1115,9 +1142,10 @@ class ShardedGenomeScreen(GenomeScreen):
         readback, so the host finishes segment N's candidates while the
         mesh screens segment N+1.  Flag/range values per window are
         bit-identical to one :meth:`screen_contig` call."""
-        if self.window > 2048:
+        if self.window > RANGE_MAX_WINDOW:
             raise ValueError(
-                f"ranges need window <= 2048 (got {self.window})"
+                f"ranges need window <= {RANGE_MAX_WINDOW} "
+                f"(got {self.window})"
             )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
@@ -1223,9 +1251,10 @@ class ShardedGenomeScreen(GenomeScreen):
         :meth:`GenomeScreen.screen_contig_multi_async`, with each
         segment's batches sharded across the mesh exactly like
         :meth:`screen_contig_async` (pinned by tests/test_sharding.py)."""
-        if self.window > 2048:
+        if self.window > RANGE_MAX_WINDOW:
             raise ValueError(
-                f"ranges need window <= 2048 (got {self.window})"
+                f"ranges need window <= {RANGE_MAX_WINDOW} "
+                f"(got {self.window})"
             )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
@@ -1429,9 +1458,10 @@ def _screen_grid_multi(
             out, packed, (0, 0, b * (batch_windows // 8))
         )
         if emit_ranges:
+            rb = range_block(window)
             mn, mx = rng[:, :, 0], rng[:, :, 1]
-            mnb = jnp.clip((mn - 1) // 8, 0, 255).astype(jnp.uint8)
-            mxb = jnp.clip((mx - 1) // 8, 0, 255).astype(jnp.uint8)
+            mnb = jnp.clip((mn - 1) // rb, 0, 255).astype(jnp.uint8)
+            mxb = jnp.clip((mx - 1) // rb, 0, 255).astype(jnp.uint8)
             pr = jnp.stack([mnb, mxb], axis=-1)  # [G, 2, bw, 2]
             out_r = jax.lax.dynamic_update_slice(
                 out_r, pr, (0, 0, b * batch_windows, 0)

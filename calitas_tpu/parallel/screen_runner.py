@@ -27,7 +27,11 @@ from calitas_tpu.core.sequence import revcomp
 from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.align.guide_alignment import GuideAlignment
 from calitas_tpu.io.fasta import IndexedFasta
-from calitas_tpu.ops.genome_screen import GenomeScreen
+from calitas_tpu.ops.genome_screen import (
+    GenomeScreen,
+    RANGE_MAX_WINDOW,
+    range_block,
+)
 from calitas_tpu.search.windows import RefWindow, materialize_window
 
 
@@ -167,7 +171,7 @@ def _search_contig(
     # fused kernel revisits each VMEM-resident block per guide — with the
     # full single-guide contract (PAM gate + per-guide end-column
     # ranges), so the sliced finish applies to every guide.
-    want_ranges = hit_spec is not None and window_size <= 2048
+    want_ranges = hit_spec is not None and window_size <= RANGE_MAX_WINDOW
     seg_dispatch: dict = {}
     # Both the single-device and the mesh-sharded screens provide the
     # segmented async interface with identical flag/range semantics.
@@ -315,8 +319,8 @@ def _search_contig(
         chain_flags = None
         cranges = None  # [2, n, 2] uint8 coarse end-column blocks
         # Ranges let the native finish run the DP on a column slice
-        # instead of the whole window; uint8 8-column blocks cover
-        # windows up to 2048 columns.
+        # instead of the whole window; uint8 blocks of range_block()
+        # columns cover windows up to RANGE_MAX_WINDOW.
         starts = screen.window_starts(contig_len, task.step_size)
 
         # Pipelined production path: the screen was dispatched above as
@@ -407,15 +411,16 @@ def _search_contig(
                 if chain_flags is not None
                 else None
             )
-            # Widen the coarse 8-column blocks back to 1-based column
+            # Widen the coarse range blocks back to 1-based column
             # bounds (the worker trim-shifts, mirrors chain B and clips
             # — align/batch.py::chain_ranges_to_pass).
             cr4 = None
             if cranges is not None and n_cand:
-                cr = cranges[:, hit_idx, :].astype(np.int32) * 8
+                rb = range_block(window_size)
+                cr = cranges[:, hit_idx, :].astype(np.int32) * rb
                 cr4 = np.stack(
-                    [cr[0, :, 0] + 1, cr[0, :, 1] + 8,
-                     cr[1, :, 0] + 1, cr[1, :, 1] + 8], axis=1
+                    [cr[0, :, 0] + 1, cr[0, :, 1] + rb,
+                     cr[1, :, 0] + 1, cr[1, :, 1] + rb], axis=1
                 )
 
             def cand():
@@ -537,10 +542,11 @@ def _finish_segments(
                 chain_flags[0, hit_idx].astype(np.uint8)
                 + 2 * chain_flags[1, hit_idx].astype(np.uint8)
             )
-            cr = cranges[:, hit_idx, :].astype(np.int32) * 8
+            rb = range_block(window_size)
+            cr = cranges[:, hit_idx, :].astype(np.int32) * rb
             cr4 = np.stack(
-                [cr[0, :, 0] + 1, cr[0, :, 1] + 8,
-                 cr[1, :, 0] + 1, cr[1, :, 1] + 8], axis=1
+                [cr[0, :, 0] + 1, cr[0, :, 1] + rb,
+                 cr[1, :, 0] + 1, cr[1, :, 1] + rb], axis=1
             )
             for c0 in range(0, n_cand, _CAND_BATCH):
                 c1 = c0 + _CAND_BATCH

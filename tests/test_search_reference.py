@@ -340,16 +340,18 @@ class TestCrossPassDedup:
 
 
 class TestWideWindowWarning:
-    def test_wide_window_warns_about_lost_ranges(self, fasta, tmp_path, caplog):
-        """-w > 2048 silently left the sliced-finish fast path before
-        (VERDICT r2 item 8); the cliff must be visible to the user."""
+    def test_very_wide_window_warns_about_lost_ranges(
+        self, fasta, tmp_path, caplog
+    ):
+        """-w > RANGE_MAX_WINDOW silently left the sliced-finish fast path
+        before (VERDICT r2 item 8); the cliff must be visible to the user."""
         import logging
 
         out = tmp_path / "wide.txt"
         with caplog.at_level(logging.WARNING, logger="calitas_tpu.SearchReference"):
             search_reference.run(
                 guide=GUIDE, guide_id="w", ref=fasta, output=out,
-                engine="tpu", window_size=4096, chrom="chr2",
+                engine="tpu", window_size=32768, chrom="chr2",
             )
         assert any(
             "without end-column ranges" in r.message for r in caplog.records
@@ -357,6 +359,45 @@ class TestWideWindowWarning:
         # and the search itself still works (screen without ranges + full DP)
         hits = read_metrics(out, ReferenceHit)
         assert len(hits) >= 2
+
+    def test_4096_window_keeps_ranges_with_coarser_blocks(
+        self, fasta, tmp_path, caplog
+    ):
+        """-w 4096 now stays on the sliced-finish path (16-column range
+        blocks) — identical table to the host engine, no cliff warning."""
+        import logging
+
+        out = tmp_path / "wide4096.txt"
+        out_host = tmp_path / "wide4096_host.txt"
+        with caplog.at_level(logging.INFO, logger="calitas_tpu.SearchReference"):
+            search_reference.run(
+                guide=GUIDE, guide_id="w", ref=fasta, output=out,
+                engine="tpu", window_size=4096, chrom="chr2",
+            )
+        assert not any(
+            "without end-column ranges" in r.message for r in caplog.records
+        ), "4096 must not hit the no-ranges cliff"
+        assert any(
+            "coarser" in r.message for r in caplog.records
+        ), "missing coarser-blocks info line"
+        search_reference.run(
+            guide=GUIDE, guide_id="w", ref=fasta, output=out_host,
+            engine="host", window_size=4096, chrom="chr2",
+        )
+
+        def rows(path):
+            with open(path) as fh:
+                header = fh.readline().rstrip("\n").split("\t")
+                ts = header.index("time_stamp")
+                got = []
+                for line in fh:
+                    f = line.rstrip("\n").split("\t")
+                    f[ts] = ""
+                    got.append(tuple(f))
+            return got
+
+        assert rows(out) == rows(out_host)
+        assert len(rows(out)) >= 2
 
     def test_default_window_does_not_warn(self, fasta, tmp_path, caplog):
         import logging
