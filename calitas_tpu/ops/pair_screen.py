@@ -27,6 +27,7 @@ compatible), identical to the N/padding convention of the genome screen.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +85,57 @@ def _pair_scores_dual(
     return best  # [2B]: chain A maxima then chain B maxima
 
 
+@partial(jax.jit, static_argnames=("match", "mismatch", "qgap", "tgap"))
+def _pair_scores_dual_ranges(
+    qmasks_a, qmasks_b, tmasks, lengths, min_scores,
+    match, mismatch, qgap, tgap
+):
+    """Like :func:`_pair_scores_dual` but also returns, per chain row,
+    the (min, max) 1-based end columns whose final-row score reaches
+    that pair's ``min_scores`` entry (min = T+1 / max = 0 when none) —
+    the device side of the sliced pair finish (same contract as
+    ``dp_screen._screen_scores_ranges``)."""
+    B, T = tmasks.shape
+    Q = qmasks_a.shape[1]
+    qm = jnp.concatenate([qmasks_a, qmasks_b]).astype(jnp.uint8)
+    tm = jnp.concatenate([tmasks, tmasks])
+    ln = jnp.concatenate([lengths, lengths])
+    ms = jnp.concatenate([min_scores, min_scores]).astype(jnp.int32)
+    idec = jnp.arange(Q + 1, dtype=jnp.int32) * tgap
+    init_col = jnp.broadcast_to(idec, (2 * B, Q + 1))
+    neg_inf = jnp.int32(-(2**30))
+
+    def step(carry, xs):
+        s_prev, best, mn, mx = carry
+        tcol, j = xs
+        compat = (qm & tcol[:, None]) != 0
+        pair = jnp.where(compat, jnp.int32(match), jnp.int32(mismatch))
+        tmp = jnp.maximum(s_prev[:, :-1] + pair, s_prev[:, 1:] + jnp.int32(qgap))
+        tmp_full = jnp.concatenate(
+            [jnp.zeros((2 * B, 1), jnp.int32), tmp], axis=1
+        )
+        new = jax.lax.cummax(tmp_full - idec[None, :], axis=1) + idec[None, :]
+        end_score = jnp.where(j <= ln, new[:, Q], neg_inf)
+        best = jnp.maximum(best, end_score)
+        qual = end_score >= ms
+        mn = jnp.where(qual, jnp.minimum(mn, j), mn)
+        mx = jnp.where(qual, j, mx)
+        return (new, best, mn, mx), None
+
+    xs = (tm.T, jnp.arange(1, T + 1, dtype=jnp.int32))
+    (_, best, mn, mx), _ = jax.lax.scan(
+        step,
+        (
+            init_col,
+            jnp.full((2 * B,), neg_inf, jnp.int32),
+            jnp.full((2 * B,), T + 1, jnp.int32),
+            jnp.zeros((2 * B,), jnp.int32),
+        ),
+        xs,
+    )
+    return best, mn, mx  # each [2B]: chain A rows then chain B rows
+
+
 class PairScreen:
     """Batched exact DP maxima for heterogeneous (query, target) pairs.
 
@@ -104,9 +156,31 @@ class PairScreen:
     def chain_maxima(
         self, queries: list[str], targets: list
     ) -> tuple[np.ndarray, np.ndarray]:
+        return self.chain_maxima_ranges(queries, targets, None)[:2]
+
+    def chain_maxima_ranges(
+        self,
+        queries: list[str],
+        targets: list,
+        min_scores: Optional[list] = None,
+    ) -> tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """Chain maxima plus, when ``min_scores`` is given (one qualifying
+        threshold per pair), the per-chain qualifying end-column ranges.
+
+        Returns ``(best_a, best_b, ranges)`` with ranges int32 [N, 4] =
+        (loA, hiA, loB, hiB): 1-based inclusive end columns of the pair's
+        target whose chain final-row DP score reaches the pair's
+        threshold (lo > hi when none — the empty range).  Unscreenable
+        pairs keep the NO_SCREEN sentinel in best_* and -1s in ranges.
+        With ``min_scores=None``, ranges is None (maxima-only screen)."""
         n = len(queries)
         best_a = np.full(n, self.NO_SCREEN, dtype=np.int64)
         best_b = np.full(n, self.NO_SCREEN, dtype=np.int64)
+        out_ranges = (
+            np.full((n, 4), -1, dtype=np.int32)
+            if min_scores is not None
+            else None
+        )
         # Bucket by (query length, target slot): one compiled shape each.
         buckets: dict[tuple[int, int], list[int]] = {}
         tbytes: list[bytes] = []
@@ -125,7 +199,7 @@ class PairScreen:
         # through all chunks back to back while the host packs the next,
         # and each chunk's (small) readback starts as soon as its compute
         # finishes — one D2H per chunk, no serialized round trips.
-        launched = []  # (chunk, out [2B] device array)
+        launched = []  # (chunk, out device array(s))
         for (Q, slot), idxs in buckets.items():
             for c0 in range(0, len(idxs), self.batch_rows):
                 chunk = idxs[c0 : c0 + self.batch_rows]
@@ -139,30 +213,49 @@ class PairScreen:
                 qb = np.zeros((B, Q), dtype=np.uint8)
                 tm = np.zeros((B, slot), dtype=np.uint8)
                 ln = np.zeros(B, dtype=np.int32)
+                ms = np.zeros(B, dtype=np.int32)
                 for r, i in enumerate(chunk):
                     qa[r] = encode_query(queries[i])
                     qb[r] = encode_query(revcomp(queries[i]))
                     t = np.frombuffer(tbytes[i], dtype=np.uint8)
                     tm[r, : len(t)] = TARGET_MASK_TABLE[t]
                     ln[r] = len(t)
-                out = _pair_scores_dual(
-                    jnp.asarray(qa), jnp.asarray(qb), jnp.asarray(tm),
-                    jnp.asarray(ln),
+                    if min_scores is not None:
+                        ms[r] = int(min_scores[i])
+                skw = dict(
                     match=s.match_score, mismatch=s.mismatch_score,
                     qgap=s.query_gap_score, tgap=s.target_gap_score,
                 )
-                try:
-                    out.copy_to_host_async()
-                except Exception:
-                    pass
+                if min_scores is not None:
+                    out = _pair_scores_dual_ranges(
+                        jnp.asarray(qa), jnp.asarray(qb), jnp.asarray(tm),
+                        jnp.asarray(ln), jnp.asarray(ms), **skw
+                    )
+                else:
+                    out = (
+                        _pair_scores_dual(
+                            jnp.asarray(qa), jnp.asarray(qb),
+                            jnp.asarray(tm), jnp.asarray(ln), **skw
+                        ),
+                    )
+                for o in out:
+                    try:
+                        o.copy_to_host_async()
+                    except Exception:
+                        pass
                 launched.append((chunk, out))
         for chunk, out in launched:
-            ab = np.asarray(out)
+            ab = np.asarray(out[0])
             B = len(ab) // 2
             for r, i in enumerate(chunk):
                 best_a[i] = int(ab[r])
                 best_b[i] = int(ab[B + r])
-        return best_a, best_b
+            if out_ranges is not None:
+                mn = np.asarray(out[1])
+                mx = np.asarray(out[2])
+                for r, i in enumerate(chunk):
+                    out_ranges[i] = (mn[r], mx[r], mn[B + r], mx[B + r])
+        return best_a, best_b, out_ranges
 
 
 def pass_bounds_for(guide, chain_a: int, chain_b: int) -> dict:

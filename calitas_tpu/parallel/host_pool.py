@@ -737,7 +737,7 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
         try:
             guide = Guide.parse(query)
             if all_hits:
-                passes = ("fwd", "rev") if extra is None else tuple(extra)
+                passes = ("fwd", "rev") if extra is None else tuple(extra[0])
                 alns = (
                     aligner.align_to_ref(
                         guide, chrom, pos, window_size,
@@ -787,18 +787,29 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
             )
         windows: list = []
         passes_list: list = []
+        pass_ranges: list = []  # per-window (lo0,hi0,lo1,hi1) or None
         live: list = []  # chunk indices batched (errors resolved inline)
         padding = (
             (window_size // 2) if window_size is not None
             else guide.length * 2
         )
+        if all_hits:
+            from calitas_tpu.align.batch import (
+                chain_ranges_to_pass,
+                max_target_span,
+            )
+
+            scorer = aligner.scorer
+            q_len = len(guide.guide_fw)
+            min_score = aligner.min_guide_score(guide, kw["max_guide_diffs"])
         for i in idxs:
             item = chunk[i]
             chrom, pos = item[2], item[3]
             extra = item[4] if len(item) > 4 else None
             passes = ("fwd", "rev")
+            cr = None
             if all_hits and extra is not None:
-                passes = tuple(extra)
+                passes, cr = tuple(extra[0]), extra[1]
             try:
                 seq_len = ref.sequence_length(chrom)
                 if seq_len is None:
@@ -809,19 +820,39 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
                 region_start = max(pos - padding, 1)
                 region_end = min(pos + padding, seq_len)
                 target = ref.get_subsequence(chrom, region_start, region_end)
+                ranges = None
+                if cr is not None:
+                    # The screen saw this exact window (no N-trim in the
+                    # A2R path, so trim=0): slice the native finish DP to
+                    # the qualifying end columns, as the genome path does.
+                    T = len(target)
+                    ranges = chain_ranges_to_pass(
+                        cr, 0, T,
+                        max_target_span(
+                            q_len, scorer.match_score,
+                            scorer.query_gap_score, min_score, T,
+                        ),
+                    )
                 windows.append(
                     (chrom, region_start, np.frombuffer(target, np.uint8))
                 )
                 passes_list.append(passes)
+                pass_ranges.append(ranges)
                 live.append(i)
             except Exception as ex:
                 out[i] = ("__error__", repr(ex))
         if not live:
             continue
+        ranges_arr = None
+        if any(r is not None for r in pass_ranges):
+            ranges_arr = np.zeros((len(windows), 4), np.int32)
+            for k, r in enumerate(pass_ranges):
+                if r is not None:
+                    ranges_arr[k] = r
         per_window = None
         try:
             per_window = finish_windows(
-                guide, aligner, windows, passes_list, None, **kw
+                guide, aligner, windows, passes_list, ranges_arr, **kw
             )
         except Exception:
             per_window = None

@@ -177,14 +177,17 @@ def run(
     def _screen_batch(batch):
         """Attach the device screen verdict to each task: in all-hits
         mode a pass restriction (windows/strands without a qualifying
-        end column are skipped exactly — align() passes contract); in
-        best mode the pass-DP-bounds for the engine's exact rev skip.
-        The window/region math mirrors engine.align_to_ref precisely."""
+        end column are skipped exactly — align() passes contract) PLUS
+        the qualifying end-column ranges, so the worker's native finish
+        runs the DP on a column slice like the genome path; in best mode
+        the pass-DP-bounds for the engine's exact rev skip.  The
+        window/region math mirrors engine.align_to_ref precisely."""
         from calitas_tpu.ops.pair_screen import pass_bounds_for
 
         dp_queries = []
         guides = []
         targets = []
+        min_scores = []
         for _task_id, query, chrom, pos in batch:
             g = None
             target = b""
@@ -207,9 +210,18 @@ def run(
             dp_queries.append(
                 "" if g is None else (g.guide_rc if g.pam_is_5prime else g.guide_fw)
             )
-        chain_a, chain_b = pair_screen.chain_maxima(dp_queries, targets)
+            min_scores.append(
+                aligner.min_guide_score(g, align_kwargs["max_guide_diffs"])
+                if (all_hits and g is not None)
+                else 0
+            )
+        chain_a, chain_b, ranges = pair_screen.chain_maxima_ranges(
+            dp_queries, targets, min_scores if all_hits else None
+        )
         out = []
-        for task, g, a, b_ in zip(batch, guides, chain_a, chain_b):
+        for k, (task, g, a, b_) in enumerate(
+            zip(batch, guides, chain_a, chain_b)
+        ):
             if g is None:
                 out.append((*task, None))
                 continue
@@ -217,14 +229,18 @@ def run(
             if all_hits:
                 from calitas_tpu.ops.pair_screen import PairScreen as PS
 
-                min_score = aligner.min_guide_score(
-                    g, align_kwargs["max_guide_diffs"]
-                )
+                min_score = min_scores[k]
                 passes = tuple(
                     p for p in ("fwd", "rev")
                     if bounds[p] == PS.NO_SCREEN or bounds[p] >= min_score
                 )
-                out.append((*task, passes))
+                # Screen-coordinate chain ranges for the sliced native
+                # finish (loA, hiA, loB, hiB); unscreenable pairs (-1s)
+                # carry no ranges and finish full-width.
+                cr = None
+                if ranges is not None and ranges[k, 0] != -1:
+                    cr = tuple(int(x) for x in ranges[k])
+                out.append((*task, (passes, cr)))
             else:
                 out.append((*task, bounds))
         return out

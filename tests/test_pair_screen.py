@@ -173,3 +173,114 @@ class TestA2RDeviceParity:
         align_to_reference.run(output=dev, engine="tpu", **kw)
         assert table_without_timestamp(dev) == table_without_timestamp(host)
         assert len(host.read_text().splitlines()) > 1
+
+
+class TestPairRanges:
+    """chain_maxima_ranges must bound, per pair per chain, every end
+    column whose final-row DP score reaches that pair's threshold — the
+    device side of A2R's sliced native finish."""
+
+    def test_ranges_bound_qualifying_columns(self, scorer):
+        screen = PairScreen(scorer)
+        queries, targets, min_scores = [], [], []
+        planted = "CTTGCCCCACAGGGCAGTAA"
+        for T in (50, 90, 200, 300):
+            queries.append(planted)
+            targets.append(
+                random_seq(T // 3) + planted + random_seq(T - T // 3)
+            )
+            # a 2-diff budget: hits qualify, random background doesn't
+            min_scores.append(scorer.match_score * len(planted) - 2 * 122)
+        # one pair with no qualifying columns at all
+        queries.append(planted)
+        targets.append(random_seq(60))
+        min_scores.append(scorer.match_score * len(planted))
+        # and one unscreenable pair (target beyond MAX_SLOT)
+        queries.append(planted)
+        targets.append(random_seq(PairScreen.MAX_SLOT + 1))
+        min_scores.append(0)
+        a, b, ranges = screen.chain_maxima_ranges(queries, targets, min_scores)
+        assert ranges is not None and ranges.shape == (len(queries), 4)
+        assert tuple(ranges[-1]) == (-1, -1, -1, -1)  # unscreenable
+        for i in range(len(queries) - 1):
+            qual_by_chain = []
+            for c, q in enumerate((queries[i], revcomp(queries[i]))):
+                S = dp_matrix(encode_query(q), encode_target(targets[i]), scorer)
+                final = S[len(q), 1:]
+                qual = np.nonzero(final >= min_scores[i])[0] + 1  # 1-based
+                qual_by_chain.append(qual)
+                lo, hi = int(ranges[i, 2 * c]), int(ranges[i, 2 * c + 1])
+                if len(qual):
+                    assert lo == qual.min() and hi == qual.max(), (i, c)
+                else:
+                    assert lo > hi, (i, c)  # the empty range
+            if i < 4:
+                assert len(qual_by_chain[0]), f"pair {i}: planted hit missed"
+
+    def test_maxima_unchanged_by_ranges(self, scorer):
+        screen = PairScreen(scorer)
+        queries = [random_seq(20) for _ in range(5)]
+        targets = [random_seq(70, with_n=True) for _ in range(5)]
+        a0, b0 = screen.chain_maxima(queries, targets)
+        a1, b1, _ = screen.chain_maxima_ranges(queries, targets, [0] * 5)
+        np.testing.assert_array_equal(a0, a1)
+        np.testing.assert_array_equal(b0, b1)
+
+
+class TestA2RSlicedFinish:
+    """All-hits A2R through the device screen now carries end-column
+    ranges into the sliced native finish; output must stay byte-identical
+    to the host engine, including on indel-mutated sites (the chain-B
+    span widening edge)."""
+
+    @pytest.mark.parametrize("seed", [11, 12])
+    def test_all_hits_sliced_identical(self, tmp_path, seed):
+        from calitas_tpu.io.fasta import ReferenceSetBuilder
+        from calitas_tpu.tools import align_to_reference
+
+        rng = np.random.default_rng(seed)
+        proto = "".join(rng.choice(list("ACGT"), 20))
+        guide = proto + "nrg"
+        genome = list("".join(rng.choice(list("ACGT"), 40_000)))
+        loci = []
+        for k in range(12):
+            pos = 1500 + k * 3000
+            site = list(proto)
+            r = rng.random()
+            if r < 0.4:  # substitutions
+                for _ in range(int(rng.integers(0, 4))):
+                    j = int(rng.integers(0, len(site)))
+                    site[j] = rng.choice([c for c in "ACGT" if c != site[j]])
+            elif r < 0.7:  # deletion (guide bulge)
+                j = int(rng.integers(2, len(site) - 2))
+                del site[j]
+            else:  # insertion (genome bulge)
+                j = int(rng.integers(2, len(site) - 2))
+                site.insert(j, str(rng.choice(list("ACGT"))))
+            seq = "".join(site) + str(rng.choice(["TGG", "AAG", "CGG"]))
+            if rng.random() < 0.5:
+                from calitas_tpu.core.sequence import revcomp as rc
+
+                seq = rc(seq)
+            genome[pos : pos + len(seq)] = list(seq)
+            loci.append(pos + 10)
+        b = ReferenceSetBuilder(assembly=f"a2rslice{seed}")
+        b.add("chr1").add("".join(genome))
+        ref = b.to_file(tmp_path / "ref.fa")
+        inp = tmp_path / "in.txt"
+        with open(inp, "w") as fh:
+            fh.write("id\tquery\tchrom\tposition\n")
+            for k, pos in enumerate(loci):
+                fh.write(f"t{k}\t{guide}\tchr1\t{pos}\n")
+        out_h = tmp_path / "host.txt"
+        out_t = tmp_path / "tpu.txt"
+        kw = dict(max_guide_diffs=4, max_pam_mismatches=1, max_overlap=10,
+                  threads=2)
+        align_to_reference.run(input=inp, ref=ref, output=out_h,
+                               engine="host", **kw)
+        align_to_reference.run(input=inp, ref=ref, output=out_t,
+                               engine="tpu", **kw)
+        rows_h = table_without_timestamp(out_h)
+        rows_t = table_without_timestamp(out_t)
+        assert rows_h == rows_t
+        assert len(rows_h) >= 6, "fixture should produce plenty of hits"
