@@ -725,3 +725,54 @@ class TestWideWindowRanges:
                 # the coarse range must also be tight to within one block
                 assert qual.min() - lo < rb and hi - qual.max() < rb
         assert any_hit, "no planted hit qualified"
+
+    def test_multi_async_wide_window_ranges(self, scorer):
+        """The fused multi-guide screen uses the same scaled range blocks
+        as the single-guide screen at wide windows (window 4096 ->
+        16-column blocks) — flags and ranges equal per guide."""
+        from calitas_tpu.core.guide import Guide
+        from calitas_tpu.core.sequence import revcomp
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        rng = np.random.default_rng(77)
+        bases = rng.choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), 200_000
+        ).astype(np.uint8)
+        guides = [
+            Guide.parse("CTTGCCCCACAGGGCAGTAAnrg"),
+            Guide.parse("ACGTACATGCTCGATACGACnrg"),
+            Guide.parse("TTGACCAAGCAAAACAGACCnrg"),
+        ]
+        for g, pos in zip(guides, (5_000, 77_777, 150_101)):
+            site = (g.guide + "AGG").encode()
+            planted = np.frombuffer(site, dtype=np.uint8)
+            bases[pos : pos + len(planted)] = planted
+        screen = GenomeScreen(
+            scorer, window=4096, batch_windows=256, use_pallas=False
+        )
+        gdev = screen.stage(bases)
+        step = 4000
+        dqs = [(g.guide_fw, revcomp(g.guide_fw)) for g in guides]
+        mss = [60 * len(g.guide_fw) - 5 * 122 for g in guides]
+
+        segs = screen.screen_contig_multi_async(
+            gdev, len(bases), step, dqs, mss,
+        )
+        parts_f, parts_r = [], []
+        for _i0, _n, resolve in segs:
+            cf, cr = resolve()
+            parts_f.append(cf)
+            parts_r.append(cr)
+        multi_f = np.concatenate(parts_f, axis=2)
+        multi_r = np.concatenate(parts_r, axis=2)
+
+        any_hits = 0
+        for gi in range(len(guides)):
+            sflags, sranges = screen.screen_contig(
+                gdev, len(bases), step, dqs[gi][0], dqs[gi][1], mss[gi],
+                return_ranges=True,
+            )
+            np.testing.assert_array_equal(multi_f[gi], sflags)
+            np.testing.assert_array_equal(multi_r[gi], sranges)
+            any_hits += int(sflags.any(axis=0).sum())
+        assert any_hits >= len(guides)
