@@ -526,6 +526,24 @@ class GenomeScreen:
         (SearchReference.scala:52)."""
         return np.arange(0, max(contig_len - 1, 0), step, dtype=np.int64)
 
+    #: per-dispatch extraction footprint budget (window-bytes): wide
+    #: windows shrink the batch instead of inflating the [bw, window]
+    #: device intermediates (the default 8192 x 1024 layout is exactly
+    #: at budget and stays unchanged; -w 16384 screens 512 windows per
+    #: dispatch instead of OOMing the int32 transpose).
+    BATCH_ELEM_BUDGET = 8 << 20
+
+    def _batch_windows_for(self, n: int, unit: int) -> int:
+        """Windows per device dispatch: the configured batch rounded up
+        to the kernel unit, trimmed to the window count, and capped so
+        batch * window stays within BATCH_ELEM_BUDGET."""
+        cap = max(
+            unit,
+            (self.BATCH_ELEM_BUDGET // max(self.window, 1)) // unit * unit,
+        )
+        bw = self._batch_windows_for(n, unit)
+        return min(bw, cap)
+
     @staticmethod
     def _empty_result(return_chains: bool, return_ranges: bool):
         """Zero-window results shaped per the requested interface."""
@@ -578,9 +596,7 @@ class GenomeScreen:
         if n == 0:
             return self._empty_result(return_chains, return_ranges)
         unit = BLOCK_W if self.use_pallas else LANES
-        bw = min(
-            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
-        )
+        bw = self._batch_windows_for(n, unit)
         n_batches = -(-n // bw)
         # Bucket the static shapes (batch count and genome length) to
         # powers of two so multi-contig genomes reuse one compilation
@@ -675,9 +691,7 @@ class GenomeScreen:
         if n == 0:
             return []
         unit = BLOCK_W if self.use_pallas else LANES
-        bw = min(
-            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
-        )
+        bw = self._batch_windows_for(n, unit)
         n_batches = -(-n // bw)
         if segments is None:
             # Below a few batches per segment the extra dispatches can't
@@ -787,9 +801,7 @@ class GenomeScreen:
         unit = BLOCK_W if self.use_pallas else LANES
         Q = len(dp_queries[0][0])
         use_pallas = self.use_pallas and Q <= 48
-        bw = min(
-            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
-        )
+        bw = self._batch_windows_for(n, unit)
         n_batches = -(-n // bw)
         if segments is None:
             segments = max(
@@ -1064,9 +1076,7 @@ class ShardedGenomeScreen(GenomeScreen):
         Q = len(dp_query)
         use_pallas = self.use_pallas and Q <= 48
         unit = BLOCK_W if use_pallas else LANES
-        bw = min(
-            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
-        )
+        bw = self._batch_windows_for(n, unit)
         batches_total = -(-n // bw)
         # Power-of-two bucketing of the per-device span so multi-contig
         # genomes reuse one compilation (same trick as single-device).
@@ -1156,9 +1166,7 @@ class ShardedGenomeScreen(GenomeScreen):
         Q = len(dp_query)
         use_pallas = self.use_pallas and Q <= 48
         unit = BLOCK_W if use_pallas else LANES
-        bw = min(
-            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
-        )
+        bw = self._batch_windows_for(n, unit)
         batches_total = -(-n // bw)
         if segments is None:
             segments = max(
@@ -1266,9 +1274,7 @@ class ShardedGenomeScreen(GenomeScreen):
         Q = len(dp_queries[0][0])
         use_pallas = self.use_pallas and Q <= 48
         unit = BLOCK_W if use_pallas else LANES
-        bw = min(
-            -(-self.batch_windows // unit) * unit, -(-n // unit) * unit
-        )
+        bw = self._batch_windows_for(n, unit)
         batches_total = -(-n // bw)
         if segments is None:
             segments = max(
@@ -1659,9 +1665,7 @@ def screen_contig_multi(
     Q = len(dp_queries[0][0])
     use_pallas = screen.use_pallas and Q <= 48
     unit = BLOCK_W if use_pallas else LANES
-    bw = min(
-        -(-screen.batch_windows // unit) * unit, -(-n // unit) * unit
-    )
+    bw = screen._batch_windows_for(n, unit)
     n_batches = -(-n // bw)
     max_batches = 1 << (n_batches - 1).bit_length()
     need = (max_batches * bw - 1) * step + screen.window + step
