@@ -541,7 +541,7 @@ class GenomeScreen:
             unit,
             (self.BATCH_ELEM_BUDGET // max(self.window, 1)) // unit * unit,
         )
-        bw = self._batch_windows_for(n, unit)
+        bw = min(-(-self.batch_windows // unit) * unit, -(-n // unit) * unit)
         return min(bw, cap)
 
     @staticmethod

@@ -776,3 +776,51 @@ class TestWideWindowRanges:
             np.testing.assert_array_equal(multi_r[gi], sranges)
             any_hits += int(sflags.any(axis=0).sum())
         assert any_hits >= len(guides)
+
+
+class TestBatchWindowsFor:
+    """Pins the _batch_windows_for contract (the round-3 regression):
+    unit rounding, trim-to-n, and the BATCH_ELEM_BUDGET cap at wide
+    windows (the -w 16384 OOM protection)."""
+
+    def _screen(self, scorer, window, batch_windows=8192):
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        return GenomeScreen(scorer, window=window, batch_windows=batch_windows)
+
+    def test_rounds_configured_batch_up_to_unit(self, scorer):
+        s = self._screen(scorer, window=1024, batch_windows=8192)
+        # huge n: the configured batch governs, rounded up to unit
+        assert s._batch_windows_for(1_000_000, 128) == 8192
+        s.batch_windows = 8000  # not a multiple of 384
+        assert s._batch_windows_for(1_000_000, 384) == 8064  # ceil to unit
+
+    def test_trims_to_window_count(self, scorer):
+        s = self._screen(scorer, window=1024, batch_windows=8192)
+        # n far below the batch: round n up to unit, don't inflate to 8192
+        assert s._batch_windows_for(5, 128) == 128
+        assert s._batch_windows_for(129, 128) == 256
+        assert s._batch_windows_for(8192, 128) == 8192
+
+    def test_budget_cap_at_wide_windows(self, scorer):
+        from calitas_tpu.ops.genome_screen import GenomeScreen
+
+        s = self._screen(scorer, window=16384, batch_windows=8192)
+        bw = s._batch_windows_for(1_000_000, 128)
+        # batch * window must fit the extraction budget (but >= unit)
+        assert bw * s.window <= GenomeScreen.BATCH_ELEM_BUDGET
+        assert bw == (GenomeScreen.BATCH_ELEM_BUDGET // 16384) // 128 * 128
+        # default layout sits exactly at budget and is unchanged
+        s2 = self._screen(scorer, window=1024, batch_windows=8192)
+        assert s2._batch_windows_for(1_000_000, 128) == 8192
+
+    def test_cap_never_below_unit(self, scorer):
+        s = self._screen(scorer, window=1 << 24, batch_windows=8192)
+        assert s._batch_windows_for(1_000_000, 128) == 128
+
+    def test_result_is_unit_multiple(self, scorer):
+        s = self._screen(scorer, window=2048, batch_windows=8192)
+        for n in (1, 7, 127, 128, 999, 20_000):
+            for unit in (8, 128, 384):
+                bw = s._batch_windows_for(n, unit)
+                assert bw % unit == 0 and bw >= unit
