@@ -33,6 +33,7 @@ from calitas_tpu.ops.genome_screen import (
     range_block,
 )
 from calitas_tpu.search.windows import RefWindow, materialize_window
+from calitas_tpu.utils import degradable
 
 
 #: candidates per array-batch item shipped to the finish workers (one
@@ -121,7 +122,9 @@ def screened_search(
         if genome_dev is None:
             try:
                 genome_dev = screen.stage(fasta.get_bases(name))
-            except Exception:
+            except Exception as ex:
+                if not degradable(ex):
+                    raise
                 # Device staging failure degrades to the host-only path
                 # for this contig (None genome_dev -> all-candidates).
                 import logging
@@ -244,7 +247,9 @@ def _search_contig(
                                 pam_spec=pspec,
                             )
                         )
-            except Exception:
+            except Exception as ex:
+                if not degradable(ex):
+                    raise
                 import logging
 
                 logging.getLogger("calitas_tpu.SearchReference").warning(
@@ -284,7 +289,9 @@ def _search_contig(
                 flags_g = screen_contig_multi(
                     screen, genome_dev, contig_len, step_size, dq, ms
                 )
-            except Exception:
+            except Exception as ex:
+                if not degradable(ex):
+                    raise
                 # fall back to per-guide screening (correctness is
                 # unaffected; only the feed amortization is lost)
                 import logging
@@ -358,7 +365,9 @@ def _search_contig(
                 )
                 flags = chain_flags.any(axis=0)
             hit_idx = np.nonzero(flags)[0]
-        except Exception:
+        except Exception as ex:
+            if not degradable(ex):
+                raise  # programming error: propagate, don't mask 100x slow
             # Device failure degrades, not aborts: align EVERY window of
             # this contig on the host (the screen is a pure accelerator —
             # all-candidates is exactly the host engine's work list, so
@@ -517,7 +526,9 @@ def _finish_segments(
             if not degraded:
                 try:
                     chain_flags, cranges = resolve()
-                except Exception:
+                except Exception as ex:
+                    if not degradable(ex):
+                        raise
                     degraded = True
                     log.warning(
                         "Device screen unavailable for %s/%s (segment at "

@@ -791,7 +791,11 @@ def screened_variant_windows_multi(
                 aligner.scorer, tmasks, lengths, groups
             )
             launched = list(zip(group_keys, resolvers))
-        except Exception:
+        except Exception as ex:
+            from calitas_tpu.utils import degradable
+
+            if not degradable(ex):
+                raise
             _warn_device_failure()
             launched = None  # degrade: every window flagged for all guides
         out = (batch, launched)
@@ -815,7 +819,11 @@ def screened_variant_windows_multi(
                 for g, key in enumerate(keys):
                     for i in np.nonzero(fl[g, : len(entries)])[0]:
                         flagged[i].add(key)
-        except Exception:
+        except Exception as ex:
+            from calitas_tpu.utils import degradable
+
+            if not degradable(ex):
+                raise
             # Device failure degrades, not aborts: an unscreened window
             # just gets aligned for every guide (flags are a
             # conservative superset anyway).

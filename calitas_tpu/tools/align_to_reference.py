@@ -250,7 +250,11 @@ def run(
         if pair_screen is not None:
             try:
                 batch = _screen_batch(batch)
-            except Exception:
+            except Exception as ex:
+                from calitas_tpu.utils import degradable
+
+                if not degradable(ex):
+                    raise
                 # Device failure degrades, not aborts: the unscreened
                 # batch runs both passes on the host (output-identical).
                 import logging

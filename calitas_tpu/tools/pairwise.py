@@ -99,7 +99,11 @@ def run(
                 )
                 for (q, t), g, a, b in zip(tasks, guides, chain_a, chain_b)
             ]
-        except Exception:
+        except Exception as ex:
+            from calitas_tpu.utils import degradable
+
+            if not degradable(ex):
+                raise
             # Device failure degrades, not aborts: unbounded tasks just
             # run both passes on the host (output-identical).
             import logging

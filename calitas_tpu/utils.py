@@ -45,3 +45,28 @@ class ProgressLogger:
                 "%s %s %s. Elapsed %.0fs (%.0f/s).%s",
                 self._verb, f"{self._count:,}", self._noun, elapsed, rate, where,
             )
+
+
+#: Exception types that always indicate a host-side programming error.
+#: The degradation policy (device failure degrades to host alignment,
+#: never aborts — SearchReference.scala:555-559's log-and-continue
+#: intent) must NOT swallow these: a silent 100x slowdown over a bug is
+#: worse than a crash that gets the bug fixed.
+_PROGRAMMING_ERRORS = (
+    RecursionError,
+    TypeError,
+    AssertionError,
+    AttributeError,
+    NameError,
+    UnboundLocalError,
+    IndexError,
+    KeyError,
+    SyntaxError,
+)
+
+
+def degradable(exc: BaseException) -> bool:
+    """True if ``exc`` is a device/runtime-ish failure the screen paths
+    may degrade on (falling back to host alignment with identical
+    output); False for programming errors, which must propagate."""
+    return not isinstance(exc, _PROGRAMMING_ERRORS)

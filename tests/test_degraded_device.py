@@ -108,3 +108,59 @@ def test_variant_screen_failure_degrades(monkeypatch):
     ))
     assert [w.start for w, _ in out] == [w.start for w in wins]
     assert all(keys == frozenset({"g"}) for _w, keys in out)
+
+
+class StageTypeError(GenomeScreen):
+    def stage(self, bases):
+        raise TypeError("planted bug")
+
+
+class ScreenRecursion(GenomeScreen):
+    def screen_contig(self, *a, **k):
+        raise RecursionError("planted bug")
+
+    def screen_contig_async(self, *a, **k):
+        raise RecursionError("planted bug")
+
+
+def test_programming_errors_propagate(ref):
+    """Degradation is for device failures only: a programming error
+    (TypeError/RecursionError/...) in the screen must crash the search,
+    not silently downgrade the contig to 100x-slower host alignment."""
+    fasta, guide = ref
+    aligner = SequentialAligner()
+    with pytest.raises(TypeError):
+        rows_of(fasta, guide, StageTypeError(aligner.scorer, window=1000))
+    with pytest.raises(RecursionError):
+        rows_of(fasta, guide, ScreenRecursion(aligner.scorer, window=1000))
+
+
+def test_variant_screen_programming_error_propagates(monkeypatch):
+    from dataclasses import dataclass
+
+    from calitas_tpu.ops import genome_screen
+    from calitas_tpu.search.variants import screened_variant_windows_multi
+
+    def boom(*a, **k):
+        raise TypeError("planted bug")
+
+    monkeypatch.setattr(genome_screen, "screen_slots_multi", boom)
+    aligner = SequentialAligner()
+    g = Guide.parse("GACGCATAAAGATGAGACGCngg")
+
+    @dataclass
+    class W:
+        chrom: str
+        start: int
+        length: int
+        bases: np.ndarray
+
+    wins = [
+        W("chr1", 1 + i * 50, 60,
+          np.frombuffer(b"ACGT" * 15, dtype=np.uint8))
+        for i in range(10)
+    ]
+    with pytest.raises(TypeError):
+        list(screened_variant_windows_multi(
+            iter(wins), aligner, [("g", g, 0)], batch_slots=4,
+        ))
