@@ -92,6 +92,13 @@ class VcfHeader:
 def _open_text(path: str | Path, mode: str = "rt") -> IO[str]:
     p = str(path)
     if p.endswith(".gz") or p.endswith(".bgz"):
+        if "w" in mode:
+            # The reference writes .vcf.gz as BGZF blocks through htsjdk
+            # (PrepareVcf.scala:60 via fgbio VcfWriter) so tabix/bcftools
+            # can index the output; plain gzip would be rejected there.
+            from calitas_tpu.io.bgzf import open_bgzf_text
+
+            return open_bgzf_text(p)  # type: ignore[return-value]
         return gzip.open(p, mode)  # type: ignore[return-value]
     return open(p, mode)
 

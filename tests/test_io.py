@@ -229,3 +229,56 @@ class TestVcfIndex:
         idx = VcfIndex(p)
         assert [v.pos for v in idx.query("1", 1, 20)] == [10]
         assert list(idx.query("1", 1, 40)) == list(VcfReader(p).query("1", 1, 40))
+
+
+class TestBgzf:
+    def test_vcf_gz_is_bgzf_with_eof_block(self, tmp_path):
+        """PrepareVcf's .vcf.gz must be BGZF (htsjdk BlockCompressedOutputStream,
+        PrepareVcf.scala:60): gzip-readable AND tabix-indexable — per-block
+        BC size subfields plus the fixed 28-byte EOF marker."""
+        from calitas_tpu.io.bgzf import EOF_BLOCK, is_bgzf
+
+        header = VcfHeader(lines=["##fileformat=VCFv4.2"], samples=[])
+        p = tmp_path / "x.vcf.gz"
+        w = VcfWriter(p, header)
+        from calitas_tpu.io.vcf import VcfVariant
+
+        for i in range(5000):  # spill past one 64 KiB block
+            w.write(
+                VcfVariant(
+                    chrom="1", pos=i + 1, id=f"rs{i}", ref="A", alts=("C",),
+                    qual=None, filters=frozenset({"PASS"}),
+                    info=(("AF", "0.5"),),
+                )
+            )
+        w.close()
+        raw = p.read_bytes()
+        assert raw[:4] == b"\x1f\x8b\x08\x04" and raw[12:14] == b"BC"
+        assert raw.endswith(EOF_BLOCK)
+        assert is_bgzf(p)
+
+        # every block's BSIZE walks exactly to EOF (spec-valid chain)
+        import struct
+
+        off, blocks = 0, 0
+        while off < len(raw):
+            assert raw[off : off + 4] == b"\x1f\x8b\x08\x04"
+            xlen = struct.unpack_from("<H", raw, off + 10)[0]
+            ext = raw[off + 12 : off + 12 + xlen]
+            bsize = None
+            e = 0
+            while e < len(ext):
+                si, sl = ext[e : e + 2], struct.unpack_from("<H", ext, e + 2)[0]
+                if si == b"BC":
+                    bsize = struct.unpack_from("<H", ext, e + 4)[0] + 1
+                e += 4 + sl
+            assert bsize is not None
+            off += bsize
+            blocks += 1
+        assert off == len(raw) and blocks >= 3  # data blocks + EOF
+
+        # content round-trips through plain gzip and our reader
+        with gzip.open(p, "rt") as fh:
+            assert fh.read().count("rs4999") == 1
+        vs = list(VcfReader(p))
+        assert len(vs) == 5000 and vs[0].id == "rs0"
