@@ -29,18 +29,16 @@ from calitas_tpu.core.sequence import TARGET_MASK_TABLE, encode_query
 from calitas_tpu.ops.dp_pallas2 import _pallas_screen2, LANES, SUBLANES, BLOCK_W
 
 
-#: widest window the coarse uint8 end-column ranges support — the block
-#: width doubles with the window so 256 blocks always cover it
-RANGE_MAX_WINDOW = 16384
-
-
 def range_block(window: int) -> int:
     """Column width of one coarse end-column range block at this window.
 
     Ranges travel as one (min_block, max_block) uint8 pair per chain per
     window, so the block width is the smallest power-of-two multiple of 8
     with ``window <= 256 * block``: 8 columns up to ``-w 2048``, then
-    16/32/64 up to :data:`RANGE_MAX_WINDOW`.  A coarser block only widens
+    16/32/64/... doubling without bound — 256 blocks cover ANY window
+    width, so ranges (and the sliced native finish they enable) stay on
+    at every legal ``-w`` (SearchReference.scala:460 accepts any window
+    size).  A coarser block only widens
     the host finish's DP column slice (by < block columns per side),
     never its correctness — the widened slice is always a superset of the
     qualifying end columns."""
@@ -582,15 +580,6 @@ class GenomeScreen:
         c all lie within [min_block*8 + 1, (max_block+1)*8].  Only
         meaningful where the chain flag is set.
         """
-        if return_ranges and self.window > RANGE_MAX_WINDOW:
-            # The coarse ranges are uint8 blocks of range_block(window)
-            # columns: windows wider than 256 blocks would silently clip
-            # qualifying ends (false negatives).  Callers must screen
-            # without ranges at such widths (screen_runner gates too).
-            raise ValueError(
-                f"return_ranges supports window <= {RANGE_MAX_WINDOW} "
-                f"(got {self.window})"
-            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         if n == 0:
@@ -681,11 +670,6 @@ class GenomeScreen:
         call: the spans partition the same window grid, and each span
         runs the same device batch loop (``_screen_grid``) the
         single-span screen runs (pinned by tests/test_screen.py)."""
-        if self.window > RANGE_MAX_WINDOW:
-            raise ValueError(
-                f"ranges need window <= {RANGE_MAX_WINDOW} "
-                f"(got {self.window})"
-            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         if n == 0:
@@ -788,11 +772,6 @@ class GenomeScreen:
         uint8)``.  Per guide, values are bit-identical to that guide's
         own :meth:`screen_contig_async` (pinned by tests/test_screen.py).
         """
-        if self.window > RANGE_MAX_WINDOW:
-            raise ValueError(
-                f"ranges need window <= {RANGE_MAX_WINDOW} "
-                f"(got {self.window})"
-            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         G = len(dp_queries)
@@ -1062,11 +1041,6 @@ class ShardedGenomeScreen(GenomeScreen):
         return_chains: bool = False,
         return_ranges: bool = False,
     ):
-        if return_ranges and self.window > RANGE_MAX_WINDOW:
-            raise ValueError(
-                f"return_ranges supports window <= {RANGE_MAX_WINDOW} "
-                f"(got {self.window})"
-            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         if n == 0:
@@ -1152,11 +1126,6 @@ class ShardedGenomeScreen(GenomeScreen):
         readback, so the host finishes segment N's candidates while the
         mesh screens segment N+1.  Flag/range values per window are
         bit-identical to one :meth:`screen_contig` call."""
-        if self.window > RANGE_MAX_WINDOW:
-            raise ValueError(
-                f"ranges need window <= {RANGE_MAX_WINDOW} "
-                f"(got {self.window})"
-            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         if n == 0:
@@ -1259,11 +1228,6 @@ class ShardedGenomeScreen(GenomeScreen):
         :meth:`GenomeScreen.screen_contig_multi_async`, with each
         segment's batches sharded across the mesh exactly like
         :meth:`screen_contig_async` (pinned by tests/test_sharding.py)."""
-        if self.window > RANGE_MAX_WINDOW:
-            raise ValueError(
-                f"ranges need window <= {RANGE_MAX_WINDOW} "
-                f"(got {self.window})"
-            )
         starts = self.window_starts(contig_len, step)
         n = len(starts)
         G = len(dp_queries)

@@ -27,11 +27,7 @@ from calitas_tpu.core.sequence import revcomp
 from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.align.guide_alignment import GuideAlignment
 from calitas_tpu.io.fasta import IndexedFasta
-from calitas_tpu.ops.genome_screen import (
-    GenomeScreen,
-    RANGE_MAX_WINDOW,
-    range_block,
-)
+from calitas_tpu.ops.genome_screen import GenomeScreen, range_block
 from calitas_tpu.search.windows import RefWindow, materialize_window
 from calitas_tpu.utils import degradable
 
@@ -174,7 +170,10 @@ def _search_contig(
     # fused kernel revisits each VMEM-resident block per guide — with the
     # full single-guide contract (PAM gate + per-guide end-column
     # ranges), so the sliced finish applies to every guide.
-    want_ranges = hit_spec is not None and window_size <= RANGE_MAX_WINDOW
+    # Ranges scale to any window width (range_block doubles so 256 uint8
+    # blocks always cover the window), so the sliced finish + segmented
+    # pipeline stay on at every legal -w.
+    want_ranges = hit_spec is not None
     seg_dispatch: dict = {}
     # Both the single-device and the mesh-sharded screens provide the
     # segmented async interface with identical flag/range semantics.
@@ -327,7 +326,7 @@ def _search_contig(
         cranges = None  # [2, n, 2] uint8 coarse end-column blocks
         # Ranges let the native finish run the DP on a column slice
         # instead of the whole window; uint8 blocks of range_block()
-        # columns cover windows up to RANGE_MAX_WINDOW.
+        # columns cover any window width (the block scales).
         starts = screen.window_starts(contig_len, task.step_size)
 
         # Pipelined production path: the screen was dispatched above as

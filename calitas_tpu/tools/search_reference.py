@@ -244,31 +244,16 @@ def run(
     progress = ProgressLogger(logger, noun="windows", verb="Processed", unit=25_000)
     use_tpu = _resolve_engine(engine)
     if use_tpu and window_size > 2048:
-        from calitas_tpu.ops.genome_screen import (
-            RANGE_MAX_WINDOW,
-            range_block,
-        )
+        from calitas_tpu.ops.genome_screen import range_block
 
-        if window_size > RANGE_MAX_WINDOW:
-            # Past the widest range-block encoding the screen still runs
-            # correctly but loses the sliced finish and the segmented
-            # pipeline — a real throughput cliff at a legal flag value.
-            logger.warning(
-                "--window-size %d > %d: the device screen runs without "
-                "end-column ranges, so candidate windows are finished "
-                "with full-width DP (slower).  Use --window-size <= %d "
-                "for the fully sliced device path.",
-                window_size, RANGE_MAX_WINDOW, RANGE_MAX_WINDOW,
-            )
-        else:
-            # Ranges stay on but get coarser (range_block doubles past
-            # 2048 columns): each candidate's DP slice widens by up to a
-            # block per side.  Worth a note, not a warning.
-            logger.info(
-                "--window-size %d > 2048: end-column ranges use coarser "
-                "%d-column blocks (slightly wider finish DP slices).",
-                window_size, range_block(window_size),
-            )
+        # Ranges stay on at any width but get coarser (range_block
+        # doubles past 2048 columns): each candidate's DP slice widens
+        # by up to a block per side.  Worth a note, not a warning.
+        logger.info(
+            "--window-size %d > 2048: end-column ranges use coarser "
+            "%d-column blocks (slightly wider finish DP slices).",
+            window_size, range_block(window_size),
+        )
 
     # Parse + index the VCF once per run; every guide / checkpointed
     # contig queries the in-memory index (the reference's per-chromosome

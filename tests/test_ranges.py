@@ -206,3 +206,73 @@ def test_sliced_finish_identical_to_full(pam):
         assert [_aln_key(a) for a in a_sliced] == [_aln_key(a) for a in want]
         total += len(a_sliced)
     assert total > 0
+
+
+def test_sliced_finish_exact_at_32768_window():
+    """Ranges past the former 16,384 ceiling (VERDICT r3 item 9): at
+    -w 32768 the screen emits 128-column blocks and the sliced native
+    finish stays row-identical to the full finish and the Python engine."""
+    from calitas_tpu.ops.genome_screen import range_block
+
+    window = 32768
+    rb = range_block(window)
+    assert rb == 128
+
+    rng = np.random.default_rng(13)
+    proto = "".join(rng.choice(list("ACGT"), 20))
+    guide = Guide.parse(proto + "ngg")
+    genome = list("".join(rng.choice(list("ACGT"), 3 * window)))
+    for pos in (5_000, 40_000, 90_000):
+        site = proto + "TGG"
+        genome[pos : pos + len(site)] = list(site)
+    bases = np.frombuffer("".join(genome).encode(), dtype=np.uint8)
+
+    aligner = SequentialAligner()
+    step = window - 64
+    screen = GenomeScreen(
+        aligner.scorer, window=window, batch_windows=128, use_pallas=False
+    )
+    dp_query = guide.guide_rc if guide.pam_is_5prime else guide.guide_fw
+    min_score = aligner.min_guide_score(guide, KW["max_guide_diffs"])
+    Q = len(dp_query)
+
+    genome_dev = screen.stage(bases)
+    chain_flags, cranges = screen.screen_contig(
+        genome_dev, len(bases), step, dp_query, revcomp(dp_query), min_score,
+        return_ranges=True,
+    )
+    starts = screen.window_starts(len(bases), step)
+    hit = np.nonzero(chain_flags.any(axis=0))[0]
+    assert len(hit) >= 2  # planted sites must flag
+
+    windows, passes, ranges_rows = [], [], []
+    for i in hit:
+        s0 = int(starts[i])
+        w = materialize_window("chr1", bases, s0, window)
+        if len(w.bases) < len(guide.guide):
+            continue
+        T = len(w.bases)
+        trim = w.start - (s0 + 1)
+        cr = (
+            int(cranges[0, i, 0]) * rb + 1, (int(cranges[0, i, 1]) + 1) * rb,
+            int(cranges[1, i, 0]) * rb + 1, (int(cranges[1, i, 1]) + 1) * rb,
+        )
+        span = max_target_span(
+            Q, aligner.scorer.match_score, aligner.scorer.query_gap_score,
+            min_score, T,
+        )
+        windows.append((w.chrom, w.start, w.bases))
+        passes.append(("fwd", "rev"))
+        ranges_rows.append(chain_ranges_to_pass(cr, trim, T, span))
+
+    sliced = finish_windows(
+        guide, aligner, windows, passes,
+        ranges=np.asarray(ranges_rows, np.int32), **KW,
+    )
+    full = finish_windows(guide, aligner, windows, passes, ranges=None, **KW)
+    assert sliced is not None and full is not None
+    total = 0
+    for ws, a_sliced, a_full in zip(windows, sliced, full):
+        assert [_aln_key(a) for a in a_sliced] == [_aln_key(a) for a in a_full]
+        total += len(a_sliced)
+    assert total >= 2

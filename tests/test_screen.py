@@ -664,7 +664,7 @@ class TestWideWindowRanges:
     the -w 4096 perf cliff of VERDICT r2 item 8, removed."""
 
     def test_range_block_widths(self):
-        from calitas_tpu.ops.genome_screen import RANGE_MAX_WINDOW, range_block
+        from calitas_tpu.ops.genome_screen import range_block
 
         assert range_block(256) == 8
         assert range_block(1024) == 8
@@ -673,10 +673,16 @@ class TestWideWindowRanges:
         assert range_block(4096) == 16
         assert range_block(8192) == 32
         assert range_block(16384) == 64
-        assert RANGE_MAX_WINDOW == 16384
+        # no ceiling: blocks keep doubling, 256 cover any window
+        assert range_block(32768) == 128
+        assert range_block(65536) == 256
+        for w in (2048, 16384, 32768, 1 << 20):
+            assert w <= 256 * range_block(w)
 
-    @pytest.mark.parametrize("window", [4096, 8192])
+    @pytest.mark.parametrize("window", [4096, 8192, 32768])
     def test_wide_ranges_bound_qualifying_columns(self, scorer, window):
+        # 32768 exceeds the former RANGE_MAX_WINDOW=16384 ceiling: ranges
+        # now scale to any -w (VERDICT r3 item 9).
         from calitas_tpu.core.guide import Guide
         from calitas_tpu.core.sequence import TARGET_MASK_TABLE, revcomp
         from calitas_tpu.ops.genome_screen import GenomeScreen, range_block
@@ -684,10 +690,10 @@ class TestWideWindowRanges:
         rng = np.random.default_rng(7)
         guide = Guide.parse("CTTGCCCCACAGGGCAGTAAnrg")
         dpq = guide.guide_fw
-        n_bases = 30_000
+        n_bases = max(30_000, window * 3 + window // 2)
         bases = rng.choice(BASES[:4], n_bases).astype(np.uint8)
         planted = np.frombuffer(b"CTTGCCCCACAGGGCAGTAATGG", dtype=np.uint8)
-        for pos in (1_000, 9_873, 22_222):
+        for pos in (1_000, n_bases // 3, n_bases - n_bases // 4):
             bases[pos : pos + len(planted)] = planted
         step = window - 64
         screen = GenomeScreen(

@@ -340,25 +340,37 @@ class TestCrossPassDedup:
 
 
 class TestWideWindowWarning:
-    def test_very_wide_window_warns_about_lost_ranges(
-        self, fasta, tmp_path, caplog
-    ):
-        """-w > RANGE_MAX_WINDOW silently left the sliced-finish fast path
-        before (VERDICT r2 item 8); the cliff must be visible to the user."""
+    def test_very_wide_window_keeps_ranges(self, fasta, tmp_path, caplog):
+        """-w 32768 (past the former 16,384 ceiling, VERDICT r3 item 9)
+        now stays on the sliced-finish path with 128-column range blocks —
+        identical table to the host engine, no cliff warning."""
         import logging
 
         out = tmp_path / "wide.txt"
-        with caplog.at_level(logging.WARNING, logger="calitas_tpu.SearchReference"):
+        out_host = tmp_path / "wide_host.txt"
+        with caplog.at_level(logging.INFO, logger="calitas_tpu.SearchReference"):
             search_reference.run(
                 guide=GUIDE, guide_id="w", ref=fasta, output=out,
                 engine="tpu", window_size=32768, chrom="chr2",
             )
-        assert any(
+        assert not any(
             "without end-column ranges" in r.message for r in caplog.records
-        ), "missing wide-window perf-cliff warning"
-        # and the search itself still works (screen without ranges + full DP)
+        ), "32768 must not hit a no-ranges cliff anymore"
+        assert any(
+            "coarser" in r.message and "128-column" in r.message
+            for r in caplog.records
+        ), "missing coarser-blocks info line"
         hits = read_metrics(out, ReferenceHit)
         assert len(hits) >= 2
+        search_reference.run(
+            guide=GUIDE, guide_id="w", ref=fasta, output=out_host,
+            engine="host", window_size=32768, chrom="chr2",
+        )
+        host_hits = read_metrics(out_host, ReferenceHit)
+        strip = lambda h: tuple(
+            v for k, v in h.__dict__.items() if k != "time_stamp"
+        )
+        assert [strip(h) for h in hits] == [strip(h) for h in host_hits]
 
     def test_4096_window_keeps_ranges_with_coarser_blocks(
         self, fasta, tmp_path, caplog
