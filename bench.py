@@ -233,7 +233,7 @@ def main() -> None:
     # tunneled-device dispatch stalls seen in dev environments.
     n_raw, n_kept, n_bytes = e2e_once()
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: one tunnel stall must not set the record
         t0 = time.perf_counter()
         e2e_once()
         elapsed = min(elapsed, time.perf_counter() - t0)
