@@ -132,17 +132,63 @@ def extract_dictionary(path: str | Path) -> SequenceDictionary:
     )
 
 
+def _is_compressed(path: Path) -> bool:
+    return str(path).endswith((".gz", ".bgz"))
+
+
+def _uncompressed_cache_for(path: Path) -> Path:
+    """Decompress a gzip/BGZF FASTA once into a mtime-keyed cache file
+    (the reference reads block-compressed FASTA transparently through
+    htsjdk + .gzi; we decompress instead so every downstream fast path —
+    raw mmap context slices for the native renderer included — keeps
+    operating on plain bytes).  The cache is shared across processes:
+    worker processes opening the same ``ref_path`` reuse it, and the
+    write is atomic (temp + rename) so concurrent openers race safely."""
+    import gzip
+    import shutil
+    import tempfile
+
+    st = path.stat()
+    key = hashlib.md5(
+        f"{path.resolve()}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()
+    cache = Path(tempfile.gettempdir()) / f"calitas_tpu_fasta_{key}.fa"
+    if not cache.exists():
+        tmp = cache.with_name(cache.name + f".tmp{os.getpid()}")
+        with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+            shutil.copyfileobj(src, dst, 16 << 20)
+        os.replace(tmp, cache)
+    return cache
+
+
 class IndexedFasta:
-    """Random access over a .fai-indexed (uncompressed) FASTA file."""
+    """Random access over a .fai-indexed FASTA file.
+
+    Compressed input (``.fa.gz``/``.bgz`` — gzip or BGZF) is supported
+    the way htsjdk exposes it (reference README.md:63-68 requires only
+    ``.fai`` + ``.dict``): the ``.fai`` carries uncompressed-stream
+    offsets, which we serve from a decompressed cache file."""
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
+        data_path = (
+            _uncompressed_cache_for(self.path)
+            if _is_compressed(self.path)
+            else self.path
+        )
         fai = Path(str(path) + ".fai")
         if not fai.exists():
-            raise FileNotFoundError(
-                f"FASTA index not found: {fai}. Index with 'samtools faidx' "
-                "(or calitas_tpu.io.fasta.build_fai)."
-            )
+            if _is_compressed(self.path):
+                # No sidecar index: build one from the decompressed cache
+                # (offsets are uncompressed-stream offsets either way).
+                fai = Path(str(data_path) + ".fai")
+                if not fai.exists():
+                    build_fai(data_path)
+            else:
+                raise FileNotFoundError(
+                    f"FASTA index not found: {fai}. Index with 'samtools "
+                    "faidx' (or calitas_tpu.io.fasta.build_fai)."
+                )
         self.entries: list[FaiEntry] = []
         with open(fai) as fh:
             for line in fh:
@@ -151,7 +197,7 @@ class IndexedFasta:
                     FaiEntry(name, int(length), int(offset), int(line_bases), int(line_width))
                 )
         self._by_name = {e.name: e for e in self.entries}
-        self._fh = open(self.path, "rb")
+        self._fh = open(data_path, "rb")
         self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
         self._raw_view: Optional[np.ndarray] = None  # lazy mmap uint8 view
         dp = dict_path_for(self.path)

@@ -282,3 +282,113 @@ class TestBgzf:
             assert fh.read().count("rs4999") == 1
         vs = list(VcfReader(p))
         assert len(vs) == 5000 and vs[0].id == "rs0"
+
+
+class TestCompressedFasta:
+    """htsjdk reads block-compressed FASTA transparently (reference
+    README.md:63-68); IndexedFasta serves .fa.gz/.bgz through a
+    decompressed cache with identical bytes and indices."""
+
+    def _ref(self, tmp_path):
+        from calitas_tpu.io.fasta import ReferenceSetBuilder
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        b = ReferenceSetBuilder(assembly="gz")
+        for c in ("chr1", "chr2"):
+            b.add(c).add("".join(rng.choice(list("ACGTN"), 2500)))
+        return b.to_file(tmp_path / "ref.fa")
+
+    @pytest.mark.parametrize("codec", ["gzip", "bgzf"])
+    def test_gz_fasta_matches_plain(self, tmp_path, codec):
+        from calitas_tpu.io.fasta import IndexedFasta
+        from calitas_tpu.io.bgzf import BgzfWriter
+
+        import numpy as np
+
+        fa = self._ref(tmp_path)
+        gz = tmp_path / "ref.fa.gz"
+        data = fa.read_bytes()
+        if codec == "gzip":
+            with gzip.open(gz, "wb") as fh:
+                fh.write(data)
+        else:
+            w = BgzfWriter(gz)
+            w.write(data)
+            w.close()
+        # htsjdk convention: the sidecar .fai/.dict sit next to the .gz
+        import shutil
+
+        shutil.copy(str(fa) + ".fai", str(gz) + ".fai")
+        plain = IndexedFasta(fa)
+        comp = IndexedFasta(gz)
+        assert comp.names == plain.names
+        # dict_path_for strips .fa.gz -> the same ref.dict as the plain file
+        assert [e.name for e in comp.dictionary] == [
+            e.name for e in plain.dictionary
+        ]
+        for c in plain.names:
+            np.testing.assert_array_equal(comp.get_bases(c), plain.get_bases(c))
+            assert comp.get_subsequence(c, 100, 180) == plain.get_subsequence(c, 100, 180)
+
+    def test_gz_fasta_without_fai_builds_one(self, tmp_path):
+        from calitas_tpu.io.fasta import IndexedFasta
+
+        import numpy as np
+
+        fa = self._ref(tmp_path)
+        gz = tmp_path / "noidx.fa.gz"
+        with gzip.open(gz, "wb") as fh:
+            fh.write(fa.read_bytes())
+        comp = IndexedFasta(gz)  # no .fai sidecar: built from the cache
+        plain = IndexedFasta(fa)
+        for c in plain.names:
+            np.testing.assert_array_equal(comp.get_bases(c), plain.get_bases(c))
+
+    def test_search_reference_on_gz(self, tmp_path):
+        """End to end: the production search (native renderer included)
+        over a bgzf-compressed reference matches the plain-FASTA table."""
+        import shutil
+
+        import numpy as np
+
+        from calitas_tpu.io.bgzf import BgzfWriter
+        from calitas_tpu.io.fasta import ReferenceSetBuilder
+        from calitas_tpu.tools import search_reference
+
+        rng = np.random.default_rng(9)
+        proto = "GACGCATAAAGATGAGACGC"
+        seq = list("".join(rng.choice(list("ACGT"), 20_000)))
+        for k in range(3):
+            p = 2000 + k * 6000
+            seq[p : p + 23] = list(proto + "TGG")
+        b = ReferenceSetBuilder(assembly="gz")
+        b.add("chr1").add("".join(seq))
+        fa = b.to_file(tmp_path / "ref.fa")
+        gz = tmp_path / "ref.fa.gz"
+        w = BgzfWriter(gz)
+        w.write(fa.read_bytes())
+        w.close()
+        shutil.copy(str(fa) + ".fai", str(gz) + ".fai")
+        shutil.copy(tmp_path / "ref.dict", tmp_path / "ref.fa.dict")
+
+        def rows(ref, out):
+            search_reference.run(
+                guide=proto + "nrg", guide_id="g", ref=ref, output=out,
+                max_guide_diffs=4,
+            )
+            got = []
+            with open(out) as fh:
+                header = fh.readline().rstrip("\n").split("\t")
+                ts = header.index("time_stamp")
+                for line in fh:
+                    f = line.rstrip("\n").split("\t")
+                    f[ts] = ""
+                    got.append(tuple(f))
+            return got
+
+        r_plain = rows(fa, tmp_path / "plain.txt")
+        r_gz = rows(gz, tmp_path / "gz.txt")
+        assert len(r_plain) >= 3
+        assert r_gz == r_plain
