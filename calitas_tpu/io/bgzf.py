@@ -95,7 +95,9 @@ def open_bgzf_text(path: str | Path, level: int = 6):
     """BGZF-compressed text stream (the ``.vcf.gz`` write path)."""
     import io as _io
 
-    return _io.TextIOWrapper(BgzfWriter(path, level), encoding="ascii",
+    # utf-8 like the plain-text and gzip write paths (VCF 4.3 allows
+    # UTF-8 in header Description/source fields)
+    return _io.TextIOWrapper(BgzfWriter(path, level), encoding="utf-8",
                              write_through=False)
 
 

@@ -110,7 +110,9 @@ def dict_path_for(fasta: str | Path) -> Path:
     .fa/.fasta(.gz) suffix)."""
     p = Path(fasta)
     name = p.name
-    for suffix in (".fasta.gz", ".fa.gz", ".fasta", ".fa"):
+    for suffix in (
+        ".fasta.gz", ".fa.gz", ".fasta.bgz", ".fa.bgz", ".fasta", ".fa",
+    ):
         if name.endswith(suffix):
             return p.with_name(name[: -len(suffix)] + ".dict")
     return p.with_name(name + ".dict")
@@ -149,16 +151,38 @@ def _uncompressed_cache_for(path: Path) -> Path:
     import tempfile
 
     st = path.stat()
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     key = hashlib.md5(
-        f"{path.resolve()}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{path.resolve()}:{st.st_size}:{st.st_mtime_ns}:{uid}".encode()
     ).hexdigest()
-    cache = Path(tempfile.gettempdir()) / f"calitas_tpu_fasta_{key}.fa"
-    if not cache.exists():
+    # Prefer a sidecar next to the FASTA (conventional, survives /tmp
+    # limits — a 3 Gb genome won't fit a RAM-backed tmpfs); fall back to
+    # CALITAS_TPU_CACHE_DIR or the system tempdir when the directory is
+    # read-only.  The uid in the key keeps multi-user /tmp caches apart.
+    for base in (
+        path.parent,
+        Path(os.environ.get("CALITAS_TPU_CACHE_DIR")
+             or tempfile.gettempdir()),
+    ):
+        cache = base / f".{path.name}.calitas_cache_{key}.fa"
+        if cache.exists():
+            return cache
         tmp = cache.with_name(cache.name + f".tmp{os.getpid()}")
-        with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
-            shutil.copyfileobj(src, dst, 16 << 20)
-        os.replace(tmp, cache)
-    return cache
+        try:
+            with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+                shutil.copyfileobj(src, dst, 16 << 20)
+            os.replace(tmp, cache)
+            return cache
+        except OSError:
+            try:
+                tmp.unlink(missing_ok=True)
+            except OSError:
+                pass
+            continue
+    raise OSError(
+        f"cannot decompress {path}: no writable cache directory "
+        "(set CALITAS_TPU_CACHE_DIR)"
+    )
 
 
 class IndexedFasta:
@@ -304,9 +328,13 @@ def build_fai(fasta: str | Path) -> None:
                 offset += len(line)
         if name is not None:
             entries.append((name, length, seq_offset, line_bases, line_width))
-    with open(str(fasta) + ".fai", "w") as out:
+    # Atomic publish (temp + rename): a crash or a concurrent builder
+    # must never leave a truncated .fai that later runs trust.
+    tmp = f"{fasta}.fai.tmp{os.getpid()}"
+    with open(tmp, "w") as out:
         for name, length, seq_offset, line_bases, line_width in entries:
             out.write(f"{name}\t{length}\t{seq_offset}\t{line_bases}\t{line_width}\n")
+    os.replace(tmp, str(fasta) + ".fai")
 
 
 class ReferenceSetBuilder:

@@ -575,10 +575,12 @@ class GenomeScreen:
 
         With ``return_ranges`` (implies per-chain flags) also returns a
         [2, n, 2] uint8 array of coarse per-chain qualifying end-column
-        ranges: entry (c, i) = (min_block, max_block) with 8-column
-        blocks, i.e. qualifying 1-based end columns of window i on chain
-        c all lie within [min_block*8 + 1, (max_block+1)*8].  Only
-        meaningful where the chain flag is set.
+        ranges: entry (c, i) = (min_block, max_block) in blocks of
+        ``rb = range_block(self.window)`` columns (8 up to 2048-column
+        windows, doubling beyond), i.e. qualifying 1-based end columns
+        of window i on chain c all lie within
+        [min_block*rb + 1, (max_block+1)*rb].  Only meaningful where the
+        chain flag is set.
         """
         starts = self.window_starts(contig_len, step)
         n = len(starts)

@@ -55,6 +55,7 @@ class ProgressLogger:
 _PROGRAMMING_ERRORS = (
     RecursionError,
     TypeError,
+    ValueError,  # numpy reshape/stack shape bugs raise this
     AssertionError,
     AttributeError,
     NameError,

@@ -392,3 +392,25 @@ class TestCompressedFasta:
         r_gz = rows(gz, tmp_path / "gz.txt")
         assert len(r_plain) >= 3
         assert r_gz == r_plain
+
+
+def test_dict_path_for_bgz_suffixes():
+    from calitas_tpu.io.fasta import dict_path_for
+
+    assert dict_path_for("x/ref.fa.bgz").name == "ref.dict"
+    assert dict_path_for("x/ref.fasta.bgz").name == "ref.dict"
+    assert dict_path_for("x/ref.fa.gz").name == "ref.dict"
+    assert dict_path_for("x/ref.fa").name == "ref.dict"
+
+
+def test_vcf_gz_utf8_header(tmp_path):
+    """VCF 4.3 allows UTF-8 in header text; the BGZF write path must not
+    crash on it (parity with the plain-text and gzip read paths)."""
+    header = VcfHeader(
+        lines=["##fileformat=VCFv4.3", "##source=étude-ß"], samples=[]
+    )
+    p = tmp_path / "u.vcf.gz"
+    w = VcfWriter(p, header)
+    w.close()
+    with gzip.open(p, "rt", encoding="utf-8") as fh:
+        assert "étude-ß" in fh.read()
