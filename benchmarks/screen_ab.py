@@ -205,7 +205,6 @@ def main() -> None:
         finish_windows,
         max_target_span,
     )
-    from calitas_tpu.search.windows import materialize_window
 
     letters = np.frombuffer(b"ACGT", dtype=np.uint8)
     idx = np.nonzero(cf_prod.any(axis=0))[0]

@@ -25,10 +25,9 @@ import numpy as np
 from calitas_tpu.core.guide import Guide
 from calitas_tpu.core.sequence import revcomp
 from calitas_tpu.align.engine import SequentialAligner
-from calitas_tpu.align.guide_alignment import GuideAlignment
 from calitas_tpu.io.fasta import IndexedFasta
 from calitas_tpu.ops.genome_screen import GenomeScreen, range_block
-from calitas_tpu.search.windows import RefWindow, materialize_window
+from calitas_tpu.search.windows import materialize_window
 from calitas_tpu.utils import degradable
 
 
