@@ -148,10 +148,12 @@ def make_align_spec(guide, aligner, align_kwargs) -> dict:
 def make_finish_spec(
     guide, aligner, align_kwargs, *, guide_id, ref_path, aligner_id,
     arguments, vcf_id, timestamp, window_size, guide_length,
-    aligner_version=None,
+    aligner_version=None, swallow_errors: bool = False,
 ) -> dict:
     """Spec for :func:`_mp_finish_chunk`: align spec + everything a worker
-    needs to materialize windows and build ReferenceHit rows itself."""
+    needs to materialize windows and build ReferenceHit rows itself.
+    ``swallow_errors`` carries the caller's error policy into the batch
+    fallback (whose per-window errors surface inside the worker)."""
     spec = make_align_spec(guide, aligner, align_kwargs)
     spec.update(
         guide_id=guide_id,
@@ -163,6 +165,7 @@ def make_finish_spec(
         window_size=window_size,
         guide_length=guide_length,
         aligner_version=aligner_version,
+        swallow_errors=swallow_errors,
     )
     return spec
 
@@ -262,11 +265,15 @@ def map_items_mp(
     def drain(ws, fut, payload):
         nonlocal pool_broken
         if fut is not None:
+            from concurrent.futures import CancelledError
+
             try:
                 results = fut.result()
-            except BrokenProcessPool:
-                # Worker died (e.g. environment forbids subprocesses);
-                # recompute this chunk in-process and stop fanning out.
+            except (BrokenProcessPool, CancelledError):
+                # Worker died (environment forbids subprocesses) or the
+                # shared pool was replaced under us (a concurrent caller
+                # grew it, cancelling our queued futures); recompute this
+                # chunk in-process and stop fanning out.
                 pool_broken = True
                 results = worker_fn(spec, [to_payload(w) for w in ws])
         else:
@@ -287,24 +294,32 @@ def map_items_mp(
 
 _SHARED_POOL = None
 _SHARED_POOL_SIZE = 0
+_SHARED_POOL_ATEXIT = False
 
 
 def _shared_pool(processes: int):
     """A lazily-created, process-wide worker pool (spawning workers costs
     ~1s each; searches call the pool once per contig x guide)."""
-    global _SHARED_POOL, _SHARED_POOL_SIZE
+    global _SHARED_POOL, _SHARED_POOL_SIZE, _SHARED_POOL_ATEXIT
     import atexit
     import multiprocessing as mp
     from concurrent.futures import ProcessPoolExecutor
 
     if _SHARED_POOL is None or _SHARED_POOL_SIZE < processes:
         if _SHARED_POOL is not None:
+            # A partially-consumed map_items_mp generator may still hold
+            # futures on the old pool; cancelling surfaces there as
+            # CancelledError, which drain() recomputes in-process.
             _SHARED_POOL.shutdown(wait=False, cancel_futures=True)
         _SHARED_POOL = ProcessPoolExecutor(
             max_workers=processes, mp_context=mp.get_context("spawn")
         )
         _SHARED_POOL_SIZE = processes
-        atexit.register(lambda: _SHARED_POOL and _SHARED_POOL.shutdown(wait=False))
+        if not _SHARED_POOL_ATEXIT:
+            _SHARED_POOL_ATEXIT = True
+            atexit.register(
+                lambda: _SHARED_POOL and _SHARED_POOL.shutdown(wait=False)
+            )
     return _SHARED_POOL
 
 
@@ -326,22 +341,61 @@ def _unwrap(res, swallow_errors, logger):
 _MP_FINISH_CACHE: dict = {}
 
 
-def _mp_finish_state(spec: dict):
-    """Worker-side cached state: aligner, guide, indexed reference and a
-    HitBuilder sharing the parent's run timestamp / VCF id.  The key
-    includes every run-scoped output column (timestamp, arguments,
-    aligner id, VCF id) — worker processes outlive a run, and a second
-    run in the same interpreter must not render rows with the first
-    run's metadata."""
-    key = (
+def _finish_cache_key(spec: dict, suffix: str = "") -> tuple:
+    """THE key construction for every worker-side finish cache: includes
+    every run-scoped output column (timestamp, arguments, aligner
+    id/version, VCF id — the CLAUDE.md worker-cache invariant) so a
+    second run in the same interpreter never renders rows with the first
+    run's metadata.  Adding a run-scoped column means editing exactly
+    this function."""
+    return (
         spec["key"], spec["guide_id"], spec["ref_path"],
         spec["aligner_id"], spec["arguments"], spec["vcf_id"],
-        spec["timestamp"], spec.get("aligner_version"),
+        spec["timestamp"], spec.get("aligner_version"), suffix,
     )
+
+
+def _evict_other_runs(spec: dict) -> None:
+    """Drop cache entries from previous runs (workers outlive runs; a
+    resident server would otherwise leak one IndexedFasta mmap + builder
+    per request until EMFILE).  Entries of the CURRENT run — one per
+    guide in a multi-guide search — stay."""
+    cur = (spec["timestamp"], spec["arguments"], spec["vcf_id"])
+    stale = [
+        k for k in _MP_FINISH_CACHE if (k[6], k[4], k[5]) != cur
+    ]
+    for k in stale:
+        old = _MP_FINISH_CACHE.pop(k)
+        if isinstance(old, tuple) and len(old) == 4 and hasattr(
+            old[2], "close"
+        ):
+            try:
+                old[2].close()
+            except Exception:
+                pass
+
+
+def _render_consts_for(spec: dict, builder, guide):
+    key = _finish_cache_key(spec, "rc")
+    consts = _MP_FINISH_CACHE.get(key)
+    if consts is None:
+        from calitas_tpu.align.batch import make_render_consts
+
+        consts = make_render_consts(builder, guide)
+        _MP_FINISH_CACHE[key] = consts
+    return consts
+
+
+def _mp_finish_state(spec: dict):
+    """Worker-side cached state: aligner, guide, indexed reference and a
+    HitBuilder sharing the parent's run timestamp / VCF id (key contract:
+    :func:`_finish_cache_key`)."""
+    key = _finish_cache_key(spec)
     if key not in _MP_FINISH_CACHE:
         from calitas_tpu.io.fasta import IndexedFasta
         from calitas_tpu.search.hits import HitBuilder
 
+        _evict_other_runs(spec)
         aligner, guide = _mp_aligner_for(spec)
         ref = IndexedFasta(spec["ref_path"])
         builder = HitBuilder(
@@ -393,15 +447,7 @@ def _mp_finish_batch_item(spec: dict, item: tuple):
             if sel is None
             else np.ascontiguousarray(sel, np.uint8)
         )
-        cache_key = (
-            spec["key"], spec["guide_id"], spec["ref_path"],
-            spec["aligner_id"], spec["arguments"], spec["vcf_id"],
-            spec["timestamp"], spec.get("aligner_version"), "rc",
-        )
-        consts = _MP_FINISH_CACHE.get(cache_key)
-        if consts is None:
-            consts = make_render_consts(builder, guide)
-            _MP_FINISH_CACHE[cache_key] = consts
+        consts = _render_consts_for(spec, builder, guide)
         fin_kw = dict(
             block=True,
             max_guide_diffs=kw["max_guide_diffs"],
@@ -458,6 +504,10 @@ def _mp_finish_batch_item(spec: dict, item: tuple):
 
     for res in _mp_finish_chunk(spec, items):
         if isinstance(res, tuple) and len(res) == 2 and res[0] == "__error__":
+            if not spec.get("swallow_errors", False):
+                # Honor the caller's policy: propagate through the pool
+                # future instead of silently dropping the window's rows.
+                raise RuntimeError(res[1])
             logging.getLogger("calitas_tpu.SearchReference").error(
                 "Window finish failed (swallowed): %s", res[1]
             )
@@ -534,15 +584,7 @@ def _mp_finish_chunk(spec: dict, chunk: list):
                 passes_list.append(item[2])
                 if len(item) > 3 and item[3] is not None:
                     cr[i] = item[3]
-            cache_key = (
-                spec["key"], spec["guide_id"], spec["ref_path"],
-                spec["aligner_id"], spec["arguments"], spec["vcf_id"],
-                spec["timestamp"], spec.get("aligner_version"), "rc",
-            )
-            consts = _MP_FINISH_CACHE.get(cache_key)
-            if consts is None:
-                consts = make_render_consts(builder, guide)
-                _MP_FINISH_CACHE[cache_key] = consts
+            consts = _render_consts_for(spec, builder, guide)
             per = materialize_finish_lines(
                 guide, aligner, chrom0, ctxs, cs1, ws0, wrl, passes_list,
                 cr, consts, guide_length,
@@ -622,15 +664,7 @@ def _mp_finish_chunk(spec: dict, chunk: list):
             max_total_diffs=kw["max_total_diffs"],
             max_overlap=kw["max_overlap"],
         )
-        cache_key = (
-            spec["key"], spec["guide_id"], spec["ref_path"],
-            spec["aligner_id"], spec["arguments"], spec["vcf_id"],
-            spec["timestamp"], spec.get("aligner_version"), "rc",
-        )
-        consts = _MP_FINISH_CACHE.get(cache_key)
-        if consts is None:
-            consts = make_render_consts(builder, guide)
-            _MP_FINISH_CACHE[cache_key] = consts
+        consts = _render_consts_for(spec, builder, guide)
 
         # Fastest path: the COMPLETE line (flanks included) renders in
         # native code; Python only slices the line buffer.

@@ -407,6 +407,7 @@ def _search_contig(
                 guide_id=task.guide_id,
                 window_size=window_size,
                 guide_length=task.guide_length,
+                swallow_errors=swallow_errors,
                 **hit_spec,
             )
             cstarts = starts[hit_idx]
@@ -573,6 +574,7 @@ def _finish_segments(
         guide_id=task.guide_id,
         window_size=window_size,
         guide_length=task.guide_length,
+        swallow_errors=swallow_errors,
         **hit_spec,
     )
     for (_tag, c, bstarts, *_rest), rows in map_items_mp(

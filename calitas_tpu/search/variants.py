@@ -605,12 +605,49 @@ def variant_window_iterator(
                 blocks=blocks,
             )
             return
+    # The chunking below (next_chunk proximity grouping, window CIGAR
+    # construction) requires position order within each chromosome — the
+    # reference gets this from its htsjdk-indexed source.  Our tolerant
+    # VcfIndex preserves file order for malformed (unsorted) chroms, so
+    # sort those streams here rather than feeding order-dependent code.
+    # Stable sort keyed on pos only: a sorted stream passes through in
+    # exactly file order (same-pos ties keep their original order, which
+    # the allele-combination output order depends on).
+    def _chrom_sorted(it, sorted_flags, c):
+        if sorted_flags.get(c, True):
+            return it
+        return iter(sorted(it, key=lambda v: v.pos))
+
     if chrom is not None:
         contig_names = [chrom]
-        vcf_iter = _Peekable(reader.query(chrom, 1, 2**31 - 1))
+        it = reader.query(chrom, 1, 2**31 - 1)
+        if isinstance(reader, VcfIndex):
+            it = _chrom_sorted(it, reader._sorted, chrom)
+        vcf_iter = _Peekable(it)
     else:
         contig_names = fasta.names
-        vcf_iter = _Peekable(iter(reader))
+        if isinstance(reader, VcfIndex):
+            def _all_chroms(idx=reader):
+                for c in idx.chroms:
+                    yield from _chrom_sorted(
+                        idx.query(c, 1, 2**31 - 1), idx._sorted, c
+                    )
+
+            vcf_iter = _Peekable(_all_chroms())
+        else:
+            # Streaming reader of unknown sortedness: buffer one
+            # chromosome at a time and stable-sort by position (a no-op
+            # pass-through for well-formed sorted VCFs).
+            def _stream_sorted(r=reader):
+                buf: list = []
+                for v in r:
+                    if buf and v.chrom != buf[-1].chrom:
+                        yield from sorted(buf, key=lambda x: x.pos)
+                        buf = []
+                    buf.append(v)
+                yield from sorted(buf, key=lambda x: x.pos)
+
+            vcf_iter = _Peekable(_stream_sorted())
 
     contig_iter = iter(contig_names)
     cur_name = next(contig_iter)

@@ -235,22 +235,36 @@ def serve_stdio(
         if cmd == "ping":
             reply({"ok": True, "ready": True})
             continue
-        t0 = time.perf_counter()
+        # Classify request-shape errors BEFORE calling: an internal
+        # TypeError raised deep inside the search must not be reported
+        # as the client's fault (and must not be confused with bad kwargs).
+        import inspect
+
         try:
-            table = searcher.search(**req)
+            inspect.signature(searcher.search).bind(**req)
         except TypeError as ex:
             reply({"ok": False, "error": f"bad request: {ex}"})
             continue
+        out = req.get("output")
+        if out is not None and (not isinstance(out, str) or out == "-"
+                                or out.startswith("/dev/")):
+            # '-' would dump the TSV into this JSON protocol stream
+            reply({"ok": False, "error": "bad request: output must be a "
+                                         "regular file path"})
+            continue
+        t0 = time.perf_counter()
+        try:
+            table = searcher.search(**req)
+            resp = {"ok": True,
+                    "seconds": round(time.perf_counter() - t0, 3)}
+            if out is not None:
+                with open(out) as fh:
+                    resp["rows"] = sum(1 for _ in fh) - 1
+                resp["output"] = out
+            else:
+                resp["rows"] = table.count("\n") - 1
+                resp["table"] = table
         except Exception as ex:  # noqa: BLE001 — a bad guide must not kill the server
             reply({"ok": False, "error": repr(ex)})
             continue
-        resp = {"ok": True, "seconds": round(time.perf_counter() - t0, 3)}
-        out = req.get("output")
-        if out is not None:
-            with open(out) as fh:
-                resp["rows"] = sum(1 for _ in fh) - 1
-            resp["output"] = out
-        else:
-            resp["rows"] = table.count("\n") - 1
-            resp["table"] = table
         reply(resp)

@@ -185,37 +185,43 @@ def test_missing_lib_falls_back_to_python(tmp_path, monkeypatch):
     _assert_same_windows(nat, wins)
 
 
-def test_unsorted_chrom_gates_off_the_native_path(tmp_path):
+def test_unsorted_chrom_sorted_before_windowing(tmp_path):
     """A position-unsorted chromosome must not take the native builder
-    (its right-to-left splice mirrors the Python bytearray semantics only
-    for sorted input, like the reference's sorted-VCF assumption)."""
+    (its right-to-left splice needs sorted input); the Python fallback
+    position-sorts the stream, so windows come out exactly as if the
+    VCF had been sorted (the reference's htsjdk source guarantees
+    sortedness; our tolerant reader must not feed file order into the
+    order-dependent chunking)."""
     rng = np.random.default_rng(18)
     fasta, seqs = _make_ref(tmp_path, rng, [("chr1", 2000)])
     seq = seqs["chr1"]
-    with open(tmp_path / "v.vcf", "w") as fh:
-        fh.write("##fileformat=VCFv4.2\n")
-        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
-        for pos in (900, 300):  # unsorted
-            ref = seq[pos - 1]
-            alt = "ACGT"[("ACGT".index(ref) + 1) % 4]
-            fh.write(f"chr1\t{pos}\trs{pos}\t{ref}\t{alt}\t.\tPASS\tAF=0.1\n")
+
+    def write_vcf(path, positions):
+        with open(path, "w") as fh:
+            fh.write("##fileformat=VCFv4.2\n")
+            fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+            for pos in positions:
+                ref = seq[pos - 1]
+                alt = "ACGT"[("ACGT".index(ref) + 1) % 4]
+                fh.write(
+                    f"chr1\t{pos}\trs{pos}\t{ref}\t{alt}\t.\tPASS\tAF=0.1\n"
+                )
+
+    write_vcf(tmp_path / "v.vcf", (900, 300))  # unsorted
+    write_vcf(tmp_path / "sorted.vcf", (300, 900))
     idx = VcfIndex(tmp_path / "v.vcf")
     assert not idx._sorted["chr1"]
-    gen_native = V.variant_window_iterator(fasta, idx, None, 20, 16)
-    gen_python = V.variant_window_iterator(
-        fasta, tmp_path / "v.vcf", None, 20, 16
-    )
-    # Both paths behave identically on this input (here: the Python
-    # machinery rejects the inverted multi-variant window).
-    import itertools
 
-    res = []
-    for gen in (gen_native, gen_python):
-        try:
-            res.append(("ok", len(list(itertools.islice(gen, 100)))))
-        except AssertionError:
-            res.append(("assert", None))
-    assert res[0] == res[1]
+    def windows(src):
+        return [
+            (w.chrom, w.start, bytes(w.bases))
+            for w in V.variant_window_iterator(fasta, src, None, 20, 16)
+        ]
+
+    want = windows(VcfIndex(tmp_path / "sorted.vcf"))
+    assert len(want) == 2
+    assert windows(idx) == want  # unsorted index path
+    assert windows(tmp_path / "v.vcf") == want  # unsorted streaming path
 
 
 def test_missing_chrom_error_parity(tmp_path):

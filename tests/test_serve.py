@@ -93,6 +93,9 @@ def test_serve_stdio_protocol(genome, tmp_path):
                     "output": str(out_path)}),
         json.dumps({"guide": "acgtacgt", "guide_id": "bad"}),  # all-lowercase: parse error
         json.dumps({"guide": GUIDE, "guide_id": "g1", "bogus_kw": 1}),
+        # '-' would dump the TSV into this JSON protocol stream; the
+        # server must reject it as a bad request, not die on open('-')
+        json.dumps({"guide": GUIDE, "guide_id": "g1", "output": "-"}),
         json.dumps({"cmd": "shutdown"}),
     ]) + "\n"
     out = io.StringIO()
@@ -104,7 +107,8 @@ def test_serve_stdio_protocol(genome, tmp_path):
     assert out_path.exists()
     assert not replies[3]["ok"]  # bad guide reported, server kept running
     assert not replies[4]["ok"] and "bad request" in replies[4]["error"]
-    assert replies[5]["ok"] and replies[5].get("bye")
+    assert not replies[5]["ok"] and "bad request" in replies[5]["error"]
+    assert replies[6]["ok"] and replies[6].get("bye")
 
 
 def test_serve_cli_subprocess(genome, tmp_path):
