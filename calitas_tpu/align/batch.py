@@ -83,6 +83,58 @@ def cpp_pass_for(engine_pass: str, is5prime: bool) -> int:
     return 0 if is5prime else 1
 
 
+def _pack_query_pams(guide: Guide):
+    """Encoded DP-orientation query + PAM arrays shared by every native
+    finish call, or None when a PAM exceeds the native 63-base mismatch
+    mask (callers then fall back to the Python engine, which handles any
+    length)."""
+    is5 = guide.pam_is_5prime
+    query = guide.guide_rc if is5 else guide.guide_fw
+    pams = guide.pams_rc if is5 else guide.pams_fw
+    if any(len(p) > 63 for p in pams):
+        return None
+    qbytes = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+    pam_bytes = [p.encode("ascii") for p in pams]
+    pam_cat = np.frombuffer(b"".join(pam_bytes) or b"\0", dtype=np.uint8)
+    n_pams = len(pam_bytes)
+    pam_off = np.zeros(max(n_pams, 1), np.int32)
+    pam_len = np.zeros(max(n_pams, 1), np.int32)
+    off = 0
+    for k, p in enumerate(pam_bytes):
+        pam_off[k] = off
+        pam_len[k] = len(p)
+        off += len(p)
+    max_pam_len = max((len(p) for p in pam_bytes), default=0)
+    return (is5, query, pams, qbytes, pam_cat, pam_off, pam_len, n_pams,
+            max_pam_len)
+
+
+def _pack_seqs(seqs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate byte sequences -> (cat uint8, off int64, len int32)."""
+    slen = np.array([len(b) for b in seqs], dtype=np.int32)
+    soff = np.zeros(len(seqs), dtype=np.int64)
+    if len(seqs) > 1:
+        soff[1:] = np.cumsum(slen[:-1], dtype=np.int64)
+    sbytes = np.empty(int(slen.sum()) or 1, dtype=np.uint8)
+    for i, b in enumerate(seqs):
+        sbytes[soff[i] : soff[i] + slen[i]] = (
+            np.frombuffer(b, dtype=np.uint8) if isinstance(b, bytes) else b
+        )
+    return sbytes, soff, slen
+
+
+def _pass_mask_for(passes_list, is5: bool, n: int) -> np.ndarray:
+    """Engine pass tuples -> native pass bitmask per window (bit0 = cpp
+    pass 0, bit1 = cpp pass 1)."""
+    pass_mask = np.zeros(n, dtype=np.uint8)
+    for i, ps in enumerate(passes_list):
+        m = 0
+        for p in ps:
+            m |= 1 << cpp_pass_for(p, is5)
+        pass_mask[i] = m
+    return pass_mask
+
+
 def _native_finish_raw(
     guide: Guide,
     aligner,  # SequentialAligner (scorer + min_guide_score)
@@ -104,37 +156,16 @@ def _native_finish_raw(
     if lib is None:
         return None
 
-    is5 = guide.pam_is_5prime
-    query = guide.guide_rc if is5 else guide.guide_fw
-    pams = guide.pams_rc if is5 else guide.pams_fw
-    qbytes = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+    qp = _pack_query_pams(guide)
+    if qp is None:
+        return None  # PAM too long for the native mask: Python engine
+    is5, query, pams, qbytes, pam_cat, pam_off, pam_len, n_pams, \
+        max_pam_len = qp
     Q = len(qbytes)
-    pam_bytes = [p.encode("ascii") for p in pams]
-    pam_cat = np.frombuffer(b"".join(pam_bytes) or b"\0", dtype=np.uint8)
-    n_pams = len(pam_bytes)
-    pam_off = np.zeros(max(n_pams, 1), np.int32)
-    pam_len = np.zeros(max(n_pams, 1), np.int32)
-    off = 0
-    for k, p in enumerate(pam_bytes):
-        pam_off[k] = off
-        pam_len[k] = len(p)
-        off += len(p)
-    max_pam_len = max((len(p) for p in pam_bytes), default=0)
 
     n = len(windows)
-    wlen = np.array([len(b) for _, _, b in windows], dtype=np.int32)
-    woff = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        woff[1:] = np.cumsum(wlen[:-1], dtype=np.int64)
-    wbytes = np.empty(int(wlen.sum()) or 1, dtype=np.uint8)
-    for i, (_, _, b) in enumerate(windows):
-        wbytes[woff[i] : woff[i] + wlen[i]] = b
-    pass_mask = np.zeros(n, dtype=np.uint8)
-    for i, ps in enumerate(passes_list):
-        m = 0
-        for p in ps:
-            m |= 1 << cpp_pass_for(p, is5)
-        pass_mask[i] = m
+    wbytes, woff, wlen = _pack_seqs([b for _, _, b in windows])
+    pass_mask = _pass_mask_for(passes_list, is5, n)
     if ranges is None:
         ranges_arr = np.zeros((max(n, 1), 4), dtype=np.int32)
     else:
@@ -195,7 +226,18 @@ def _native_finish_raw(
         return gstr
 
     return (
-        n_out, meta, out_str.tobytes(), out_cig.tobytes(), str_off, plen,
+        n_out, meta,
+        # copy only the used prefixes (capacity is 4x-grown; the last
+        # hit's strings are 3*plen + ulen bytes at str_off)
+        out_str[
+            : (int(str_off[n_out - 1]) + 3 * int(plen[n_out - 1])
+               + int(ulen[n_out - 1])) if n_out else 0
+        ].tobytes(),
+        out_cig[
+            : (int(cig_off[n_out - 1]) + int(cig_len[n_out - 1]))
+            if n_out else 0
+        ].tobytes(),
+        str_off, plen,
         ulen, cig_off, cig_len, guide_str,
     )
 
@@ -402,49 +444,22 @@ def finish_lines(
     if any(c != chrom0 for c, _, _ in windows):
         return None  # mixed chromosomes: caller falls back
 
-    is5 = guide.pam_is_5prime
-    query = guide.guide_rc if is5 else guide.guide_fw
-    pams = guide.pams_rc if is5 else guide.pams_fw
-    qbytes = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+    qp = _pack_query_pams(guide)
+    if qp is None:
+        return None  # PAM too long for the native mask: Python engine
+    is5, query, pams, qbytes, pam_cat, pam_off, pam_len, n_pams, \
+        max_pam_len = qp
     Q = len(qbytes)
-    pam_bytes = [p.encode("ascii") for p in pams]
-    pam_cat = np.frombuffer(b"".join(pam_bytes) or b"\0", dtype=np.uint8)
-    n_pams = len(pam_bytes)
-    pam_off = np.zeros(max(n_pams, 1), np.int32)
-    pam_len = np.zeros(max(n_pams, 1), np.int32)
-    off = 0
-    for k, p in enumerate(pam_bytes):
-        pam_off[k] = off
-        pam_len[k] = len(p)
-        off += len(p)
-    max_pam_len = max((len(p) for p in pam_bytes), default=0)
 
-    wlen = np.array([len(b) for _, _, b in windows], dtype=np.int32)
-    woff = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        woff[1:] = np.cumsum(wlen[:-1], dtype=np.int64)
-    wbytes = np.empty(int(wlen.sum()) or 1, dtype=np.uint8)
-    for i, (_, _, b) in enumerate(windows):
-        wbytes[woff[i] : woff[i] + wlen[i]] = b
+    wbytes, woff, wlen = _pack_seqs([b for _, _, b in windows])
     wstart1 = np.array([s for _, s, _ in windows], dtype=np.int64)
-    pass_mask = np.zeros(n, dtype=np.uint8)
-    for i, ps in enumerate(passes_list):
-        m = 0
-        for p in ps:
-            m |= 1 << cpp_pass_for(p, is5)
-        pass_mask[i] = m
+    pass_mask = _pass_mask_for(passes_list, is5, n)
     if ranges is None:
         ranges_arr = np.zeros((max(n, 1), 4), dtype=np.int32)
     else:
         ranges_arr = np.ascontiguousarray(ranges, dtype=np.int32)
 
-    flen = np.array([len(b) for _, b in flank_srcs], dtype=np.int32)
-    foff = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        foff[1:] = np.cumsum(flen[:-1], dtype=np.int64)
-    fbytes = np.empty(int(flen.sum()) or 1, dtype=np.uint8)
-    for i, (_, b) in enumerate(flank_srcs):
-        fbytes[foff[i] : foff[i] + flen[i]] = b
+    fbytes, foff, flen = _pack_seqs([b for _, b in flank_srcs])
     fstart1 = np.array([s for s, _ in flank_srcs], dtype=np.int64)
 
     s = aligner.scorer
@@ -470,7 +485,7 @@ def finish_lines(
     line_width = const_len + 6 * aln_width + 120
     max_out = max(256, 4 * n)
     while True:
-        meta = np.empty((max_out, 8), dtype=np.int32)
+        meta = np.empty((max_out, 8), dtype=np.int64)
         lines_cap = max_out * line_width
         out_lines = np.empty(lines_cap, dtype=np.uint8)
         line_off = np.empty(max_out, dtype=np.int64)
@@ -510,7 +525,10 @@ def finish_lines(
 
     from calitas_tpu.search.hits import RenderedHit
 
-    buf = out_lines.tobytes()
+    _used = (
+        int(line_off[n_out - 1]) + int(line_len[n_out - 1]) if n_out else 0
+    )
+    buf = out_lines[:_used].tobytes()
     c_guide_id = consts["guide_id"]
     out: list[list] = [[] for _ in range(n)]
     mv = meta[:n_out].tolist()
@@ -573,22 +591,12 @@ def materialize_finish_lines(
     if n == 0:
         return []
 
-    is5 = guide.pam_is_5prime
-    query = guide.guide_rc if is5 else guide.guide_fw
-    pams = guide.pams_rc if is5 else guide.pams_fw
-    qbytes = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+    qp = _pack_query_pams(guide)
+    if qp is None:
+        return None  # PAM too long for the native mask: Python engine
+    is5, query, pams, qbytes, pam_cat, pam_off, pam_len, n_pams, \
+        max_pam_len = qp
     Q = len(qbytes)
-    pam_bytes = [p.encode("ascii") for p in pams]
-    pam_cat = np.frombuffer(b"".join(pam_bytes) or b"\0", dtype=np.uint8)
-    n_pams = len(pam_bytes)
-    pam_off = np.zeros(max(n_pams, 1), np.int32)
-    pam_len = np.zeros(max(n_pams, 1), np.int32)
-    off = 0
-    for k, p in enumerate(pam_bytes):
-        pam_off[k] = off
-        pam_len[k] = len(p)
-        off += len(p)
-    max_pam_len = max((len(p) for p in pam_bytes), default=0)
 
     if raw_ctx is not None:
         cbytes, coff, craw_len, clen = raw_ctx
@@ -597,22 +605,13 @@ def materialize_finish_lines(
         clen = np.ascontiguousarray(clen, dtype=np.int32)
     else:
         craw_len = None
-        clen = np.array([len(c) for c in ctxs], dtype=np.int32)
-        coff = np.zeros(n, dtype=np.int64)
-        if n > 1:
-            coff[1:] = np.cumsum(clen[:-1], dtype=np.int64)
-        cbytes = np.frombuffer(b"".join(ctxs) or b"\0", dtype=np.uint8)
+        cbytes, coff, clen = _pack_seqs(list(ctxs))
     if isinstance(passes_list, np.ndarray):
         # Native pass-mask array straight from the screen's chain flags
         # (chain A = cpp pass 0, chain B = cpp pass 1 — same encoding).
         pass_mask = np.ascontiguousarray(passes_list, dtype=np.uint8)
     else:
-        pass_mask = np.zeros(n, dtype=np.uint8)
-        for i, ps in enumerate(passes_list):
-            m = 0
-            for p in ps:
-                m |= 1 << cpp_pass_for(p, is5)
-            pass_mask[i] = m
+        pass_mask = _pass_mask_for(passes_list, is5, n)
     if cranges is None:
         cr = np.full((n, 4), -1, dtype=np.int32)
     else:
@@ -644,7 +643,7 @@ def materialize_finish_lines(
 
     max_out = max(256, 4 * n)
     while True:
-        meta = np.empty((max_out, 8), dtype=np.int32)
+        meta = np.empty((max_out, 8), dtype=np.int64)
         lines_cap = max_out * line_width
         out_lines = np.empty(lines_cap, dtype=np.uint8)
         line_off = np.empty(max_out, dtype=np.int64)
@@ -720,7 +719,10 @@ def materialize_finish_lines(
 
     from calitas_tpu.search.hits import RenderedHit
 
-    buf = out_lines.tobytes()
+    _used = (
+        int(line_off[n_out - 1]) + int(line_len[n_out - 1]) if n_out else 0
+    )
+    buf = out_lines[:_used].tobytes()
     out: list[list] = [[] for _ in range(n)]
     mv = meta[:n_out].tolist()
     lo = line_off[:n_out].tolist()

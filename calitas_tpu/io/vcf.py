@@ -255,7 +255,9 @@ def _parse_record(line: str) -> VcfVariant:
         pos=int(pos),
         id=None if vid == "." else vid,
         ref=ref,
-        alts=tuple(a for a in alt.split(",") if a != "."),
+        # '.' and empty tokens (malformed trailing commas) carry no
+        # allele; htsjdk rejects them outright, we drop them tolerantly
+        alts=tuple(a for a in alt.split(",") if a not in (".", "")),
         qual=None if qual == "." else qual,
         filters=frozenset() if filt == "." else frozenset(filt.split(";")),
         info=tuple(info_pairs),

@@ -287,14 +287,15 @@ int32_t search_pass(const uint8_t* qmask, int32_t Q,
       const int32_t plen = pam_len[p];
       int32_t best_offset = -1;
       int32_t best_total = INT32_MIN;
-      uint32_t best_mm_mask = 0;  // bit per PAM base (plen <= 31)
+      uint64_t best_mm_mask = 0;  // bit per PAM base (plen <= 63; longer
+      // PAMs are gated off the native path in align/batch.py)
       for (int32_t offset = 0; offset <= max_extra_gap; ++offset) {
         const int32_t t_off = end + offset;  // 0-based offset after aln
         int32_t limit = max_total_diffs - guide_diffs - offset;
         if (limit > max_pam_mismatches) limit = max_pam_mismatches;
         if (t_off + plen > T || limit < 0) continue;
         int32_t score = 0, n_mm = 0;
-        uint32_t mm_mask = 0;
+        uint64_t mm_mask = 0;
         for (int32_t k = 0; k < plen; ++k) {
           // PAM scoring: target N (mask 0) always mismatches; otherwise
           // IUPAC-compatible -> pam_match.  A base is '=' iff its addend
@@ -303,7 +304,7 @@ int32_t search_pass(const uint8_t* qmask, int32_t Q,
           const bool ok = (pam[k] & tmask[t_off + k]) != 0;
           const int32_t addend = ok ? pam_match : pam_mismatch;
           score += addend;
-          if (addend <= 0) { ++n_mm; mm_mask |= (1u << k); }
+          if (addend <= 0) { ++n_mm; mm_mask |= (1ull << k); }
         }
         if (n_mm > limit) continue;
         const int32_t total = score + offset * qgap;
@@ -320,7 +321,7 @@ int32_t search_pass(const uint8_t* qmask, int32_t Q,
       std::memcpy(dst, fw_ops.data(), glen);
       for (int32_t k = 0; k < best_offset; ++k) dst[glen + k] = 'D';
       for (int32_t k = 0; k < plen; ++k)
-        dst[glen + best_offset + k] = (best_mm_mask & (1u << k)) ? 'X' : '=';
+        dst[glen + best_offset + k] = (best_mm_mask & (1ull << k)) ? 'X' : '=';
       int32_t gaps = 0, edits = 0;
       for (int32_t k = 0; k < full_len; ++k) {
         const char c = dst[k];
@@ -515,19 +516,19 @@ int run_pass_collect(const uint8_t* qmask, int32_t Q, const uint8_t* tmask,
       const int32_t plen = pam_len[p];
       int32_t best_offset = -1;
       int32_t best_total = INT32_MIN;
-      uint32_t best_mm_mask = 0;
+      uint64_t best_mm_mask = 0;
       for (int32_t offset = 0; offset <= max_extra_gap; ++offset) {
         const int32_t t_off = end + offset;
         int32_t limit = extension_total_diffs - guide_diffs - offset;
         if (limit > max_pam_mismatches) limit = max_pam_mismatches;
         if (t_off + plen > T || limit < 0) continue;
         int32_t score = 0, n_mm = 0;
-        uint32_t mm_mask = 0;
+        uint64_t mm_mask = 0;
         for (int32_t k = 0; k < plen; ++k) {
           const bool ok = (pam[k] & tmask[t_off + k]) != 0;
           const int32_t addend = ok ? pam_match : pam_mismatch;
           score += addend;
-          if (addend <= 0) { ++n_mm; mm_mask |= (1u << k); }
+          if (addend <= 0) { ++n_mm; mm_mask |= (1ull << k); }
         }
         if (n_mm > limit) continue;
         const int32_t total = score + offset * qgap;
@@ -546,7 +547,7 @@ int run_pass_collect(const uint8_t* qmask, int32_t Q, const uint8_t* tmask,
       a.ops = fw_ops;
       a.ops.append(best_offset, 'D');
       for (int32_t k = 0; k < plen; ++k)
-        a.ops.push_back((best_mm_mask & (1u << k)) ? 'X' : '=');
+        a.ops.push_back((best_mm_mask & (1ull << k)) ? 'X' : '=');
       a.gap_bases = 0; a.edits = 0;
       for (char c : a.ops) {
         if (c == 'I' || c == 'D') { ++a.gap_bases; ++a.edits; }
@@ -934,7 +935,8 @@ int32_t finish_batch(
 // unpadded guide, genome build, guide-length digits, and the pre-joined
 // tail (aligner..time_stamp).
 //
-// Output: out_meta8[k*8] = {widx, strand(0='+'), cs, score, rh_end, 0,0,0}
+// Output (int64 per element — genomic coords exceed int32 on >2 Gb
+// contigs): out_meta8[k*8] = {widx, strand(0='+'), cs, score, rh_end, 0,0,0}
 // (cs = genomic guide-only start; rh_end = cs + length_on_target - 1, the
 // ReferenceHit.end dedup key), and the line bytes (newline included)
 // packed into out_lines at out_line_off[k] (out_line_len[k] chars).
@@ -957,7 +959,7 @@ int32_t finish_batch_render(
     const char* c_build, int32_t c_build_len,
     const char* c_glen, int32_t c_glen_len,
     const char* c_tail, int32_t c_tail_len,
-    int32_t max_out, int32_t* out_meta8,
+    int32_t max_out, int64_t* out_meta8,
     char* out_lines, int64_t out_lines_cap,
     int64_t* out_line_off, int32_t* out_line_len) {
   // pam_used per pam index: the lowercase chars of the final guide string
@@ -1064,14 +1066,14 @@ int32_t finish_batch_render(
     if (n_out >= max_out ||
         line_pos + (int64_t)line.size() > out_lines_cap)
       return -1;
-    int32_t* m = out_meta8 + (int64_t)n_out * 8;
+    int64_t* m = out_meta8 + (int64_t)n_out * 8;
     m[0] = w;
     m[1] = strandc;
-    m[2] = (int32_t)cs;
+    m[2] = cs;
     m[3] = a.score;
     // ReferenceHit.end quirk preserved: guide-only start + full-cigar
     // length-on-target (= e0 - s0) - 1 (ReferenceHit.scala:135-138).
-    m[4] = (int32_t)(cs + (r.e0 - r.s0) - 1);
+    m[4] = cs + (r.e0 - r.s0) - 1;
     m[5] = 0; m[6] = 0; m[7] = 0;
     out_line_off[n_out] = line_pos;
     out_line_len[n_out] = (int32_t)line.size();
@@ -1121,7 +1123,7 @@ int32_t materialize_finish_render(
     const char* c_build, int32_t c_build_len,
     const char* c_glen, int32_t c_glen_len,
     const char* c_tail, int32_t c_tail_len,
-    int32_t max_out, int32_t* out_meta8,
+    int32_t max_out, int64_t* out_meta8,
     char* out_lines, int64_t out_lines_cap,
     int64_t* out_line_off, int32_t* out_line_len) {
   // Uppercase table (flank sources and window bytes are uppercased;
@@ -1235,7 +1237,7 @@ int32_t materialize_finish_render_raw(
     const char* c_build, int32_t c_build_len,
     const char* c_glen, int32_t c_glen_len,
     const char* c_tail, int32_t c_tail_len,
-    int32_t max_out, int32_t* out_meta8,
+    int32_t max_out, int64_t* out_meta8,
     char* out_lines, int64_t out_lines_cap,
     int64_t* out_line_off, int32_t* out_line_len) {
   int64_t total = 0;

@@ -64,13 +64,19 @@ bool parse_rec(const char* p, const char* e, Rec* out) {
   t = static_cast<const char*>(memchr(p, '\t', e - p));
   const char* alt_end = t ? t : e;
   const char* a = p;
-  while (a < alt_end) {
+  // '.' and EMPTY tokens (malformed trailing/leading commas) carry no
+  // allele and are dropped, exactly like the tolerant Python reader
+  // (io/vcf.py::_parse_record) — the two tiers must emit identical
+  // window sets.
+  for (;;) {
     const char* c =
         static_cast<const char*>(memchr(a, ',', alt_end - a));
     const char* tok_end = c ? c : alt_end;
-    if (!(tok_end - a == 1 && *a == '.')) {
-      out->alts.emplace_back(a, static_cast<int32_t>(tok_end - a));
+    const int64_t tok_len = tok_end - a;
+    if (tok_len > 0 && !(tok_len == 1 && *a == '.')) {
+      out->alts.emplace_back(a, static_cast<int32_t>(tok_len));
     }
+    if (!c) break;
     a = tok_end + 1;
   }
   out->pos = pos;
@@ -332,6 +338,10 @@ int32_t build_variant_windows(
     const char* p = reinterpret_cast<const char*>(blob) + rec_start[i];
     const char* e = reinterpret_cast<const char*>(blob) + rec_end[i];
     if (!parse_rec(p, e, &recs[i])) return -2;
+    // A variant beyond the contig end means the VCF and reference are
+    // mismatched builds; fail LOUDLY like the Python oracle instead of
+    // silently dropping windows (-3 -> ValueError upstream).
+    if (recs[i].pos < 1 || recs[i].end > ref_len) return -(300 + i);
   }
 
   Outputs o;

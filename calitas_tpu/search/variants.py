@@ -175,6 +175,14 @@ def build_variant_window(
     """Substitute the chosen alt alleles into a padded reference slice and
     build the window->reference CIGAR (SearchReference.scala:263-323)."""
     ref_len = len(ref_bases)
+    if vset.start < 1 or vset.end > ref_len:
+        # Mirrors the native builder's -3xx error: a variant beyond the
+        # contig means mismatched VCF/reference builds — fail loudly.
+        raise ValueError(
+            f"Variant at {ref_name}:{vset.start}-{vset.end} lies beyond "
+            f"the contig end (contig length {ref_len}) — do the VCF and "
+            "reference use the same genome build?"
+        )
     window_start = max(1, vset.start - padding)
     window_end = min(ref_len, vset.end + padding)
     alleles = [vset.variant_allele(i) for i in range(len(vset.variants))]
@@ -501,6 +509,13 @@ def _native_chrom_blocks(
             if rc == -1:
                 win_cap *= 4
                 continue
+            if rc <= -300:
+                k = -(rc + 300)
+                raise ValueError(
+                    f"Variant {vchrom} record {i0 + k} lies beyond the "
+                    f"contig end (contig length {len(ref_bases)}) — do "
+                    "the VCF and reference use the same genome build?"
+                )
             if rc < 0:
                 raise ValueError(
                     f"Malformed VCF record near {vchrom} record {i0} "

@@ -447,3 +447,31 @@ def test_batch_raw_ctx_matches_sliced(gi, tmp_path, monkeypatch):
     np.testing.assert_array_equal(got.ends, want.ends)
     np.testing.assert_array_equal(got.line_offs, want.line_offs)
     assert len(got) >= 3  # planted hits actually exercised the comparison
+
+
+def test_oversized_pam_falls_back_to_python_engine():
+    """PAMs beyond the native 63-base mismatch mask gate the batch off
+    the native path (None -> caller's Python tiers) instead of hitting
+    shift UB; the Python engine handles any PAM length."""
+    import numpy as np
+
+    from calitas_tpu.align.batch import _pack_query_pams, finish_windows
+    from calitas_tpu.align.engine import SequentialAligner
+    from calitas_tpu.core.guide import Guide
+
+    long_pam = "n" * 70
+    guide = Guide.parse("CTTGCCCCACAGGGCAGTAA" + long_pam)
+    assert _pack_query_pams(guide) is None
+    rng = np.random.default_rng(5)
+    bases = rng.choice(
+        np.frombuffer(b"ACGT", np.uint8), 200
+    ).astype(np.uint8)
+    out = finish_windows(
+        guide, SequentialAligner(), [("chr1", 1, bases)], [("fwd", "rev")],
+        None, max_guide_diffs=4, max_pam_diffs=1,
+        max_gaps_between_guide_and_pam=3, max_total_diffs=8, max_overlap=5,
+    )
+    assert out is None  # callers fall back to the per-window engine
+    # a 63-base PAM still takes the native path
+    ok_guide = Guide.parse("CTTGCCCCACAGGGCAGTAA" + "n" * 63)
+    assert _pack_query_pams(ok_guide) is not None

@@ -335,3 +335,45 @@ def test_blocks_mode_screens_identically(tmp_path, seed):
     b = stream(True)
     assert a, "no windows flagged at the permissive threshold"
     assert a == b
+
+
+def test_trailing_comma_alt_parity(tmp_path):
+    """'.' and empty ALT tokens (malformed trailing/leading commas)
+    carry no allele; BOTH parsers drop them so the two tiers emit the
+    same window set (the old native tokenizer dropped only the trailing
+    one, diverging from Python)."""
+    rng = np.random.default_rng(23)
+    fasta, seqs = _make_ref(tmp_path, rng, [("chr1", 2000)])
+    seq = seqs["chr1"]
+    with open(tmp_path / "v.vcf", "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.write(f"chr1\t500\trs1\t{seq[499]}\tC,\t.\tPASS\tAF=0.1,0.1\n")
+        fh.write(f"chr1\t900\trs2\t{seq[899]}\t,C\t.\tPASS\tAF=0.1,0.1\n")
+    idx = VcfIndex(tmp_path / "v.vcf")
+
+    def windows(src):
+        return [
+            (w.chrom, w.start, bytes(w.bases))
+            for w in V.variant_window_iterator(fasta, src, None, 20, 16)
+        ]
+
+    nat = windows(idx)  # native builder (sorted chrom)
+    py = windows(tmp_path / "v.vcf")  # streaming python fallback
+    assert nat == py
+    assert len(nat) == 2  # one real alt per record (empties dropped)
+
+
+def test_variant_beyond_contig_raises_loudly(tmp_path):
+    """A variant past the contig end (mismatched VCF/reference builds)
+    must raise a clear ValueError on BOTH tiers, never silently drop
+    windows."""
+    rng = np.random.default_rng(24)
+    fasta, seqs = _make_ref(tmp_path, rng, [("chr1", 200)])
+    with open(tmp_path / "v.vcf", "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.write("chr1\t500\trs1\tA\tC\t.\tPASS\tAF=0.1\n")
+    for src in (VcfIndex(tmp_path / "v.vcf"), tmp_path / "v.vcf"):
+        with pytest.raises(ValueError, match="genome build"):
+            list(V.variant_window_iterator(fasta, src, None, 20, 16))
