@@ -209,10 +209,22 @@ def count_rows(hits) -> int:
     return sum(len(h) if type(h) is RenderedBlock else 1 for h in hits)
 
 
+_EN_DAYS = ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+_EN_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
 def now_timestamp() -> str:
     """UTC run-start timestamp, format ``EEE MMM dd HH:mm:ss z yyyy``
-    (ReferenceHit.scala:169-173)."""
-    return time.strftime("%a %b %d %H:%M:%S UTC %Y", time.gmtime())
+    (ReferenceHit.scala:169-173).  English names are hard-coded — Java's
+    Date.toString is locale-independent, so an embedding process that
+    sets LC_TIME must not change this column (strftime %a/%b would)."""
+    t = time.gmtime()
+    return (
+        f"{_EN_DAYS[t.tm_wday]} {_EN_MONTHS[t.tm_mon - 1]} "
+        f"{t.tm_mday:02d} {t.tm_hour:02d}:{t.tm_min:02d}:{t.tm_sec:02d} "
+        f"UTC {t.tm_year}"
+    )
 
 
 def md5_of_file(path: str | Path) -> str:
@@ -340,7 +352,11 @@ class HitBuilder:
                 else (ten_right if pos_strand else ten_left)
             ),
             pam_used=pam_used,
-            variant_id=";".join(v.id for v in vs) if vs else None,
+            # An all-empty id join (single '.'-ID variant) normalizes to
+            # None: the rendered column is "" either way (the JAR's
+            # Some("") also prints ""), and None keeps parse_row an
+            # exact inverse of render_row (CLAUDE.md invariant).
+            variant_id=(";".join(v.id for v in vs) or None) if vs else None,
             variant_description=";".join(v.display_string for v in vs) if vs else None,
             variant_vcf=self.vcf_id if vs else None,
             allele_frequency=min((v.af for v in vs), default=None) if vs else None,

@@ -34,7 +34,6 @@ from calitas_tpu.search.hits import (
     count_rows,
     dedup_and_sort,
 )
-from calitas_tpu.search.windows import window_iterator
 from calitas_tpu.utils import camel_to_gnu
 
 logger = logging.getLogger("calitas_tpu.SearchReference")
@@ -135,6 +134,8 @@ def run(
         import jax
 
         jax.profiler.start_trace(profile_dir)
+    if ref is None:
+        raise ValueError("SearchReference requires a reference FASTA (ref=)")
     ref = Path(ref)
     dictionary = extract_dictionary(ref)  # required (SearchReference.scala:478-484)
     ref_file = IndexedFasta(ref)
@@ -267,8 +268,21 @@ def run(
     if checkpoint is not None:
         from calitas_tpu.search.checkpoint import CheckpointState
 
+        # Every input that shapes the output table belongs in the
+        # fingerprint — aux PAMs, the VCF identity, and any contig/shard
+        # restriction included — so a resume with changed inputs REFUSES
+        # instead of silently merging stale rows.
         fingerprint = "|".join(
-            [arguments, str(ref)] + sorted(gid + ":" + gstr for gid, gstr, _ in specs)
+            [
+                arguments, str(ref),
+                f"variants={variants}",
+                f"chrom={chrom}",
+                f"shard={process_index}/{process_count}",
+            ]
+            + sorted(
+                gid + ":" + gstr + ":" + ",".join(aux)
+                for gid, gstr, aux in guide_specs
+            )
         )
         state = CheckpointState.open(checkpoint, fingerprint)
         if state.timestamp is not None:
@@ -331,6 +345,9 @@ def _run_both_passes(
     appending ReferenceHits to ``hits``."""
     from calitas_tpu.utils import ProgressLogger
 
+    hits_progress = ProgressLogger(
+        logger, noun="hits", verb="Collected", unit=25_000
+    )
     if use_tpu:
         from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
 
@@ -362,7 +379,10 @@ def _run_both_passes(
                 hits.append(rows)
             else:
                 hits.extend(rows)
-            progress.record(wchrom, wstart, n=len(rows))
+            # The TPU path yields per-candidate-batch row collections,
+            # not per-window results; count hits under their own noun
+            # (the screen already logs the window/candidate totals).
+            hits_progress.record(wchrom, wstart, n=len(rows))
     else:
         from calitas_tpu.parallel.host_pool import make_align_spec, map_windows_mp
         from calitas_tpu.search.windows import window_iterator

@@ -380,3 +380,49 @@ def test_five_prime_pam_with_variants(tmp_path, engine):
     assert vhits[0].genome_build == "v5p+variants"
     assert vhits[0].allele_frequency == 0.25
     assert vhits[0].pam_used == "tttv"
+
+
+def test_checkpoint_refuses_changed_inputs(tmp_path):
+    """The fingerprint covers EVERY output-shaping input (VERDICT-class
+    round-4 review finding): resuming with a different VCF, chrom
+    restriction, or aux-PAM set must refuse, not silently merge stale
+    rows."""
+    import pytest as _pytest
+
+    from calitas_tpu.io.fasta import ReferenceSetBuilder
+    from calitas_tpu.tools import search_reference
+    from tests.vcf_util import VcfBuilder
+
+    b = ReferenceSetBuilder(assembly="ckfp")
+    b.add("c1").add("AT" * 200).add("CTTGCCCCACAGGGCAGTAATGG").add("GC" * 200)
+    b.add("c2").add("TA" * 200).add("CTTGCCCCACAGGGCAGTAACGG").add("CG" * 200)
+    ref = b.to_file(tmp_path / "ref.fa")
+    guide = "CTTGCCCCACAGGGCAGTAAnrg"
+
+    vcf1 = VcfBuilder()
+    vcf1.add("c1", 410, "snp1", ["T", "G"], info={"AF": "0.4"})
+    v1 = vcf1.to_file(tmp_path / "v1.vcf")
+    vcf2 = VcfBuilder()
+    vcf2.add("c1", 420, "snp2", ["A", "C"], info={"AF": "0.4"})
+    v2 = vcf2.to_file(tmp_path / "v2.vcf")
+
+    ck = tmp_path / "state.jsonl"
+    search_reference.run(guide=guide, guide_id="g", ref=ref,
+                         output=tmp_path / "o1.txt", engine="host",
+                         checkpoint=ck, variants=v1)
+    # same inputs: resume (here: all contigs done -> instant) is fine
+    search_reference.run(guide=guide, guide_id="g", ref=ref,
+                         output=tmp_path / "o2.txt", engine="host",
+                         checkpoint=ck, variants=v1)
+    # changed VCF / chrom restriction / aux PAMs: refused
+    for kw in (
+        {"variants": v2},
+        {"variants": v1, "chrom": "c1"},
+        {"variants": v1, "auxiliary_pams": ("nag",)},
+    ):
+        with _pytest.raises(ValueError):
+            search_reference.run(
+                guide=guide, guide_id="g", ref=ref,
+                output=tmp_path / "oX.txt", engine="host", checkpoint=ck,
+                **kw,
+            )
