@@ -209,26 +209,48 @@ overlapping alignments instead.""",
                     help="The minimum allele frequency of variants to retain.")
     pv.add_argument("-d", "--dict", dest="dict_path", default=None,
                     help="An optional sequence dictionary to use to override contig lines.")
-    pv.add_argument("-c", "--add-chr-prefix", type=lambda s: s.lower() == "true",
+    pv.add_argument("-c", "--add-chr-prefix", type=_strict_bool,
                     default=True, help="If true, add 'chr' to chroms 1-22, X and Y.")
 
     return parser
 
 
+def _strict_bool(s: str) -> bool:
+    """'true'/'false' (case-insensitive) or an error — like the
+    reference's sopt boolean parser; anything else must not silently
+    become False."""
+    v = s.strip().lower()
+    if v == "true":
+        return True
+    if v == "false":
+        return False
+    import argparse
+
+    raise argparse.ArgumentTypeError(
+        f"expected 'true' or 'false', got {s!r}"
+    )
+
+
 def _parse_guide_file(path: str) -> list[tuple[str, str, list[str]]]:
     """Parse a guide TSV: columns guide_id, guide, optional aux_pams
-    (comma-separated)."""
+    (comma-separated).  CRLF files and short rows get clear errors."""
     specs = []
-    with open(path) as fh:
-        header = fh.readline().rstrip("\n").split("\t")
-        col = {name: i for i, name in enumerate(header)}
+    with open(path, newline=None) as fh:  # universal newlines eat \r\n
+        header = fh.readline().rstrip("\r\n").split("\t")
+        col = {name.strip(): i for i, name in enumerate(header)}
         for req in ("guide_id", "guide"):
             if req not in col:
                 raise SystemExit(f"--guide-file missing required column: {req}")
-        for line in fh:
+        need = max(col["guide_id"], col["guide"]) + 1
+        for lineno, line in enumerate(fh, start=2):
             if not line.strip():
                 continue
-            f = line.rstrip("\n").split("\t")
+            f = line.rstrip("\r\n").split("\t")
+            if len(f) < need:
+                raise SystemExit(
+                    f"--guide-file line {lineno}: expected at least "
+                    f"{need} columns, got {len(f)}"
+                )
             aux: list[str] = []
             if "aux_pams" in col and len(f) > col["aux_pams"] and f[col["aux_pams"]]:
                 aux = f[col["aux_pams"]].split(",")
@@ -262,6 +284,13 @@ def _dispatch(cmd, args) -> int:
         if args.guide_file is not None:
             if args.guide is not None or args.guide_id is not None:
                 raise SystemExit("--guide-file is mutually exclusive with --guide/--guide-id")
+            if args.auxiliary_pams:
+                # the file carries its own aux_pams column; silently
+                # dropping a user's -x would lose hits
+                raise SystemExit(
+                    "-x/--auxiliary-pams cannot be combined with "
+                    "--guide-file (use the file's aux_pams column)"
+                )
             guide_specs = _parse_guide_file(args.guide_file)
         elif args.guide is None or args.guide_id is None:
             raise SystemExit("Provide --guide and --guide-id, or --guide-file")

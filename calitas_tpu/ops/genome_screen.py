@@ -26,7 +26,7 @@ from calitas_tpu import _enable_jax_compilation_cache
 _enable_jax_compilation_cache()
 from calitas_tpu.core.scoring import Scorer
 from calitas_tpu.core.sequence import TARGET_MASK_TABLE, encode_query
-from calitas_tpu.ops.dp_pallas2 import _pallas_screen2, LANES, SUBLANES, BLOCK_W
+from calitas_tpu.ops.dp_pallas2 import LANES, BLOCK_W
 
 
 def range_block(window: int) -> int:
@@ -46,6 +46,33 @@ def range_block(window: int) -> int:
     while window > rb * 256:
         rb *= 2
     return rb
+
+
+def _pad_genome(genome_dev, need: int):
+    """Zero-pad the staged genome to a power-of-two >= ``need`` (zero
+    mask = mismatch-everything pad; the bucketed length keeps one
+    compilation across contigs)."""
+    if need <= genome_dev.shape[0]:
+        return genome_dev
+    need = 1 << (need - 1).bit_length()
+    return jnp.concatenate(
+        [genome_dev, jnp.zeros(need - genome_dev.shape[0], jnp.uint8)]
+    )
+
+
+def _static_pam_spec(pam_spec, use_pallas: bool):
+    """Hashable (encoded-PAM, max_mm, max_gap) static arg for the jitted
+    screens, or None when the gate is off (no PAMs / XLA path)."""
+    if pam_spec is None or not use_pallas:
+        return None
+    pams, max_pam_mm, max_gap = pam_spec
+    if not pams or any(len(p) == 0 for p in pams):
+        return None
+    return (
+        tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
+        int(max_pam_mm),
+        int(max_gap),
+    )
 
 
 def default_device_platform() -> str:
@@ -534,7 +561,13 @@ class GenomeScreen:
     def _batch_windows_for(self, n: int, unit: int) -> int:
         """Windows per device dispatch: the configured batch rounded up
         to the kernel unit, trimmed to the window count, and capped so
-        batch * window stays within BATCH_ELEM_BUDGET."""
+        batch * window stays within BATCH_ELEM_BUDGET.
+
+        On the Pallas path the cap floors at BLOCK_W (one grid cell), so
+        very wide windows exceed the budget by up to BLOCK_W * window
+        HBM intermediates — verified on hardware to compile and run up
+        to -w 16384 (Mosaic streams the column axis; per-cell VMEM does
+        not hold the whole [window, 8, 128] block at once)."""
         cap = max(
             unit,
             (self.BATCH_ELEM_BUDGET // max(self.window, 1)) // unit * unit,
@@ -586,7 +619,12 @@ class GenomeScreen:
         n = len(starts)
         if n == 0:
             return self._empty_result(return_chains, return_ranges)
-        unit = BLOCK_W if self.use_pallas else LANES
+        Q = len(dp_query)
+        # Long guides exceed the pallas unroll budget; the XLA screen
+        # handles any Q.  Decide BEFORE the batch unit so long guides
+        # batch at the XLA LANES granularity, not BLOCK_W.
+        use_pallas = self.use_pallas and Q <= 48
+        unit = BLOCK_W if use_pallas else LANES
         bw = self._batch_windows_for(n, unit)
         n_batches = -(-n // bw)
         # Bucket the static shapes (batch count and genome length) to
@@ -594,28 +632,11 @@ class GenomeScreen:
         # instead of recompiling per contig.
         max_batches = 1 << (n_batches - 1).bit_length()
         need = (max_batches * bw - 1) * step + self.window + step
-        if need > genome_dev.shape[0]:
-            need = 1 << (need - 1).bit_length()
-            extra = need - genome_dev.shape[0]
-            genome_dev = jnp.concatenate(
-                [genome_dev, jnp.zeros(extra, jnp.uint8)]
-            )
+        genome_dev = _pad_genome(genome_dev, need)
         s = self.scorer
-        Q = len(dp_query)
-        # Long guides exceed the pallas unroll budget; the XLA screen
-        # handles any Q.
-        use_pallas = self.use_pallas and Q <= 48
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
         qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
-        static_pam_spec = None
-        if pam_spec is not None and use_pallas:
-            pams, max_pam_mm, max_gap = pam_spec
-            if pams and all(len(p) > 0 for p in pams):
-                static_pam_spec = (
-                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
-                    int(max_pam_mm),
-                    int(max_gap),
-                )
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         packed, packed_ranges = _screen_genome(
             genome_dev, qv_fw, qv_rc, jnp.int32(n_batches),
             jnp.int32(min_score),
@@ -676,7 +697,9 @@ class GenomeScreen:
         n = len(starts)
         if n == 0:
             return []
-        unit = BLOCK_W if self.use_pallas else LANES
+        Q = len(dp_query)
+        use_pallas = self.use_pallas and Q <= 48  # unit follows the path
+        unit = BLOCK_W if use_pallas else LANES
         bw = self._batch_windows_for(n, unit)
         n_batches = -(-n // bw)
         if segments is None:
@@ -694,26 +717,11 @@ class GenomeScreen:
         max_batches = 1 << (bps - 1).bit_length()
         last_base = (segments - 1) * bps * bw * step
         need = last_base + (max_batches * bw - 1) * step + self.window + step
-        if need > genome_dev.shape[0]:
-            need = 1 << (need - 1).bit_length()
-            extra = need - genome_dev.shape[0]
-            genome_dev = jnp.concatenate(
-                [genome_dev, jnp.zeros(extra, jnp.uint8)]
-            )
+        genome_dev = _pad_genome(genome_dev, need)
         s = self.scorer
-        Q = len(dp_query)
-        use_pallas = self.use_pallas and Q <= 48
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
         qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
-        static_pam_spec = None
-        if pam_spec is not None and use_pallas:
-            pams, max_pam_mm, max_gap = pam_spec
-            if pams and all(len(p) > 0 for p in pams):
-                static_pam_spec = (
-                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
-                    int(max_pam_mm),
-                    int(max_gap),
-                )
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         out = []
         for seg in range(segments):
             b0 = seg * bps
@@ -779,9 +787,9 @@ class GenomeScreen:
         G = len(dp_queries)
         if n == 0 or G == 0:
             return []
-        unit = BLOCK_W if self.use_pallas else LANES
         Q = len(dp_queries[0][0])
         use_pallas = self.use_pallas and Q <= 48
+        unit = BLOCK_W if use_pallas else LANES
         bw = self._batch_windows_for(n, unit)
         n_batches = -(-n // bw)
         if segments is None:
@@ -795,12 +803,7 @@ class GenomeScreen:
         max_batches = 1 << (bps - 1).bit_length()
         last_base = (segments - 1) * bps * bw * step
         need = last_base + (max_batches * bw - 1) * step + self.window + step
-        if need > genome_dev.shape[0]:
-            need = 1 << (need - 1).bit_length()
-            extra = need - genome_dev.shape[0]
-            genome_dev = jnp.concatenate(
-                [genome_dev, jnp.zeros(extra, jnp.uint8)]
-            )
+        genome_dev = _pad_genome(genome_dev, need)
         s = self.scorer
         qvals = jnp.asarray(
             np.stack(
@@ -813,15 +816,7 @@ class GenomeScreen:
             )
         )
         ms = jnp.asarray(np.asarray(min_scores, dtype=np.int32))
-        static_pam_spec = None
-        if pam_spec is not None and use_pallas:
-            pams, max_pam_mm, max_gap = pam_spec
-            if pams and all(len(p) > 0 for p in pams):
-                static_pam_spec = (
-                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
-                    int(max_pam_mm),
-                    int(max_gap),
-                )
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         out = []
         for seg in range(segments):
             b0 = seg * bps
@@ -857,51 +852,6 @@ class GenomeScreen:
 # ---------------------------------------------------------------------------
 # Multi-device sharding
 # ---------------------------------------------------------------------------
-
-def make_sharded_screen(mesh, *, window, step, batch_windows, Q,
-                        match, mismatch, qgap, tgap, use_pallas):
-    """Build a jitted, mesh-sharded batch screen: window starts sharded
-    over the mesh's window axis, genome replicated (SURVEY.md §2.10 — the
-    window axis is the data-parallel axis; halo correctness comes from
-    window overlap, so shards are independent and the merged flags are
-    identical to single-device execution)."""
-    from jax.sharding import PartitionSpec as P
-
-    kw = dict(Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
-    n_dev = mesh.devices.size
-    local_bw = batch_windows // n_dev
-    axis = mesh.axis_names[0]
-
-    def local(genome, starts, qv_fw, qv_rc):
-        # each shard's starts are a contiguous slice of the regular grid,
-        # so windows come from contiguous reshapes, not a gather
-        wins = extract_window_grid(genome, starts[0], local_bw, step, window)
-        if use_pallas:
-            from calitas_tpu.ops.dp_pallas2 import _pallas_screen_dual
-
-            tcols = wins.T.astype(jnp.int32).reshape(
-                window, local_bw // LANES, LANES
-            )
-            qv2 = jnp.concatenate([qv_fw, qv_rc], axis=0)
-            return _pallas_screen_dual(qv2, tcols, **kw).reshape(local_bw)
-        else:
-            from calitas_tpu.ops.dp_screen import _screen_scores
-
-            lens_flat = jnp.full((local_bw,), window, jnp.int32)
-            skw = dict(match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
-            best_fw = _screen_scores(qv_fw[0].astype(jnp.uint8), wins, lens_flat, **skw)
-            best_rc = _screen_scores(qv_rc[0].astype(jnp.uint8), wins, lens_flat, **skw)
-        return jnp.maximum(best_fw, best_rc).reshape(local_bw)
-
-    shard = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(), P()),
-        out_specs=P(axis),
-        check_vma=False,
-    )
-    return jax.jit(shard)
-
 
 def make_sharded_grid_screen(
     mesh, *, window, step, batch_windows, batches_per_dev, Q,
@@ -1062,15 +1012,7 @@ class ShardedGenomeScreen(GenomeScreen):
         if need > genome_dev.shape[0]:
             need = 1 << (need - 1).bit_length()
             genome_dev = self._pad_replicated(genome_dev, need)
-        static_pam_spec = None
-        if pam_spec is not None and use_pallas:
-            pams, max_pam_mm, max_gap = pam_spec
-            if pams and all(len(p) > 0 for p in pams):
-                static_pam_spec = (
-                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
-                    int(max_pam_mm),
-                    int(max_gap),
-                )
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (
             Q, step, bw, batches_per_dev, static_pam_spec, return_ranges,
             use_pallas,
@@ -1161,15 +1103,7 @@ class ShardedGenomeScreen(GenomeScreen):
         if need > genome_dev.shape[0]:
             need = 1 << (need - 1).bit_length()
             genome_dev = self._pad_replicated(genome_dev, need)
-        static_pam_spec = None
-        if pam_spec is not None and use_pallas:
-            pams, max_pam_mm, max_gap = pam_spec
-            if pams and all(len(p) > 0 for p in pams):
-                static_pam_spec = (
-                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
-                    int(max_pam_mm),
-                    int(max_gap),
-                )
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (Q, step, bw, batches_per_dev, static_pam_spec, True, use_pallas)
         fn = self._fn_cache.get(key)
         if fn is None:
@@ -1260,15 +1194,7 @@ class ShardedGenomeScreen(GenomeScreen):
         if need > genome_dev.shape[0]:
             need = 1 << (need - 1).bit_length()
             genome_dev = self._pad_replicated(genome_dev, need)
-        static_pam_spec = None
-        if pam_spec is not None and use_pallas:
-            pams, max_pam_mm, max_gap = pam_spec
-            if pams and all(len(p) > 0 for p in pams):
-                static_pam_spec = (
-                    tuple(tuple(int(m) for m in encode_query(p)) for p in pams),
-                    int(max_pam_mm),
-                    int(max_gap),
-                )
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (
             "multi", Q, G, step, bw, batches_per_dev, static_pam_spec,
             use_pallas,
@@ -1635,11 +1561,7 @@ def screen_contig_multi(
     n_batches = -(-n // bw)
     max_batches = 1 << (n_batches - 1).bit_length()
     need = (max_batches * bw - 1) * step + screen.window + step
-    if need > genome_dev.shape[0]:
-        need = 1 << (need - 1).bit_length()
-        genome_dev = jnp.concatenate(
-            [genome_dev, jnp.zeros(need - genome_dev.shape[0], jnp.uint8)]
-        )
+    genome_dev = _pad_genome(genome_dev, need)
     qvals = np.stack(
         [
             np.stack([encode_query(q), encode_query(qrc)]).astype(np.int32)

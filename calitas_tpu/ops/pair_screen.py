@@ -187,8 +187,11 @@ class PairScreen:
         for i, (q, t) in enumerate(zip(queries, targets)):
             tb = t if isinstance(t, (bytes, bytearray)) else str(t).encode("ascii")
             tbytes.append(bytes(tb))
-            if not q or len(tb) > self.MAX_SLOT:
-                continue  # unscreenable: leave the NO_SCREEN sentinel
+            if not q or not tb or len(tb) > self.MAX_SLOT:
+                # Unscreenable (incl. empty targets, whose masked DP
+                # would return NO_SCREEN with contradictory non-sentinel
+                # ranges): leave the NO_SCREEN sentinel and -1 ranges.
+                continue
             slot = self.MIN_SLOT
             while slot < len(tb):
                 slot *= 2

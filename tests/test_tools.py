@@ -152,3 +152,40 @@ class TestPrepareVcf:
         }
         alts = {l.split("\t")[2]: l.split("\t")[4] for l in records}
         assert alts["multi"] == "C"
+
+
+class TestCliGuards:
+    def test_guide_file_rejects_aux_pams(self, tmp_path):
+        from calitas_tpu.cli import main
+
+        gf = tmp_path / "g.tsv"
+        gf.write_text("guide_id\tguide\ng1\tCTTGCCCCACAGGGCAGTAAnrg\n")
+        with pytest.raises(SystemExit, match="aux_pams column"):
+            main(["SearchReference", "--guide-file", str(gf), "-x", "nag",
+                  "-r", "nope.fa", "-o", "out.tsv"])
+
+    def test_guide_file_crlf_and_short_rows(self, tmp_path):
+        from calitas_tpu.cli import _parse_guide_file
+
+        gf = tmp_path / "g.tsv"
+        gf.write_bytes(
+            b"guide_id\tguide\taux_pams\r\n"
+            b"g1\tCTTGCCCCACAGGGCAGTAAnrg\tnag\r\n"
+        )
+        specs = _parse_guide_file(str(gf))
+        assert specs == [("g1", "CTTGCCCCACAGGGCAGTAAnrg", ["nag"])]
+
+        bad = tmp_path / "bad.tsv"
+        bad.write_text("guide_id\tguide\ng1\n")
+        with pytest.raises(SystemExit, match="line 2"):
+            _parse_guide_file(str(bad))
+
+    def test_strict_bool(self):
+        import argparse
+
+        from calitas_tpu.cli import _strict_bool
+
+        assert _strict_bool("true") and _strict_bool("TRUE")
+        assert not _strict_bool("false")
+        with pytest.raises(argparse.ArgumentTypeError):
+            _strict_bool("yes")
