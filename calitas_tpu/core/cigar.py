@@ -20,7 +20,12 @@ from typing import Iterable, Iterator
 # operators that consume query / target bases
 _CONSUMES_QUERY = frozenset("=XMI")
 _CONSUMES_TARGET = frozenset("=XMD")
-_VALID_OPS = frozenset("=XMIDSHNP")
+# Only the ops the framework emits/consumes (reference: fgbio Cigar over
+# '= X M I D').  SAM's S/H/N/P never appear in guide alignments; N in
+# particular consumes reference bases, which the length accounting here
+# does not model — rejecting keeps externally-edited tables from
+# silently corrupting end coordinates.
+_VALID_OPS = frozenset("=XMID")
 _INDELS = frozenset("ID")
 
 

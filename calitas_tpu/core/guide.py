@@ -95,6 +95,8 @@ class Guide:
         PAMs — SequentialGuideAligner.scala:81-107."""
         aux = list(aux_pams)
         parts = split_by_case(sequence.strip())
+        if not parts:
+            raise ValueError(f"Invalid Guide sequence {sequence!r}.")
         if len(parts) > 2:
             raise ValueError(f"Invalid Guide sequence {sequence}.")
         if not (len(parts) == 2 or parts[0][0].isupper()):

@@ -34,14 +34,27 @@ class CheckpointState:
 
     @classmethod
     def open(cls, path: str | Path, fingerprint: str) -> "CheckpointState":
+        from calitas_tpu.io.tsv import parse_row
+
         state = cls(Path(path), fingerprint)
+        torn_at: Optional[int] = None
         if state.path.exists():
             with open(state.path) as fh:
+                offset = 0
                 for line in fh:
-                    line = line.strip()
-                    if not line:
+                    stripped = line.strip()
+                    if not stripped:
+                        offset += len(line)
                         continue
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(stripped)
+                    except json.JSONDecodeError:
+                        # A crash mid-write (kill -9, ENOSPC) tears the
+                        # final un-fsynced line; that contig was never
+                        # marked done, so truncate the tail and resume.
+                        torn_at = offset
+                        break
+                    offset += len(line)
                     if "meta" in rec:
                         meta = rec["meta"]
                         if meta.get("fingerprint") != fingerprint:
@@ -54,8 +67,6 @@ class CheckpointState:
                         state.done.add(rec["chrom"])
                         for h in rec["hits"]:
                             if "l" in h:  # pre-rendered TSV line
-                                from calitas_tpu.io.tsv import parse_row
-
                                 state.hits.append(
                                     parse_row(h["l"], ReferenceHit)
                                 )
@@ -63,9 +74,10 @@ class CheckpointState:
                                 state.hits.append(
                                     ReferenceHit(**h.get("d", h))
                                 )
+            if torn_at is not None:
+                with open(state.path, "r+") as fh:
+                    fh.truncate(torn_at)
         state._fh = open(state.path, "a")
-        if not state.done and state.timestamp is None and state._fh.tell() == 0:
-            pass  # meta written via set_timestamp
         return state
 
     def set_timestamp(self, timestamp: str) -> None:

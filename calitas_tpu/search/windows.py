@@ -48,10 +48,16 @@ def materialize_window(
     length = len(bases)
     end = min(length, start + window_size)
     adj_start, adj_end = start, end
-    while adj_start < adj_end and bases[adj_start] == _N:
-        adj_start += 1
-    while adj_start < adj_end and bases[adj_end - 1] == _N:
-        adj_end -= 1
+    # Vectorized N-trim: genome assembly gaps are megabases of N, and a
+    # per-byte Python loop costs seconds per genome pass on the host path.
+    non_n = np.flatnonzero(bases[start:end] != _N)
+    if len(non_n):
+        adj_start = start + int(non_n[0])
+        adj_end = start + int(non_n[-1]) + 1
+    else:
+        # all-N: the reference's first loop runs adjustedStart all the
+        # way to end, so the empty window reports (end+1, end)
+        adj_start = adj_end = end
     if adj_end - adj_start <= 0:
         window_bases = np.zeros(1, dtype=np.uint8)  # the reference's Array[Byte](0)
     else:

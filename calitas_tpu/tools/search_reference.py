@@ -269,15 +269,21 @@ def run(
         from calitas_tpu.search.checkpoint import CheckpointState
 
         # Every input that shapes the output table belongs in the
-        # fingerprint — aux PAMs, the VCF identity, and any contig/shard
+        # fingerprint — aux PAMs, the VCF content identity (md5, not
+        # just the path), the aligner version, and any contig/shard
         # restriction included — so a resume with changed inputs REFUSES
         # instead of silently merging stale rows.
+        from calitas_tpu.search.hits import md5_of_file
+        from calitas_tpu.version import aligner_version
+
         fingerprint = "|".join(
             [
                 arguments, str(ref),
-                f"variants={variants}",
+                f"variants={variants}:"
+                f"{md5_of_file(variants) if variants is not None else ''}",
                 f"chrom={chrom}",
                 f"shard={process_index}/{process_count}",
+                f"version={aligner_version()}",
             ]
             + sorted(
                 gid + ":" + gstr + ":" + ",".join(aux)

@@ -426,3 +426,26 @@ def test_checkpoint_refuses_changed_inputs(tmp_path):
                 output=tmp_path / "oX.txt", engine="host", checkpoint=ck,
                 **kw,
             )
+
+
+def test_checkpoint_torn_tail_truncated_and_resumable(tmp_path):
+    """A crash mid-write (kill -9/ENOSPC) tears the final JSONL line;
+    open() must truncate the un-fsynced tail and resume, not crash with
+    JSONDecodeError forever."""
+    from calitas_tpu.search.checkpoint import CheckpointState
+
+    ck = tmp_path / "s.jsonl"
+    s = CheckpointState.open(ck, "fp")
+    s.set_timestamp("t0")
+    s.record("c1", [])
+    s._fh.close()
+    with open(ck, "a") as fh:
+        fh.write('{"chrom": "c2", "hits": [{"l": "truncat')  # torn line
+    s2 = CheckpointState.open(ck, "fp")
+    assert s2.timestamp == "t0"
+    assert s2.is_done("c1") and not s2.is_done("c2")
+    # the torn bytes are gone; a fresh record appends cleanly
+    s2.record("c2", [])
+    s2._fh.close()
+    s3 = CheckpointState.open(ck, "fp")
+    assert s3.is_done("c2")

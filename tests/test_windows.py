@@ -54,3 +54,21 @@ class TestCamelToGnu:
         assert camel_to_gnu("maxGapsBetweenGuideAndPam") == "max-gaps-between-guide-and-pam"
         assert camel_to_gnu("windowSize") == "window-size"
         assert camel_to_gnu("simple") == "simple"
+
+
+def test_all_n_window_coordinates_match_reference_loop():
+    """The vectorized N-trim must reproduce the reference's per-byte
+    loop exactly, including the all-N window's (end+1, end) coordinates
+    (SearchReference.scala:56-68)."""
+    from calitas_tpu.search.windows import materialize_window
+
+    bases = np.frombuffer(b"NNNNNNNNNN", dtype=np.uint8).copy()
+    w = materialize_window("c", bases, 2, 5)
+    assert (w.start, w.end) == (8, 7)  # adj_start ran to end=7 (0-based)
+    assert len(w.bases) == 1  # the 1-byte placeholder
+
+    # mixed: trim both sides
+    bases = np.frombuffer(b"NNACGTNNNN", dtype=np.uint8).copy()
+    w = materialize_window("c", bases, 0, 10)
+    assert (w.start, w.end) == (3, 6)
+    assert w.bases.tobytes() == b"ACGT"
