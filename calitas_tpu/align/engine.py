@@ -42,6 +42,18 @@ import threading
 _TLS = threading.local()
 
 
+def a2r_region(
+    guide_length: int, pos: int, window_size, seq_len: int
+) -> tuple[int, int]:
+    """The AlignToReference search region around a locus: 1-based closed
+    [start, end] (AlignToReference.scala:95-99).  ONE definition shared
+    by the engine, the device pair screen and the worker — the screened
+    window and the aligned window must stay byte-identical or the
+    all-hits exact-skip silently drops hits."""
+    padding = (window_size // 2) if window_size is not None else guide_length * 2
+    return max(pos - padding, 1), min(pos + padding, seq_len)
+
+
 class _Light:
     """Pre-dedup alignment record: the dedup-relevant values computed from
     the cigar, deferring padded-string construction to survivors."""
@@ -348,9 +360,9 @@ class SequentialAligner:
         seq_len = self.ref.sequence_length(chrom)
         if seq_len is None:
             raise ValueError(f"Unknown chromosome: {chrom}")
-        padding = (window_size // 2) if window_size is not None else guide.length * 2
-        region_start = max(pos - padding, 1)
-        region_end = min(pos + padding, seq_len)
+        region_start, region_end = a2r_region(
+            guide.length, pos, window_size, seq_len
+        )
         target = self.ref.get_subsequence(chrom, region_start, region_end)
         return sorted(
             self.align(

@@ -823,10 +823,7 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
         passes_list: list = []
         pass_ranges: list = []  # per-window (lo0,hi0,lo1,hi1) or None
         live: list = []  # chunk indices batched (errors resolved inline)
-        padding = (
-            (window_size // 2) if window_size is not None
-            else guide.length * 2
-        )
+        from calitas_tpu.align.engine import a2r_region
         if all_hits:
             from calitas_tpu.align.batch import (
                 chain_ranges_to_pass,
@@ -851,8 +848,9 @@ def _mp_a2r_chunk(spec: dict, chunk: list):
                 if not passes:
                     out[i] = (guide, [])
                     continue
-                region_start = max(pos - padding, 1)
-                region_end = min(pos + padding, seq_len)
+                region_start, region_end = a2r_region(
+                    guide.length, pos, window_size, seq_len
+                )
                 target = ref.get_subsequence(chrom, region_start, region_end)
                 ranges = None
                 if cr is not None:

@@ -45,12 +45,26 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (WINDOW_AXIS,))
 
 
+_SHARDED_FN_CACHE: dict = {}
+
+
 def sharded_screen_fn(mesh: Mesh, scorer: Scorer):
     """Build a jitted, mesh-sharded screen: windows sharded over the
     window axis, query replicated, per-window best scores sharded out.
     Includes a psum'd global hit count so the collective path is exercised
     end-to-end.
-    """
+
+    Cached per (mesh, scorer): looping callers (screen_on_mesh per batch)
+    reuse one traced function instead of retracing — a remote-compile
+    backend pays tens of seconds per fresh trace."""
+    key = (
+        tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+        scorer.match_score, scorer.mismatch_score,
+        scorer.query_gap_score, scorer.target_gap_score,
+    )
+    cached = _SHARDED_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
     match, mismatch = scorer.match_score, scorer.mismatch_score
     qgap, tgap = scorer.query_gap_score, scorer.target_gap_score
 
@@ -70,7 +84,9 @@ def sharded_screen_fn(mesh: Mesh, scorer: Scorer):
         out_specs=(P(WINDOW_AXIS), P()),
         check_vma=False,  # scan carries start replicated, become varying
     )
-    return jax.jit(shard)
+    fn = jax.jit(shard)
+    _SHARDED_FN_CACHE[key] = fn
+    return fn
 
 
 def screen_on_mesh(

@@ -159,15 +159,9 @@ def run(
 
     from calitas_tpu.tools.search_reference import _resolve_engine
 
-    use_tpu = _resolve_engine(engine, n_tasks=len(tasks))
-    if use_tpu and engine == "auto":
-        # The batched native worker outruns screen-then-skip (see
-        # tools/pairwise.py); auto prefers host whenever the native
-        # library exists, explicit --engine tpu still screens on device.
-        from calitas_tpu import native
-
-        if native.available():
-            use_tpu = False
+    use_tpu = _resolve_engine(
+        engine, n_tasks=len(tasks), prefer_host_when_native=True
+    )
     pair_screen = None
     if use_tpu:
         from calitas_tpu.ops.pair_screen import PairScreen
@@ -192,16 +186,15 @@ def run(
             g = None
             target = b""
             try:
+                from calitas_tpu.align.engine import a2r_region
+
                 g = Guide.parse(query)
                 seq_len = ref_file.sequence_length(chrom)
                 if seq_len is None:
                     raise ValueError(chrom)
-                padding = (
-                    (window_size // 2) if window_size is not None
-                    else g.length * 2
+                region_start, region_end = a2r_region(
+                    g.length, pos, window_size, seq_len
                 )
-                region_start = max(pos - padding, 1)
-                region_end = min(pos + padding, seq_len)
                 target = ref_file.get_subsequence(chrom, region_start, region_end)
             except Exception:
                 g = None  # worker re-parses and reports the error

@@ -57,16 +57,9 @@ def run(
 
     from calitas_tpu.tools.search_reference import _resolve_engine
 
-    use_dev = _resolve_engine(engine, n_tasks=len(tasks))
-    if use_dev and engine == "auto":
-        # With the batched native finisher the host path outruns
-        # screen-then-skip on this workload (measured 3.4 vs 3.9 s at 20k
-        # pairs): auto prefers host whenever the native library exists;
-        # an explicit --engine tpu still screens on device.
-        from calitas_tpu import native
-
-        if native.available():
-            use_dev = False
+    use_dev = _resolve_engine(
+        engine, n_tasks=len(tasks), prefer_host_when_native=True
+    )
     if use_dev:
         # Device batching (SURVEY.md §7 step 4): one dispatch computes
         # both chains' exact DP maxima for every pair; the host finish

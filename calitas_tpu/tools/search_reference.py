@@ -552,7 +552,11 @@ def _finalize(
 AUTO_DEVICE_MIN_TASKS = 1000
 
 
-def _resolve_engine(engine: str, n_tasks: Optional[int] = None) -> bool:
+def _resolve_engine(
+    engine: str,
+    n_tasks: Optional[int] = None,
+    prefer_host_when_native: bool = False,
+) -> bool:
     if engine == "host":
         return False
     if engine == "tpu":
@@ -562,6 +566,16 @@ def _resolve_engine(engine: str, n_tasks: Optional[int] = None) -> bool:
     # device compilation)
     if n_tasks is not None and n_tasks < AUTO_DEVICE_MIN_TASKS:
         return False
+    if prefer_host_when_native:
+        # The list-driven tools' batched native worker outruns
+        # screen-then-skip (measured 3.4 vs 3.9 s at 20k pairs): auto
+        # prefers host whenever the native library exists; an explicit
+        # --engine tpu still screens on device.  ONE policy for both
+        # tools — edit here, not per tool.
+        from calitas_tpu import native
+
+        if native.available():
+            return False
     try:
         import jax
 
