@@ -130,7 +130,7 @@ def main() -> None:
     from calitas_tpu.io.tsv import MetricWriter
     from calitas_tpu.ops.genome_screen import GenomeScreen
     from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
-    from calitas_tpu.search.hits import ReferenceHit, dedup_and_sort
+    from calitas_tpu.search.hits import ReferenceHit, dedup_sort_serialize
 
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1024.0
     G = int(genome_mb * 1e6)
@@ -220,13 +220,13 @@ def main() -> None:
             **align_kwargs,
         ):
             hits.extend(rows)
-        # dedup + final sort fused over one key extraction — the exact
-        # production _finalize path (search/hits.py::dedup_and_sort)
-        keepers = dedup_and_sort(hits, align_kwargs["max_overlap"], dictionary)
-        buf = io.StringIO()
-        writer = MetricWriter(buf, ReferenceHit)
-        writer.write_all(keepers)
-        return len(hits), len(keepers), len(buf.getvalue())
+        # fused dedup + sort + serialization — the exact production
+        # _finalize path (search/hits.py::dedup_sort_serialize): keeper
+        # lines leave as raw blob slices, no per-row objects
+        body, n_keep, _n_fwd = dedup_sort_serialize(
+            hits, align_kwargs["max_overlap"], dictionary
+        )
+        return len(hits), n_keep, len(body)
 
     # Warm run compiles the kernels and spins the worker pool; timed runs
     # measure the steady production state.  Best-of-N guards against the

@@ -679,21 +679,23 @@ def dedup_and_sort(
     return [hits[j] for j in final]
 
 
-def _dedup_and_sort_mixed(
+def _mixed_dedup_arrays(
     hits: Sequence,
     max_overlap: int,
     dictionary: Optional[SequenceDictionary],
-) -> list[ReferenceHit]:
-    """dedup_and_sort over a mixed rows/RenderedBlock list: key arrays
-    come straight from the blocks (group ids still numbered in
-    first-appearance traversal order, so the result is bit-identical to
-    flattening every block into RenderedHits first — pinned by
-    tests/test_rendered_hit.py)."""
+):
+    """The dedup+sort core over a mixed rows/RenderedBlock list: returns
+    ``(final, strand, src, local, blocks, objects)`` where ``final`` is
+    the keeper row order (global sort applied) and (src, local) address
+    each keeper's source block/object.  Key arrays come straight from
+    the blocks (group ids still numbered in first-appearance traversal
+    order, so the result is bit-identical to flattening every block into
+    RenderedHits first — pinned by tests/test_rendered_hit.py)."""
     import numpy as np
 
     n = count_rows(hits)
     if n == 0:
-        return []
+        return None
     gid = np.empty(n, np.int64)
     start = np.empty(n, np.int64)
     end = np.empty(n, np.int64)
@@ -770,9 +772,74 @@ def _dedup_and_sort_mixed(
         )
     k = kept_idx
     final = k[np.lexsort((-score32[k], strand[k], start32[k], chrom_key[k]))]
+    return final, strand, src, local, blocks, objects
+
+
+def _dedup_and_sort_mixed(
+    hits: Sequence,
+    max_overlap: int,
+    dictionary: Optional[SequenceDictionary],
+) -> list[ReferenceHit]:
+    import numpy as np  # noqa: F401 (kept for symmetry with callers)
+
+    res = _mixed_dedup_arrays(hits, max_overlap, dictionary)
+    if res is None:
+        return []
+    final, _strand, src, local, blocks, objects = res
     out = []
     src_l = src[final].tolist()
     loc_l = local[final].tolist()
     for bid, li in zip(src_l, loc_l):
         out.append(objects[li] if bid < 0 else blocks[bid].row(li))
     return out
+
+
+def dedup_sort_serialize(
+    hits: Sequence,
+    max_overlap: int,
+    dictionary: Optional[SequenceDictionary],
+) -> tuple[bytes, int, int]:
+    """Fused dedup + dictionary sort + body rendering: returns
+    ``(body, n_keepers, n_fwd)`` with ``body`` byte-identical to writing
+    ``dedup_and_sort``'s keepers through MetricWriter (header excluded).
+
+    Block-sourced keepers serialize as raw blob slices — no per-row
+    Python objects at all (~3 us/row saved at genome scale); object rows
+    render through the same single rendering path the writer uses."""
+    from calitas_tpu.io.tsv import fields_of, render_row
+
+    _REFERENCE_HIT_FIELDS = fields_of(ReferenceHit)
+    has_blocks = any(type(h) is RenderedBlock for h in hits)
+    if not has_blocks:
+        keepers = dedup_and_sort(hits, max_overlap, dictionary)
+        fields = _REFERENCE_HIT_FIELDS
+        pieces = []
+        n_fwd = 0
+        for h in keepers:
+            line = getattr(h, "_line", None)
+            if line is None:
+                line = render_row(h, fields)
+            pieces.append(line.encode("ascii"))
+            n_fwd += h.strand == "+"
+        return b"".join(pieces), len(keepers), n_fwd
+    res = _mixed_dedup_arrays(hits, max_overlap, dictionary)
+    if res is None:
+        return b"", 0, 0
+    final, strand, src, local, blocks, objects = res
+    n_fwd = int((strand[final] == 43).sum())
+    fields = _REFERENCE_HIT_FIELDS
+    pieces = []
+    src_l = src[final].tolist()
+    loc_l = local[final].tolist()
+    for bid, li in zip(src_l, loc_l):
+        if bid < 0:
+            h = objects[li]
+            line = getattr(h, "_line", None)
+            if line is None:
+                line = render_row(h, fields)
+            pieces.append(line.encode("ascii"))
+        else:
+            b = blocks[bid]
+            o = b.line_offs
+            pieces.append(b.blob[int(o[li]) : int(o[li + 1])])
+    return b"".join(pieces), len(final), n_fwd

@@ -26,13 +26,11 @@ from calitas_tpu.core.guide import Guide
 from calitas_tpu.core.scoring import Defaults
 from calitas_tpu.align.engine import SequentialAligner
 from calitas_tpu.io.fasta import IndexedFasta, extract_dictionary
-from calitas_tpu.io.tsv import MetricWriter, open_output
 from calitas_tpu.search.hits import (
     HitBuilder,
     ReferenceHit,
     RenderedBlock,
     count_rows,
-    dedup_and_sort,
 )
 from calitas_tpu.utils import camel_to_gnu
 
@@ -516,22 +514,32 @@ def _finalize(
     import time as _time
 
     logger.info("Sorting and Outputting.")
-    keepers = dedup_and_sort(hits, max_overlap, dictionary)
+    # Fused dedup + sort + serialization: block-sourced keepers write as
+    # raw blob slices — no per-row object materialization (byte-identical
+    # to MetricWriter.write_all(dedup_and_sort(...)), pinned by
+    # tests/test_rendered_hit.py).
+    from calitas_tpu.io.tsv import fields_of
+    from calitas_tpu.search.hits import dedup_sort_serialize
 
-    if keepers:
-        fwd_fraction = sum(1 for h in keepers if h.strand == "+") / len(keepers)
+    body, n_keep, n_fwd = dedup_sort_serialize(hits, max_overlap, dictionary)
+
+    if n_keep:
+        fwd_fraction = n_fwd / n_keep
         if fwd_fraction > 0.52 or fwd_fraction < 0.48:
             logger.warning(
                 "Strand imbalance: %f of alignments are on the F strand.",
                 fwd_fraction,
             )
 
-    out_fh = open_output(output)
-    writer = MetricWriter(out_fh, ReferenceHit)
-    writer.write_all(keepers)
-    writer.close()
-    if out_fh is not sys.stdout:
-        out_fh.close()
+    header = "\t".join(fields_of(ReferenceHit)) + "\n"
+    if output is None or str(output) in ("-", "/dev/stdout"):
+        sys.stdout.write(header)
+        sys.stdout.write(body.decode("ascii"))
+        sys.stdout.flush()
+    else:
+        with open(output, "wb") as out_fh:
+            out_fh.write(header.encode("ascii"))
+            out_fh.write(body)
 
     if profile_dir:
         import jax
@@ -541,7 +549,7 @@ def _finalize(
     total_bases = sum(e.length for e in dictionary) if dictionary else 0
     logger.info(
         "Done: %d guides, %s genome bases, %d raw hits, %d kept, %.1fs (%.2g bases/s).",
-        len(specs), f"{total_bases:,}", count_rows(hits), len(keepers), elapsed,
+        len(specs), f"{total_bases:,}", count_rows(hits), n_keep, elapsed,
         (total_bases * len(specs)) / elapsed if elapsed > 0 else 0.0,
     )
 

@@ -289,3 +289,44 @@ class TestRenderedBlock:
         got = dedup_and_sort([blk], 10, d)
         want = dedup_and_sort(list(blk), 10, d)
         assert [r._line for r in got] == [r._line for r in want]
+
+
+def test_dedup_sort_serialize_byte_identical():
+    """The fused dedup+sort+serialize path must produce exactly the bytes
+    MetricWriter.write_all(dedup_and_sort(...)) would, over mixed
+    rows/blocks AND pure-object lists."""
+    import io
+
+    import numpy as np
+
+    from calitas_tpu.io.fasta import DictEntry, SequenceDictionary
+    from calitas_tpu.io.tsv import MetricWriter
+    from calitas_tpu.search.hits import (
+        ReferenceHit,
+        dedup_and_sort,
+        dedup_sort_serialize,
+        iter_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    mk = TestRenderedBlock()._mk_block
+    d = SequenceDictionary(
+        [DictEntry(name="chr1", length=10**8, assembly="t"),
+         DictEntry(name="chr2", length=10**8, assembly="t")]
+    )
+    blocks = [
+        mk(rng, "g1", "chr1", 4000),
+        mk(rng, "g2", "chr2", 3000),
+    ]
+    for hits in (blocks, list(iter_rows(blocks))):
+        keepers = dedup_and_sort(hits, 10, d)
+        buf = io.StringIO()
+        MetricWriter(buf, ReferenceHit).write_all(keepers)
+        body_want = buf.getvalue().split("\n", 1)[1]
+        body, n_keep, n_fwd = dedup_sort_serialize(hits, 10, d)
+        assert body.decode("ascii") == body_want
+        assert n_keep == len(keepers)
+        assert n_fwd == sum(1 for h in keepers if h.strand == "+")
+    # empty input
+    body, n_keep, n_fwd = dedup_sort_serialize([], 10, None)
+    assert body == b"" and n_keep == 0 and n_fwd == 0
