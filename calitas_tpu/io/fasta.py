@@ -149,6 +149,7 @@ def _uncompressed_cache_for(path: Path) -> Path:
     import gzip
     import shutil
     import tempfile
+    import zlib
 
     st = path.stat()
     uid = os.getuid() if hasattr(os, "getuid") else 0
@@ -172,7 +173,28 @@ def _uncompressed_cache_for(path: Path) -> Path:
             with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
                 shutil.copyfileobj(src, dst, 16 << 20)
             os.replace(tmp, cache)
+            # Evict stale caches for the same FASTA (older mtime keys):
+            # without this each touch of a multi-GB .fa.gz leaks a new
+            # full-size sidecar.  Best-effort; a racing reader that has
+            # the old file open keeps it alive via its fd.
+            try:
+                for old in base.glob(f".{path.name}.calitas_cache_*.fa"):
+                    if old.name != cache.name:
+                        old.unlink(missing_ok=True)
+            except OSError:
+                pass
             return cache
+        except (gzip.BadGzipFile, EOFError, zlib.error) as e:
+            # Corrupt/truncated input, not a cache-dir problem: falling
+            # through to the next cache dir would mask it behind a
+            # misleading "no writable cache directory" error.
+            try:
+                tmp.unlink(missing_ok=True)
+            except OSError:
+                pass
+            raise OSError(
+                f"corrupt compressed FASTA {path}: {e}"
+            ) from e
         except OSError:
             try:
                 tmp.unlink(missing_ok=True)

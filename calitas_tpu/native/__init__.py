@@ -22,6 +22,12 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+#: Expected C ABI version; must match calitas_abi_version() in
+#: aligner.cpp.  Checked at load so a stale prebuilt .so whose mtime
+#: postdates the sources (copied artifact, rsync -t) cannot load
+#: silently with a mismatched buffer layout.
+_ABI_VERSION = 5
+
 
 def build(force: bool = False) -> Path:
     """Compile the shared library (g++ -O3)."""
@@ -37,6 +43,17 @@ def build(force: bool = False) -> Path:
     return _LIB_PATH
 
 
+def _abi_of(lib: ctypes.CDLL) -> int:
+    """The loaded library's ABI version; -1 for pre-versioned builds."""
+    try:
+        fn = lib.calitas_abi_version
+    except AttributeError:
+        return -1
+    fn.restype = ctypes.c_int32
+    fn.argtypes = []
+    return int(fn())
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     """The loaded library, building if needed; None if unavailable."""
     global _lib, _tried
@@ -49,6 +66,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             path = build()
             lib = ctypes.CDLL(str(path))
+            if _abi_of(lib) != _ABI_VERSION:
+                # Stale artifact with a fresh mtime: unlink first so the
+                # rebuild gets a new inode (overwriting a mapped .so in
+                # place is UB; dlopen of the new inode returns a fresh
+                # handle while the stale mapping stays parked).
+                _LIB_PATH.unlink(missing_ok=True)
+                build(force=True)
+                lib = ctypes.CDLL(str(path))
+                if _abi_of(lib) != _ABI_VERSION:
+                    return None
         except Exception:
             return None
         i32 = ctypes.c_int32

@@ -17,6 +17,13 @@
 #include <string>
 #include <vector>
 
+// Bump on ANY change to an exported function's signature or buffer
+// layout (e.g. the round-4 out_meta8 int32->int64 widening).  The
+// Python loader checks this at load time so a stale prebuilt .so with a
+// newer mtime (copied artifact, rsync -t) cannot silently write
+// wrong-strided buffers.
+extern "C" int32_t calitas_abi_version() { return 5; }
+
 
 namespace {
 

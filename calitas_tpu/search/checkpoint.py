@@ -39,7 +39,11 @@ class CheckpointState:
         state = cls(Path(path), fingerprint)
         torn_at: Optional[int] = None
         if state.path.exists():
-            with open(state.path) as fh:
+            # Binary mode so the tracked offset is bytes by construction
+            # (truncate() takes a byte offset; text-mode len(line) counts
+            # characters after newline translation, which breaks for any
+            # non-ASCII or CRLF-written record).
+            with open(state.path, "rb") as fh:
                 offset = 0
                 for line in fh:
                     stripped = line.strip()
@@ -48,7 +52,7 @@ class CheckpointState:
                         continue
                     try:
                         rec = json.loads(stripped)
-                    except json.JSONDecodeError:
+                    except (json.JSONDecodeError, UnicodeDecodeError):
                         # A crash mid-write (kill -9, ENOSPC) tears the
                         # final un-fsynced line; that contig was never
                         # marked done, so truncate the tail and resume.
@@ -75,7 +79,7 @@ class CheckpointState:
                                     ReferenceHit(**h.get("d", h))
                                 )
             if torn_at is not None:
-                with open(state.path, "r+") as fh:
+                with open(state.path, "r+b") as fh:
                     fh.truncate(torn_at)
         state._fh = open(state.path, "a")
         return state

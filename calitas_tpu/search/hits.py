@@ -819,7 +819,7 @@ def dedup_sort_serialize(
             line = getattr(h, "_line", None)
             if line is None:
                 line = render_row(h, fields)
-            pieces.append(line.encode("ascii"))
+            pieces.append(line.encode("utf-8"))
             n_fwd += h.strand == "+"
         return b"".join(pieces), len(keepers), n_fwd
     res = _mixed_dedup_arrays(hits, max_overlap, dictionary)
@@ -837,7 +837,7 @@ def dedup_sort_serialize(
             line = getattr(h, "_line", None)
             if line is None:
                 line = render_row(h, fields)
-            pieces.append(line.encode("ascii"))
+            pieces.append(line.encode("utf-8"))
         else:
             b = blocks[bid]
             o = b.line_offs

@@ -534,11 +534,11 @@ def _finalize(
     header = "\t".join(fields_of(ReferenceHit)) + "\n"
     if output is None or str(output) in ("-", "/dev/stdout"):
         sys.stdout.write(header)
-        sys.stdout.write(body.decode("ascii"))
+        sys.stdout.write(body.decode("utf-8"))
         sys.stdout.flush()
     else:
         with open(output, "wb") as out_fh:
-            out_fh.write(header.encode("ascii"))
+            out_fh.write(header.encode("utf-8"))
             out_fh.write(body)
 
     if profile_dir:

@@ -69,5 +69,13 @@ _PROGRAMMING_ERRORS = (
 def degradable(exc: BaseException) -> bool:
     """True if ``exc`` is a device/runtime-ish failure the screen paths
     may degrade on (falling back to host alignment with identical
-    output); False for programming errors, which must propagate."""
+    output); False for programming errors, which must propagate.
+
+    Exceptions raised by jax/jaxlib itself are always degradable, even
+    when their Python type is a builtin (jax raises ValueError for some
+    device/sharding mismatch states after a backend drop): a tunnel
+    failure must degrade, never abort."""
+    mod = type(exc).__module__ or ""
+    if mod.startswith("jax") or mod.startswith("jaxlib"):
+        return True
     return not isinstance(exc, _PROGRAMMING_ERRORS)

@@ -449,3 +449,64 @@ def test_checkpoint_torn_tail_truncated_and_resumable(tmp_path):
     s2._fh.close()
     s3 = CheckpointState.open(ck, "fp")
     assert s3.is_done("c2")
+
+
+def test_checkpoint_torn_tail_non_ascii_byte_exact(tmp_path):
+    """ADVICE r4: the truncate offset is bytes, not characters — a
+    checkpoint holding non-ASCII records (e.g. a unicode guide id) with
+    a torn tail must truncate at the right BYTE offset."""
+    import json as _json
+
+    from calitas_tpu.search.checkpoint import CheckpointState
+
+    ck = tmp_path / "u.jsonl"
+    # Hand-write records with raw (non-escaped) UTF-8 so byte len != char len.
+    meta = _json.dumps({"meta": {"fingerprint": "fp", "timestamp": "t0"}})
+    rec = _json.dumps(
+        {"chrom": "chrß", "hits": []}, ensure_ascii=False
+    )
+    with open(ck, "wb") as fh:
+        fh.write(meta.encode() + b"\n")
+        fh.write(rec.encode("utf-8") + b"\n")
+        fh.write(b'{"chrom": "c2", "hits": [{"l": "tor')  # torn tail
+    s = CheckpointState.open(ck, "fp")
+    assert s.is_done("chrß") and not s.is_done("c2")
+    s._fh.close()
+    # Byte-exact truncation: the file ends exactly after the good record.
+    data = ck.read_bytes()
+    assert data == meta.encode() + b"\n" + rec.encode("utf-8") + b"\n"
+
+
+def test_native_abi_version_guard(tmp_path):
+    """ADVICE r4: a stale .so with a fresh mtime must be rebuilt, not
+    loaded silently with a mismatched buffer layout."""
+    import ctypes
+
+    from calitas_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("no compiler")
+    assert native._abi_of(lib) == native._ABI_VERSION
+    # A library without the symbol reads as pre-versioned (-1).
+    class _NoSym:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    assert native._abi_of(_NoSym()) == -1
+
+
+def test_fused_serialize_handles_non_ascii_rows(tmp_path):
+    """ADVICE r4: dedup_sort_serialize must not reject rows with
+    non-ASCII fields (user-supplied guide ids) that the MetricWriter
+    text path accepted."""
+    from calitas_tpu.search.hits import dedup_sort_serialize
+    from tests.test_rendered_hit import make_hit
+
+    h = make_hit(
+        chromosome="chr1", coordinate_start=10, coordinate_end=33,
+        guide_id="guïde-ß",
+    )
+    body, n, n_fwd = dedup_sort_serialize([h], 10, None)
+    assert n == 1
+    assert "guïde-ß" in body.decode("utf-8")

@@ -414,3 +414,44 @@ def test_vcf_gz_utf8_header(tmp_path):
     w.close()
     with gzip.open(p, "rt", encoding="utf-8") as fh:
         assert "étude-ß" in fh.read()
+
+
+class TestCompressedFastaCacheHygiene:
+    """ADVICE r4: corrupt compressed input must surface as such (not as a
+    cache-dir error), and stale mtime-keyed caches must not accumulate."""
+
+    def test_corrupt_gz_raises_clear_error(self, tmp_path):
+        from calitas_tpu.io.fasta import IndexedFasta
+
+        gz = tmp_path / "bad.fa.gz"
+        real = gzip.compress(b">chr1\nACGTACGT\n")
+        gz.write_bytes(real[: len(real) // 2])  # truncated stream
+        (tmp_path / "bad.fa.gz.fai").write_text("chr1\t8\t6\t8\t9\n")
+        with pytest.raises(OSError, match="corrupt compressed FASTA"):
+            IndexedFasta(gz)
+
+    def test_stale_caches_evicted_on_rewrite(self, tmp_path):
+        import os
+        import time
+
+        from calitas_tpu.io.fasta import IndexedFasta, ReferenceSetBuilder
+
+        b = ReferenceSetBuilder(assembly="ev")
+        b.add("chr1").add("ACGT" * 200)
+        fa = b.to_file(tmp_path / "ev.fa")
+        gz = tmp_path / "ev.fa.gz"
+        with gzip.open(gz, "wb") as fh:
+            fh.write(fa.read_bytes())
+        import shutil
+
+        shutil.copy(str(fa) + ".fai", str(gz) + ".fai")
+        IndexedFasta(gz).get_subsequence("chr1", 1, 8)
+        first = sorted(tmp_path.glob(".ev.fa.gz.calitas_cache_*.fa"))
+        assert len(first) == 1
+        # Touch the source -> new mtime key -> new cache; old one evicted.
+        t = time.time() + 5
+        os.utime(gz, (t, t))
+        IndexedFasta(gz).get_subsequence("chr1", 1, 8)
+        second = sorted(tmp_path.glob(".ev.fa.gz.calitas_cache_*.fa"))
+        assert len(second) == 1
+        assert second[0].name != first[0].name
