@@ -23,6 +23,89 @@ R = TypeVar("R")
 #: queue depth factor (reference uses threads * 500)
 QUEUE_FACTOR = 500
 
+#: Feed/drain decoupling switch for map_items_mp (a producer thread
+#: iterates + submits; the caller's thread only drains).  Module-level so
+#: in-process interleaved A/B benchmarks can toggle it; off via
+#: CALITAS_FEED_THREAD=0 as an operational escape hatch.
+FEED_THREAD = True
+
+
+def iter_blocks_threaded(
+    stream: Iterable[W],
+    block_size: int,
+    *,
+    depth: int = 2,
+    enabled: bool = True,
+) -> Iterator[list[W]]:
+    """Chunk ``stream`` into lists of ``block_size`` items, pulling the
+    stream from a PRODUCER THREAD with at most ``depth`` completed
+    blocks buffered.  Used to overlap an expensive upstream (the variant
+    window builder + device screen) with an expensive downstream (the
+    finish pool): neither side ever waits for the other unless the
+    buffer is empty/full.  Exceptions from the stream re-raise here;
+    abandoning the iterator stops the producer."""
+    import queue as _queue
+    import threading
+
+    if not enabled or block_size <= 0:
+        block: list = []
+        for w in stream:
+            block.append(w)
+            if len(block) >= block_size:
+                yield block
+                block = []
+        if block:
+            yield block
+        return
+
+    q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.05)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def produce():
+        block: list = []
+        try:
+            for w in stream:
+                block.append(w)
+                if len(block) >= block_size:
+                    if not _put(block):
+                        return
+                    block = []
+                if stop.is_set():
+                    return
+            if block and not _put(block):
+                return
+            _put(None)
+        except BaseException as ex:
+            _put(("__exc__", ex))
+
+    t = threading.Thread(target=produce, daemon=True, name="calitas-blocks")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if type(item) is tuple and item[0] == "__exc__":
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
+        t.join(timeout=10)
+
 
 def map_windows(
     windows: Iterable[W],
@@ -237,33 +320,54 @@ def map_items_mp(
             for w0, res in zip(blk, results):
                 yield w0, _unwrap(res, swallow_errors, logger)
 
+    import queue as _queue
+    import threading
+
     from concurrent.futures.process import BrokenProcessPool
 
+    # Feed/drain decoupling: the candidate stream often blocks on device
+    # readbacks (screen_runner's segment resolve()), and draining blocks
+    # on worker results — running both from one thread starves the
+    # worker pool (measured round 4: the 1 Gb collect phase was
+    # IDENTICAL at threads=1/2/4 while the same finish workload fed
+    # independently scaled 4x).  A producer thread iterates + submits;
+    # this (consumer) thread only drains, in submission order, so
+    # device readbacks for segment N+1 overlap the finish of segment N.
+    # The bounded queue IS the reference's backpressure
+    # (SearchReference.scala:75-94: feeding never blocks alignment).
     max_inflight = processes * 4
-    pool_broken = False
     pool = _shared_pool(processes)
-    pending: list = []
-    buf: list = []
+    state = {"broken": False}
+    inflight: _queue.Queue = _queue.Queue(maxsize=max_inflight)
+    stop = threading.Event()
 
-    def submit():
-        nonlocal buf, pool_broken
-        if not buf:
-            return
-        payload = [to_payload(w) for w in buf]
-        if pool_broken:
-            pending.append((buf, None, payload))
-        else:
+    def _put(item) -> bool:
+        while not stop.is_set():
             try:
-                pending.append(
-                    (buf, pool.submit(worker_fn, spec, payload), None)
-                )
-            except BrokenProcessPool:
-                pool_broken = True
-                pending.append((buf, None, payload))
-        buf = []
+                inflight.put(item, timeout=0.05)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def feed():
+        buf: list = []
+        try:
+            for w in windows:
+                buf.append(w)
+                if len(buf) >= chunk:
+                    if not _put(_submitted(buf)):
+                        return
+                    buf = []
+                if stop.is_set():
+                    return
+            if buf and not _put(_submitted(buf)):
+                return
+            _put(None)
+        except BaseException as ex:  # iterator errors surface downstream
+            _put(("__exc__", ex, None))
 
     def drain(ws, fut, payload):
-        nonlocal pool_broken
         if fut is not None:
             from concurrent.futures import CancelledError
 
@@ -274,22 +378,58 @@ def map_items_mp(
                 # shared pool was replaced under us (a concurrent caller
                 # grew it, cancelling our queued futures); recompute this
                 # chunk in-process and stop fanning out.
-                pool_broken = True
+                state["broken"] = True
                 results = worker_fn(spec, [to_payload(w) for w in ws])
         else:
             results = worker_fn(spec, payload)
         for w0, res in zip(ws, results):
             yield w0, _unwrap(res, swallow_errors, logger)
 
-    for w in windows:
-        buf.append(w)
-        if len(buf) >= chunk:
-            submit()
-        if len(pending) >= max_inflight:
-            yield from drain(*pending.pop(0))
-    submit()
-    for item in pending:
-        yield from drain(*item)
+    def _submitted(ws):
+        payload = [to_payload(w) for w in ws]
+        if not state["broken"]:
+            try:
+                return (ws, pool.submit(worker_fn, spec, payload), None)
+            except BrokenProcessPool:
+                state["broken"] = True
+        return (ws, None, payload)
+
+    if not (FEED_THREAD and os.environ.get("CALITAS_FEED_THREAD") != "0"):
+        # Legacy single-thread loop (A/B baseline + escape hatch): the
+        # caller's thread alternates feeding and draining.
+        pending: list = []
+        buf: list = []
+        for w in windows:
+            buf.append(w)
+            if len(buf) >= chunk:
+                pending.append(_submitted(buf))
+                buf = []
+            if len(pending) >= max_inflight:
+                yield from drain(*pending.pop(0))
+        if buf:
+            pending.append(_submitted(buf))
+        for item in pending:
+            yield from drain(*item)
+        return
+
+    feeder = threading.Thread(target=feed, daemon=True, name="calitas-feed")
+    feeder.start()
+    try:
+        while True:
+            item = inflight.get()
+            if item is None:
+                break
+            if item[0] == "__exc__":
+                raise item[1]
+            yield from drain(*item)
+    finally:
+        stop.set()
+        while True:  # unblock a producer parked on a full queue
+            try:
+                inflight.get_nowait()
+            except _queue.Empty:
+                break
+        feeder.join(timeout=10)
 
 
 _SHARED_POOL = None

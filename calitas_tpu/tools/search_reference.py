@@ -492,13 +492,13 @@ def _run_both_passes(
                 for vw, _keys in block:
                     vprogress.record(vw.chrom, vw.start)
 
-            block: list = []
-            for vwindow, keys in flagged:
-                block.append((vwindow, keys))
-                if len(block) >= 8192:
-                    process_block(block)
-                    block = []
-            if block:
+            # The builder + device screen run in a producer thread so
+            # they overlap the finish pool (the builder is the variant
+            # pass's dominant host phase; serialized with the finish it
+            # was the measured round-4 bottleneck).
+            from calitas_tpu.parallel.host_pool import iter_blocks_threaded
+
+            for block in iter_blocks_threaded(flagged, 8192, depth=2):
                 process_block(block)
         # Guide-major append order, exactly as the previous per-guide loop
         # produced (keeps dedup/sort tie-breaks insertion-stable).

@@ -89,3 +89,125 @@ def test_finish_cache_key_covers_run_scoped_columns(ref_path):
         mod = dict(base)
         mod[field] = val
         assert hp._finish_cache_key(mod) != k0, field
+
+
+def _x10_worker(spec, chunk):
+    return [x * 10 for x in chunk]
+
+
+def _identity(x):
+    return x
+
+
+class TestFeedDrainDecoupling:
+    """Round-5: map_items_mp feeds/submits from a producer thread while
+    the caller's thread only drains (the measured round-4 feed-starvation
+    fix).  Contracts: submission-order yielding, iterator-exception
+    propagation, clean producer shutdown on early abandonment — on both
+    the decoupled and legacy paths."""
+
+    @staticmethod
+    def _run(items, flag, **kw):
+        import calitas_tpu.parallel.host_pool as hp
+
+        old = hp.FEED_THREAD
+        hp.FEED_THREAD = flag
+        try:
+            return list(
+                hp.map_items_mp(
+                    items, {"key": "k"}, 2, worker_fn=_x10_worker,
+                    to_payload=_identity, chunk=3, **kw,
+                )
+            )
+        finally:
+            hp.FEED_THREAD = old
+
+    @pytest.mark.parametrize("flag", [True, False])
+    def test_ordered_yield(self, flag):
+        # >4*chunk items so the mp head-probe keeps processes > 1
+        items = list(range(40))
+        got = self._run(items, flag)
+        assert got == [(x, x * 10) for x in items]
+
+    @pytest.mark.parametrize("flag", [True, False])
+    def test_iterator_exception_propagates(self, flag):
+        def stream():
+            yield from range(20)
+            raise KeyError("stream died")
+
+        with pytest.raises(KeyError, match="stream died"):
+            self._run(stream(), flag)
+
+    def test_early_abandonment_stops_producer(self):
+        import threading
+        import time
+
+        import calitas_tpu.parallel.host_pool as hp
+
+        produced = []
+
+        def stream():
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+
+        hp.FEED_THREAD = True
+        gen = hp.map_items_mp(
+            stream(), {"key": "k"}, 2, worker_fn=_x10_worker,
+            to_payload=_identity, chunk=3,
+        )
+        next(gen)
+        gen.close()  # GeneratorExit: the finally must stop the feeder
+        time.sleep(0.3)
+        n_after = len(produced)
+        time.sleep(0.3)
+        assert len(produced) == n_after  # producer no longer pulling
+        assert not any(
+            t.name == "calitas-feed" and t.is_alive()
+            for t in threading.enumerate()
+        )
+
+
+class TestIterBlocksThreaded:
+    def test_blocks_and_order(self):
+        from calitas_tpu.parallel.host_pool import iter_blocks_threaded
+
+        got = list(iter_blocks_threaded(iter(range(10)), 4))
+        assert got == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9]]
+        got = list(iter_blocks_threaded(iter(range(8)), 4, enabled=False))
+        assert got == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+    def test_exception_propagates(self):
+        from calitas_tpu.parallel.host_pool import iter_blocks_threaded
+
+        def stream():
+            yield 1
+            raise ValueError("builder failed")
+
+        with pytest.raises(ValueError, match="builder failed"):
+            list(iter_blocks_threaded(stream(), 4))
+
+    def test_abandonment_stops_producer(self):
+        import threading
+        import time
+
+        from calitas_tpu.parallel.host_pool import iter_blocks_threaded
+
+        pulled = []
+
+        def stream():
+            for i in range(100_000):
+                pulled.append(i)
+                yield i
+
+        it = iter_blocks_threaded(stream(), 8, depth=1)
+        next(it)
+        it.close()
+        time.sleep(0.3)
+        n = len(pulled)
+        time.sleep(0.2)
+        assert len(pulled) == n
+        assert not any(
+            t.name == "calitas-blocks" and t.is_alive()
+            for t in threading.enumerate()
+        )
