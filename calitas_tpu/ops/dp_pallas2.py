@@ -193,12 +193,35 @@ class PallasScreenKernelV2:
 NEG_GATE = -(2**26)
 
 
+def pack_tcols_jax(wins):
+    """[bw, T] uint8 annotated window bytes -> [ceil(T/4), bw//LANES,
+    LANES] int32 words, four consecutive DP columns per word
+    (little-endian: byte b = column 4w+b).
+
+    This is the packed tcols layout of the dual/multi kernels: the
+    device-side relayout (transpose + dtype widen) moves 1 byte per DP
+    cell column instead of 4 — the pre-kernel [bw, T] -> [T, ...] int32
+    relayout was write-bandwidth-bound at ~1.5x the DP kernel itself.
+    The kernels unpack bytes in-register (2 VPU ops per column against
+    ~6*Q for the DP itself)."""
+    bw, T = wins.shape
+    W4 = -(-T // 4)
+    if T != W4 * 4:
+        wins = jnp.pad(wins, ((0, 0), (0, W4 * 4 - T)))
+    w = wins.reshape(bw, W4, 4).astype(jnp.int32)
+    words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
+    return words.T.reshape(W4, bw // LANES, LANES)
+
+
 def _kernel2(
     qvals_ref,  # [2, Q] int32 in SMEM: fw and rc query masks
     minscore_ref,  # [1] int32 in SMEM: qualifying-end threshold
-    tcols_ref,  # [T, SUBLANES, LANES] int32: low 4 bits = target mask;
-    #             bit 4 = PAM-ok for a chain-A alignment END at this column;
-    #             bit 5 = PAM-ok for a chain-B alignment START after it
+    tcols_ref,  # packed: [ceil(T/4), SUBLANES, LANES] int32, four annotated
+    #             bytes per word (byte b = column 4w+b); unpacked:
+    #             [T, SUBLANES, LANES] int32, one column per row.
+    #             Per byte/column: low 4 bits = target mask; bit 4 = PAM-ok
+    #             for a chain-A alignment END at this column; bit 5 =
+    #             PAM-ok for a chain-B alignment START after it
     best_ref,  # [SUBLANES, LANES] int32 out: max over both queries
     ranges_ref=None,  # [2, 2, SUBLANES, LANES] int32 out (emit_ranges only):
     #             per chain (min, max) 1-based qualifying end column
@@ -211,6 +234,7 @@ def _kernel2(
     tgap: int,
     pam_gate: bool,
     emit_ranges: bool,
+    packed: bool,
 ):
     zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
     init = tuple(
@@ -235,9 +259,14 @@ def _kernel2(
             new.append(cand)
         return tuple(new)
 
-    def body(j, carry):
+    def col_step(jj, tcol_raw, valid, carry):
+        """One DP column: ``jj`` the 1-based column index (traced),
+        ``tcol_raw`` the annotated column bytes as int32, ``valid`` a
+        traced scalar bool gating end contributions (None = statically
+        valid; only the tail bytes of a packed last word can be
+        invalid — their state updates are harmless because no valid
+        column follows them)."""
         s_fw, s_rc, best_fw, best_rc, rng = carry
-        tcol_raw = tcols_ref[j].astype(jnp.int32)
         tcol = tcol_raw & 15
         if pam_gate:
             # chain A (DP-orientation query): its PAM sits to the right of
@@ -255,13 +284,16 @@ def _kernel2(
         end_fw = (
             jnp.where(end_ok, n_fw[Q], NEG_INF) if pam_gate else n_fw[Q]
         )
+        end_rc = n_rc[Q]
+        if valid is not None:
+            end_fw = jnp.where(valid, end_fw, NEG_INF)
+            end_rc = jnp.where(valid, end_rc, NEG_INF)
         best_fw = jnp.maximum(best_fw, end_fw)
-        best_rc = jnp.maximum(best_rc, n_rc[Q])
+        best_rc = jnp.maximum(best_rc, end_rc)
         if emit_ranges:
             mn_fw, mx_fw, mn_rc, mx_rc = rng
-            jj = j + 1
             q_fw = end_fw >= ms
-            q_rc = n_rc[Q] >= ms
+            q_rc = end_rc >= ms
             mn_fw = jnp.where(q_fw, jnp.minimum(mn_fw, jj), mn_fw)
             mx_fw = jnp.where(q_fw, jj, mx_fw)
             mn_rc = jnp.where(q_rc, jnp.minimum(mn_rc, jj), mn_rc)
@@ -275,10 +307,32 @@ def _kernel2(
         if emit_ranges
         else ()
     )
-    # all columns are valid (the caller always packs full-length windows)
-    _, _, best_fw, best_rc, rng = jax.lax.fori_loop(
-        0, T, body, (init, init, best0, best0, rng0)
-    )
+    carry0 = (init, init, best0, best0, rng0)
+    if packed:
+        W4 = -(-T // 4)
+
+        def body(w, carry):
+            word = tcols_ref[w]
+            for b in range(4):
+                tcol_raw = (word >> (8 * b)) & 0xFF if b else word & 0xFF
+                if T % 4 == 0 or b < T % 4:
+                    valid = None  # statically in range for every word
+                else:
+                    valid = (4 * w + b) < T  # tail bytes of the last word
+                carry = col_step(4 * w + b + 1, tcol_raw, valid, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, W4, body, carry0)
+    else:
+        # all columns are valid (the caller always packs full windows)
+        carry = jax.lax.fori_loop(
+            0, T,
+            lambda j, c: col_step(
+                j + 1, tcols_ref[j].astype(jnp.int32), None, c
+            ),
+            carry0,
+        )
+    _, _, best_fw, best_rc, rng = carry
     best_ref[0, :, :] = best_fw
     best_ref[1, :, :] = best_rc
     if emit_ranges:
@@ -292,23 +346,30 @@ def _kernel2(
     jax.jit,
     static_argnames=(
         "Q", "match", "mismatch", "qgap", "tgap", "pam_gate", "emit_ranges",
-        "interpret",
+        "T", "interpret",
     ),
 )
 def _pallas_screen_dual(
     qvals, tcols, min_score=0, *, Q, match, mismatch, qgap, tgap,
-    pam_gate=False, emit_ranges=False, interpret=False,
+    pam_gate=False, emit_ranges=False, T=None, interpret=False,
 ):
     """Fused both-strand screen: returns [2, n_blocks*8, 128] int32 —
     per-chain (fw, rc) best scores per window.  All windows full length.
     With ``emit_ranges`` also returns [2, 2, n_blocks*8, 128] int32
     per-chain (min, max) 1-based end columns scoring >= min_score (min is
-    T+1 / max is 0 when no column qualifies)."""
-    T = tcols.shape[0]
+    T+1 / max is 0 when no column qualifies).
+
+    ``tcols`` is either the packed word layout of :func:`pack_tcols_jax`
+    (pass the true column count ``T``; the default production layout —
+    4x less relayout traffic) or the legacy one-int32-per-column layout
+    (leave ``T`` None; kept as the in-process A/B baseline)."""
+    packed = T is not None
+    if not packed:
+        T = tcols.shape[0]
     n_blocks = tcols.shape[1] // SUBLANES
     kernel = partial(
         _kernel2, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
-        tgap=tgap, pam_gate=pam_gate, emit_ranges=emit_ranges,
+        tgap=tgap, pam_gate=pam_gate, emit_ranges=emit_ranges, packed=packed,
     )
     out_specs = [
         pl.BlockSpec(
@@ -335,7 +396,8 @@ def _pallas_screen_dual(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (T, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (tcols.shape[0], SUBLANES, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=out_specs,
@@ -343,7 +405,7 @@ def _pallas_screen_dual(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=16 * T * Q * n_blocks * BLOCK_W,
-            bytes_accessed=T * n_blocks * BLOCK_W * 4,
+            bytes_accessed=tcols.shape[0] * n_blocks * BLOCK_W * 4,
             transcendentals=0,
         ),
     )(qvals, jnp.asarray(min_score, jnp.int32).reshape(1), tcols)
@@ -364,8 +426,10 @@ def _pallas_screen_dual(
 def _kernel_multi(
     qvals_ref,  # [G, 2, Q] int32 in SMEM: fw and rc masks per guide
     minscore_ref,  # [G] int32 in SMEM: per-guide qualifying-end thresholds
-    tcols_ref,  # [T, SUBLANES, LANES] int32: low 4 bits = target mask;
-    #             bit 4 = PAM-ok chain-A END; bit 5 = PAM-ok chain-B START
+    tcols_ref,  # packed: [ceil(T/4), SUBLANES, LANES] int32 words (byte b =
+    #             column 4w+b); unpacked: [T, SUBLANES, LANES] int32.
+    #             Per byte/column: low 4 bits = target mask; bit 4 =
+    #             PAM-ok chain-A END; bit 5 = PAM-ok chain-B START
     best_ref,  # [1, 2, SUBLANES, LANES] int32 out: per-chain maxima
     ranges_ref=None,  # [1, 2, 2, SUBLANES, LANES] int32 out (emit_ranges):
     #             per chain (min, max) 1-based qualifying end column
@@ -378,6 +442,7 @@ def _kernel_multi(
     tgap: int,
     pam_gate: bool,
     emit_ranges: bool,
+    packed: bool,
 ):
     g = pl.program_id(1)
     zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
@@ -403,9 +468,8 @@ def _kernel_multi(
             new.append(cand)
         return tuple(new)
 
-    def body(j, carry):
+    def col_step(jj, tcol_raw, valid, carry):
         s_fw, s_rc, best_fw, best_rc, rng = carry
-        tcol_raw = tcols_ref[j].astype(jnp.int32)
         tcol = tcol_raw & 15
         if pam_gate:
             # Same gate semantics as the single-guide dual kernel
@@ -422,13 +486,16 @@ def _kernel_multi(
         end_fw = (
             jnp.where(end_ok, n_fw[Q], NEG_INF) if pam_gate else n_fw[Q]
         )
+        end_rc = n_rc[Q]
+        if valid is not None:
+            end_fw = jnp.where(valid, end_fw, NEG_INF)
+            end_rc = jnp.where(valid, end_rc, NEG_INF)
         best_fw = jnp.maximum(best_fw, end_fw)
-        best_rc = jnp.maximum(best_rc, n_rc[Q])
+        best_rc = jnp.maximum(best_rc, end_rc)
         if emit_ranges:
             mn_fw, mx_fw, mn_rc, mx_rc = rng
-            jj = j + 1
             q_fw = end_fw >= ms
-            q_rc = n_rc[Q] >= ms
+            q_rc = end_rc >= ms
             mn_fw = jnp.where(q_fw, jnp.minimum(mn_fw, jj), mn_fw)
             mx_fw = jnp.where(q_fw, jj, mx_fw)
             mn_rc = jnp.where(q_rc, jnp.minimum(mn_rc, jj), mn_rc)
@@ -442,9 +509,31 @@ def _kernel_multi(
         if emit_ranges
         else ()
     )
-    _, _, best_fw, best_rc, rng = jax.lax.fori_loop(
-        0, T, body, (init, init, best0, best0, rng0)
-    )
+    carry0 = (init, init, best0, best0, rng0)
+    if packed:
+        W4 = -(-T // 4)
+
+        def body(w, carry):
+            word = tcols_ref[w]
+            for b in range(4):
+                tcol_raw = (word >> (8 * b)) & 0xFF if b else word & 0xFF
+                if T % 4 == 0 or b < T % 4:
+                    valid = None
+                else:
+                    valid = (4 * w + b) < T
+                carry = col_step(4 * w + b + 1, tcol_raw, valid, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, W4, body, carry0)
+    else:
+        carry = jax.lax.fori_loop(
+            0, T,
+            lambda j, c: col_step(
+                j + 1, tcols_ref[j].astype(jnp.int32), None, c
+            ),
+            carry0,
+        )
+    _, _, best_fw, best_rc, rng = carry
     # Per-chain maxima let the host skip the strand pass whose chain is
     # below threshold (same contract as the single-guide dual kernel).
     best_ref[0, 0, :, :] = best_fw
@@ -460,12 +549,12 @@ def _kernel_multi(
     jax.jit,
     static_argnames=(
         "Q", "match", "mismatch", "qgap", "tgap", "pam_gate", "emit_ranges",
-        "interpret",
+        "T", "interpret",
     ),
 )
 def _pallas_screen_multi(
     qvals, tcols, min_scores=None, *, Q, match, mismatch, qgap, tgap,
-    pam_gate=False, emit_ranges=False, interpret=False,
+    pam_gate=False, emit_ranges=False, T=None, interpret=False,
 ):
     """Both-strand screen for G same-length guides over one window block
     set: qvals [G, 2, Q]; returns per-chain maxima
@@ -474,15 +563,21 @@ def _pallas_screen_multi(
     per-guide per-chain (min, max) 1-based end columns scoring >= that
     guide's ``min_scores[g]`` (min is T+1 / max is 0 when none qualify).
     ``pam_gate`` applies the tcols bit-4/5 PAM gates exactly like the
-    single-guide dual kernel (guides in the group share one PAM spec)."""
-    T = tcols.shape[0]
+    single-guide dual kernel (guides in the group share one PAM spec).
+
+    ``tcols`` is either the packed word layout of :func:`pack_tcols_jax`
+    (pass the true column count ``T``; the production layout) or the
+    legacy one-int32-per-column layout (leave ``T`` None)."""
+    packed = T is not None
+    if not packed:
+        T = tcols.shape[0]
     n_blocks = tcols.shape[1] // SUBLANES
     G = qvals.shape[0]
     if min_scores is None:
         min_scores = jnp.zeros((G,), jnp.int32)
     kernel = partial(
         _kernel_multi, T=T, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
-        tgap=tgap, pam_gate=pam_gate, emit_ranges=emit_ranges,
+        tgap=tgap, pam_gate=pam_gate, emit_ranges=emit_ranges, packed=packed,
     )
     out_specs = [
         pl.BlockSpec(
@@ -513,7 +608,7 @@ def _pallas_screen_multi(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (T, SUBLANES, LANES), lambda i, g: (0, i, 0),
+                (tcols.shape[0], SUBLANES, LANES), lambda i, g: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -522,7 +617,7 @@ def _pallas_screen_multi(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=16 * T * Q * n_blocks * BLOCK_W * G,
-            bytes_accessed=T * n_blocks * BLOCK_W * 4 * G,
+            bytes_accessed=tcols.shape[0] * n_blocks * BLOCK_W * 4 * G,
             transcendentals=0,
         ),
     )(qvals, jnp.asarray(min_scores, jnp.int32).reshape(G), tcols)

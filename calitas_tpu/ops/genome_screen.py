@@ -334,12 +334,18 @@ def _screen_grid(
     use_pallas: bool,
     pam_spec=None,  # (pams: tuple[tuple[int,...]], max_pam_mm, max_gap)
     emit_ranges: bool = False,
+    packed_tcols: bool = True,
     interpret: bool = False,
 ):
     """The device batch loop shared by the single-device and mesh-sharded
     screens: extract windows, screen both chains, threshold + bit-pack on
     device.  Returns ([2, total//8] uint8 flags, [2, total, 2] uint8
     coarse ranges — a [2, 1, 2] placeholder when ``emit_ranges`` is off).
+
+    ``packed_tcols`` selects the 4-bytes-per-int32 kernel layout
+    (:func:`~calitas_tpu.ops.dp_pallas2.pack_tcols_jax`) whose relayout
+    moves 4x fewer bytes than the legacy one-column-per-int32 transpose;
+    flags/ranges are bit-identical either way (the packing is lossless).
     """
     kw = dict(Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap)
     lens_flat = jnp.full((batch_windows,), window, jnp.int32)
@@ -353,22 +359,31 @@ def _screen_grid(
         )  # [bw, T] uint8
         rng = None
         if use_pallas:
-            from calitas_tpu.ops.dp_pallas2 import _pallas_screen_dual
+            from calitas_tpu.ops.dp_pallas2 import (
+                _pallas_screen_dual,
+                pack_tcols_jax,
+            )
 
             if pam_spec is not None:
                 end_ok, start_ok = _pam_bit_planes(wins, pam_spec)
                 packed = wins | (end_ok << 4) | (start_ok << 5)
             else:
                 packed = wins
-            tcols = (
-                packed.T.astype(jnp.int32).reshape(
-                    window, batch_windows // LANES, LANES
+            if packed_tcols:
+                tcols = pack_tcols_jax(packed)
+                t_static = window
+            else:
+                tcols = (
+                    packed.T.astype(jnp.int32).reshape(
+                        window, batch_windows // LANES, LANES
+                    )
                 )
-            )
+                t_static = None
             qv2 = jnp.concatenate([qv_fw, qv_rc], axis=0)
             res = _pallas_screen_dual(
                 qv2, tcols, min_score, pam_gate=pam_spec is not None,
-                emit_ranges=emit_ranges, interpret=interpret, **kw
+                emit_ranges=emit_ranges, T=t_static, interpret=interpret,
+                **kw
             )
             if emit_ranges:
                 both = res[0].reshape(2, batch_windows)
@@ -434,20 +449,22 @@ def _screen_grid(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
-        "emit_ranges", "interpret",
+        "emit_ranges", "packed_tcols", "interpret",
     ),
 )
 def _screen_genome(
     genome, qv_fw, qv_rc, n_batches, min_score, *,
     window, step, batch_windows, max_batches, Q, match, mismatch, qgap,
-    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
+    interpret=False,
 ):
     return _screen_grid(
         genome, qv_fw, qv_rc, n_batches, min_score, jnp.int32(0),
         window=window, step=step, batch_windows=batch_windows,
         max_batches=max_batches, Q=Q, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
-        emit_ranges=emit_ranges, interpret=interpret,
+        emit_ranges=emit_ranges, packed_tcols=packed_tcols,
+        interpret=interpret,
     )
 
 
@@ -456,13 +473,14 @@ def _screen_genome(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
-        "emit_ranges", "interpret",
+        "emit_ranges", "packed_tcols", "interpret",
     ),
 )
 def _screen_genome_span(
     genome, qv_fw, qv_rc, n_batches, min_score, base0, *,
     window, step, batch_windows, max_batches, Q, match, mismatch, qgap,
-    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
+    interpret=False,
 ):
     """A window-span slice of the contig screen (traced ``base0`` genome
     offset): the segmented screen dispatches several of these back to
@@ -473,7 +491,8 @@ def _screen_genome_span(
         window=window, step=step, batch_windows=batch_windows,
         max_batches=max_batches, Q=Q, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
-        emit_ranges=emit_ranges, interpret=interpret,
+        emit_ranges=emit_ranges, packed_tcols=packed_tcols,
+        interpret=interpret,
     )
 
 
@@ -488,6 +507,7 @@ class GenomeScreen:
         use_pallas: bool | None = None,
         interpret: bool = False,
         pack_staging: bool | None = None,
+        packed_tcols: bool = True,
     ):
         assert batch_windows % LANES == 0
         self.scorer = scorer
@@ -499,6 +519,9 @@ class GenomeScreen:
         self.interpret = interpret
         #: None = decide from a one-time link-rate probe at first stage()
         self.pack_staging = pack_staging
+        #: 4-bytes-per-int32 kernel tcols (4x less relayout traffic);
+        #: False = legacy layout, kept as the in-process A/B baseline
+        self.packed_tcols = packed_tcols
 
     def _should_pack(self) -> bool:
         if self.pack_staging is None:
@@ -645,7 +668,7 @@ class GenomeScreen:
             Q=Q, match=s.match_score, mismatch=s.mismatch_score,
             qgap=s.query_gap_score, tgap=s.target_gap_score,
             use_pallas=use_pallas, pam_spec=static_pam_spec,
-            emit_ranges=return_ranges,
+            emit_ranges=return_ranges, packed_tcols=self.packed_tcols,
             interpret=self.interpret,
         )
         chain_flags = _unpack_flag_bits(np.asarray(packed), n)  # [2, n]
@@ -736,7 +759,7 @@ class GenomeScreen:
                 mismatch=s.mismatch_score, qgap=s.query_gap_score,
                 tgap=s.target_gap_score, use_pallas=use_pallas,
                 pam_spec=static_pam_spec, emit_ranges=True,
-                interpret=self.interpret,
+                packed_tcols=self.packed_tcols, interpret=self.interpret,
             )
 
             # Start the (tiny) D2H copies as soon as each span's compute
@@ -831,7 +854,7 @@ class GenomeScreen:
                 mismatch=s.mismatch_score, qgap=s.query_gap_score,
                 tgap=s.target_gap_score, use_pallas=use_pallas,
                 pam_spec=static_pam_spec, emit_ranges=True,
-                interpret=self.interpret,
+                packed_tcols=self.packed_tcols, interpret=self.interpret,
             )
             try:
                 packed.copy_to_host_async()
@@ -856,7 +879,7 @@ class GenomeScreen:
 def make_sharded_grid_screen(
     mesh, *, window, step, batch_windows, batches_per_dev, Q,
     match, mismatch, qgap, tgap, use_pallas, pam_spec=None,
-    emit_ranges=False, interpret=False,
+    emit_ranges=False, packed_tcols=True, interpret=False,
 ):
     """Jit a mesh-sharded :func:`_screen_grid`: each device owns a
     contiguous span of ``batches_per_dev`` window batches (its ``base0``)
@@ -876,7 +899,8 @@ def make_sharded_grid_screen(
             window=window, step=step, batch_windows=batch_windows,
             max_batches=batches_per_dev, Q=Q, match=match,
             mismatch=mismatch, qgap=qgap, tgap=tgap, use_pallas=use_pallas,
-            pam_spec=pam_spec, emit_ranges=emit_ranges, interpret=interpret,
+            pam_spec=pam_spec, emit_ranges=emit_ranges,
+            packed_tcols=packed_tcols, interpret=interpret,
         )
 
     shard = jax.shard_map(
@@ -892,7 +916,7 @@ def make_sharded_grid_screen(
 def make_sharded_grid_screen_multi(
     mesh, *, window, step, batch_windows, batches_per_dev, Q, G,
     match, mismatch, qgap, tgap, use_pallas, pam_spec=None,
-    emit_ranges=False, interpret=False,
+    emit_ranges=False, packed_tcols=True, interpret=False,
 ):
     """Jit a mesh-sharded :func:`_screen_grid_multi`: the multi-guide
     analogue of :func:`make_sharded_grid_screen` — each device owns a
@@ -909,7 +933,8 @@ def make_sharded_grid_screen_multi(
             window=window, step=step, batch_windows=batch_windows,
             max_batches=batches_per_dev, Q=Q, G=G, match=match,
             mismatch=mismatch, qgap=qgap, tgap=tgap, use_pallas=use_pallas,
-            pam_spec=pam_spec, emit_ranges=emit_ranges, interpret=interpret,
+            pam_spec=pam_spec, emit_ranges=emit_ranges,
+            packed_tcols=packed_tcols, interpret=interpret,
         )
 
     shard = jax.shard_map(
@@ -1015,7 +1040,7 @@ class ShardedGenomeScreen(GenomeScreen):
         static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (
             Q, step, bw, batches_per_dev, static_pam_spec, return_ranges,
-            use_pallas,
+            use_pallas, self.packed_tcols,
         )
         fn = self._fn_cache.get(key)
         if fn is None:
@@ -1025,7 +1050,8 @@ class ShardedGenomeScreen(GenomeScreen):
                 match=s.match_score, mismatch=s.mismatch_score,
                 qgap=s.query_gap_score, tgap=s.target_gap_score,
                 use_pallas=use_pallas, pam_spec=static_pam_spec,
-                emit_ranges=return_ranges, interpret=self.interpret,
+                emit_ranges=return_ranges, packed_tcols=self.packed_tcols,
+                interpret=self.interpret,
             )
             self._fn_cache[key] = fn
         # Per-shard span origins and live batch counts: tail shards run
@@ -1104,7 +1130,10 @@ class ShardedGenomeScreen(GenomeScreen):
             need = 1 << (need - 1).bit_length()
             genome_dev = self._pad_replicated(genome_dev, need)
         static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
-        key = (Q, step, bw, batches_per_dev, static_pam_spec, True, use_pallas)
+        key = (
+            Q, step, bw, batches_per_dev, static_pam_spec, True, use_pallas,
+            self.packed_tcols,
+        )
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = make_sharded_grid_screen(
@@ -1113,7 +1142,8 @@ class ShardedGenomeScreen(GenomeScreen):
                 match=s.match_score, mismatch=s.mismatch_score,
                 qgap=s.query_gap_score, tgap=s.target_gap_score,
                 use_pallas=use_pallas, pam_spec=static_pam_spec,
-                emit_ranges=True, interpret=self.interpret,
+                emit_ranges=True, packed_tcols=self.packed_tcols,
+                interpret=self.interpret,
             )
             self._fn_cache[key] = fn
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
@@ -1197,7 +1227,7 @@ class ShardedGenomeScreen(GenomeScreen):
         static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (
             "multi", Q, G, step, bw, batches_per_dev, static_pam_spec,
-            use_pallas,
+            use_pallas, self.packed_tcols,
         )
         fn = self._fn_cache.get(key)
         if fn is None:
@@ -1207,7 +1237,8 @@ class ShardedGenomeScreen(GenomeScreen):
                 match=s.match_score, mismatch=s.mismatch_score,
                 qgap=s.query_gap_score, tgap=s.target_gap_score,
                 use_pallas=use_pallas, pam_spec=static_pam_spec,
-                emit_ranges=True, interpret=self.interpret,
+                emit_ranges=True, packed_tcols=self.packed_tcols,
+                interpret=self.interpret,
             )
             self._fn_cache[key] = fn
         qvals = jnp.asarray(
@@ -1278,6 +1309,7 @@ def _screen_grid_multi(
     use_pallas: bool,
     pam_spec=None,
     emit_ranges: bool = False,
+    packed_tcols: bool = True,
     interpret: bool = False,
 ):
     """The multi-guide analogue of :func:`_screen_grid`: one window
@@ -1295,21 +1327,29 @@ def _screen_grid_multi(
         )
         rng = None
         if use_pallas:
-            from calitas_tpu.ops.dp_pallas2 import _pallas_screen_multi
+            from calitas_tpu.ops.dp_pallas2 import (
+                _pallas_screen_multi,
+                pack_tcols_jax,
+            )
 
             if pam_spec is not None:
                 end_ok, start_ok = _pam_bit_planes(wins, pam_spec)
                 packed_w = wins | (end_ok << 4) | (start_ok << 5)
             else:
                 packed_w = wins
-            tcols = packed_w.T.astype(jnp.int32).reshape(
-                window, batch_windows // LANES, LANES
-            )
+            if packed_tcols:
+                tcols = pack_tcols_jax(packed_w)
+                t_static = window
+            else:
+                tcols = packed_w.T.astype(jnp.int32).reshape(
+                    window, batch_windows // LANES, LANES
+                )
+                t_static = None
             res = _pallas_screen_multi(
                 qvals, tcols, min_scores,
                 Q=Q, match=match, mismatch=mismatch, qgap=qgap, tgap=tgap,
                 pam_gate=pam_spec is not None, emit_ranges=emit_ranges,
-                interpret=interpret,
+                T=t_static, interpret=interpret,
             )
             if emit_ranges:
                 best = res[0].reshape(G, 2, batch_windows)
@@ -1376,20 +1416,22 @@ def _screen_grid_multi(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
-        "pam_spec", "emit_ranges", "interpret",
+        "pam_spec", "emit_ranges", "packed_tcols", "interpret",
     ),
 )
 def _screen_genome_multi(
     genome, qvals, n_batches, min_scores, *,
     window, step, batch_windows, max_batches, Q, G, match, mismatch, qgap,
-    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
+    interpret=False,
 ):
     return _screen_grid_multi(
         genome, qvals, n_batches, min_scores, jnp.int32(0),
         window=window, step=step, batch_windows=batch_windows,
         max_batches=max_batches, Q=Q, G=G, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
-        emit_ranges=emit_ranges, interpret=interpret,
+        emit_ranges=emit_ranges, packed_tcols=packed_tcols,
+        interpret=interpret,
     )
 
 
@@ -1398,13 +1440,14 @@ def _screen_genome_multi(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
-        "pam_spec", "emit_ranges", "interpret",
+        "pam_spec", "emit_ranges", "packed_tcols", "interpret",
     ),
 )
 def _screen_genome_multi_span(
     genome, qvals, n_batches, min_scores, base0, *,
     window, step, batch_windows, max_batches, Q, G, match, mismatch, qgap,
-    tgap, use_pallas, pam_spec=None, emit_ranges=False, interpret=False,
+    tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
+    interpret=False,
 ):
     """A window-span slice of the multi-guide contig screen (traced
     ``base0``), the segmented-dispatch unit of
@@ -1414,7 +1457,8 @@ def _screen_genome_multi_span(
         window=window, step=step, batch_windows=batch_windows,
         max_batches=max_batches, Q=Q, G=G, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
-        emit_ranges=emit_ranges, interpret=interpret,
+        emit_ranges=emit_ranges, packed_tcols=packed_tcols,
+        interpret=interpret,
     )
 
 
@@ -1422,7 +1466,7 @@ def _screen_genome_multi_span(
     jax.jit,
     static_argnames=(
         "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
-        "interpret",
+        "packed_tcols", "interpret",
     ),
 )
 def _slot_flags_multi(
@@ -1438,6 +1482,7 @@ def _slot_flags_multi(
     qgap: int,
     tgap: int,
     use_pallas: bool,
+    packed_tcols: bool = True,
     interpret: bool = False,
 ):
     """Candidate flags for G same-length guides over one slot batch in a
@@ -1449,12 +1494,20 @@ def _slot_flags_multi(
     which the exact host alignment then resolves."""
     B, T = tmasks.shape
     if use_pallas:
-        from calitas_tpu.ops.dp_pallas2 import _pallas_screen_multi
+        from calitas_tpu.ops.dp_pallas2 import (
+            _pallas_screen_multi,
+            pack_tcols_jax,
+        )
 
-        tcols = tmasks.T.astype(jnp.int32).reshape(T, B // LANES, LANES)
+        if packed_tcols:
+            tcols = pack_tcols_jax(tmasks)
+            t_static = T
+        else:
+            tcols = tmasks.T.astype(jnp.int32).reshape(T, B // LANES, LANES)
+            t_static = None
         best = _pallas_screen_multi(
             qvals, tcols, Q=Q, match=match, mismatch=mismatch, qgap=qgap,
-            tgap=tgap, interpret=interpret,
+            tgap=tgap, T=t_static, interpret=interpret,
         ).reshape(G, 2, B)
     else:
         from calitas_tpu.ops.dp_screen import _screen_scores
@@ -1576,6 +1629,7 @@ def screen_contig_multi(
         max_batches=max_batches, Q=Q, G=G,
         match=s.match_score, mismatch=s.mismatch_score,
         qgap=s.query_gap_score, tgap=s.target_gap_score,
-        use_pallas=use_pallas, interpret=screen.interpret,
+        use_pallas=use_pallas, packed_tcols=screen.packed_tcols,
+        interpret=screen.interpret,
     )
     return _unpack_flag_bits(np.asarray(packed), n)
