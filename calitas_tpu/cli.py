@@ -194,9 +194,13 @@ overlapping alignments instead.""",
     sv.add_argument("-c", "--contigs", nargs="*", default=None,
                     help="Stage only these contigs (default: all).")
     sv.add_argument("--engine", choices=["auto", "host", "tpu"], default="auto")
-    sv.add_argument("--warmup", action="store_true",
+    sv.add_argument("--warmup", type=_strict_bool, nargs="?", const=True,
+                    default=True, metavar="true|false",
                     help="Run a throwaway search at startup so the first "
-                         "real request runs at warm speed.")
+                         "real request runs at warm speed (default: on — "
+                         "a resident server's first query should not pay "
+                         "the worker-pool + compile cost; --warmup false "
+                         "skips it).")
     _add_scoring_args(sv)
 
     # ----------------------------------------------------------------- PrepareVcf

@@ -206,11 +206,16 @@ def pack_tcols_jax(wins):
     ~6*Q for the DP itself)."""
     bw, T = wins.shape
     W4 = -(-T // 4)
-    if T != W4 * 4:
-        wins = jnp.pad(wins, ((0, 0), (0, W4 * 4 - T)))
-    w = wins.reshape(bw, W4, 4).astype(jnp.int32)
+    # Pad the word axis to a sublane multiple: the [bw, W4] -> [W4, bw]
+    # transpose then moves whole (8, 128) tiles on both sides instead of
+    # a ragged edge.  The kernels loop exactly ceil(T/4) words, so the
+    # dead rows are never read.
+    W4p = -(-W4 // SUBLANES) * SUBLANES
+    if T != W4p * 4:
+        wins = jnp.pad(wins, ((0, 0), (0, W4p * 4 - T)))
+    w = wins.reshape(bw, W4p, 4).astype(jnp.int32)
     words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
-    return words.T.reshape(W4, bw // LANES, LANES)
+    return words.T.reshape(W4p, bw // LANES, LANES)
 
 
 def _kernel2(

@@ -313,6 +313,84 @@ def _rc_mask(m: int) -> int:
     return r
 
 
+@partial(jax.jit, static_argnames=("pam_spec",))
+def annotate_genome_pam(genome, *, pam_spec):
+    """One-time per-contig PAM-gate annotation: returns the staged mask
+    array with bit 4 = PAM-ok chain-A END at this position and bit 5 =
+    PAM-ok chain-B START after it — the same gate bits
+    :func:`_pam_bit_planes` computes per window batch, hoisted to a
+    single fused pass over the contig (the per-batch planes were the
+    dominant pre-kernel cost: ~24 sliced compare+accumulate ops per
+    8.4 MB batch).
+
+    Two deliberate differences from the per-batch planes, both strictly
+    conservative (supersets, resolved by the exact host alignment):
+    per-position fitness is computed ONCE and OR-ed over the gap
+    offsets (the per-batch code recomputed the mismatch sum per
+    offset), and window edges see the real neighboring genome instead
+    of out-of-window-as-mismatch — a window-local gate can only be
+    stricter, so staged flags cover every window the batch-local gate
+    flags (and every window with actual hits, which is the correctness
+    contract; tests/test_screen.py::TestPamGate).
+
+    Chunked like :func:`_encode_staged` so per-op shapes stay small on
+    remote-compile backends.  Zero padding annotates to gate-closed
+    (a zero mask mismatches every PAM base), matching the per-batch
+    planes' treatment of beyond-contig windows."""
+    pams, max_mm, max_gap = pam_spec
+    L = genome.shape[0]
+    pad = max(len(p) for p in pams) + max_gap + 2
+    gp = jnp.concatenate(
+        [jnp.zeros(pad, jnp.uint8), genome, jnp.zeros(pad, jnp.uint8)]
+    )
+    C = min(_ENCODE_CHUNK, L)
+    n_chunks = L // C  # L is a power of two >= C
+
+    def block(i):
+        base = i * C + pad  # gp index of genome position i*C
+        ext = C + max_gap
+        end = jnp.zeros(C, jnp.bool_)
+        start = jnp.zeros(C, jnp.bool_)
+        for pam in pams:
+            plen = len(pam)
+            rc_pam = tuple(_rc_mask(m) for m in reversed(pam))
+            # fit_e[t] = PAM fits (<= max_mm mismatches) at genome
+            # positions starting j0+1+t; fit_s[t] = revcomp'd PAM fits
+            # starting j0 - max_gap - plen + 1 + t.
+            mm_e = jnp.zeros(ext, jnp.int32)
+            mm_s = jnp.zeros(ext, jnp.int32)
+            for k in range(plen):
+                se = jax.lax.dynamic_slice(gp, (base + 1 + k,), (ext,))
+                mm_e = mm_e + ((se & jnp.uint8(pam[k])) == 0)
+                ss = jax.lax.dynamic_slice(
+                    gp, (base - max_gap - plen + 1 + k,), (ext,)
+                )
+                mm_s = mm_s + ((ss & jnp.uint8(rc_pam[k])) == 0)
+            fe = mm_e <= max_mm
+            fs = mm_s <= max_mm
+            for o in range(max_gap + 1):
+                # end_ok[j] = OR_o fit_e[j+1+o]; start_ok[j] =
+                # OR_o fit_s[j-o-plen+1] (gap-offset max-pools)
+                end = end | jax.lax.slice(fe, (o,), (o + C,))
+                start = start | jax.lax.slice(
+                    fs, (max_gap - o,), (max_gap - o + C,)
+                )
+        g = jax.lax.dynamic_slice(gp, (base,), (C,))
+        return (
+            g
+            | (end.astype(jnp.uint8) << 4)
+            | (start.astype(jnp.uint8) << 5)
+        )
+
+    if n_chunks <= 1:
+        return block(0)
+
+    def body(i, out):
+        return jax.lax.dynamic_update_slice(out, block(i), (i * C,))
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(L, jnp.uint8))
+
+
 def _screen_grid(
     genome,  # [G] uint8 masks, padded with >= window zeros at the end
     qv_fw,  # [1, Q] int32
@@ -335,6 +413,7 @@ def _screen_grid(
     pam_spec=None,  # (pams: tuple[tuple[int,...]], max_pam_mm, max_gap)
     emit_ranges: bool = False,
     packed_tcols: bool = True,
+    pam_staged: bool = False,  # genome already carries the gate bits 4/5
     interpret: bool = False,
 ):
     """The device batch loop shared by the single-device and mesh-sharded
@@ -364,10 +443,12 @@ def _screen_grid(
                 pack_tcols_jax,
             )
 
-            if pam_spec is not None:
+            if pam_spec is not None and not pam_staged:
                 end_ok, start_ok = _pam_bit_planes(wins, pam_spec)
                 packed = wins | (end_ok << 4) | (start_ok << 5)
             else:
+                # pam_staged: the gate bits ride in the annotated genome
+                # (annotate_genome_pam), extracted with the windows.
                 packed = wins
             if packed_tcols:
                 tcols = pack_tcols_jax(packed)
@@ -449,14 +530,14 @@ def _screen_grid(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
-        "emit_ranges", "packed_tcols", "interpret",
+        "emit_ranges", "packed_tcols", "pam_staged", "interpret",
     ),
 )
 def _screen_genome(
     genome, qv_fw, qv_rc, n_batches, min_score, *,
     window, step, batch_windows, max_batches, Q, match, mismatch, qgap,
     tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
-    interpret=False,
+    pam_staged=False, interpret=False,
 ):
     return _screen_grid(
         genome, qv_fw, qv_rc, n_batches, min_score, jnp.int32(0),
@@ -464,7 +545,7 @@ def _screen_genome(
         max_batches=max_batches, Q=Q, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
         emit_ranges=emit_ranges, packed_tcols=packed_tcols,
-        interpret=interpret,
+        pam_staged=pam_staged, interpret=interpret,
     )
 
 
@@ -473,14 +554,14 @@ def _screen_genome(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "match", "mismatch", "qgap", "tgap", "use_pallas", "pam_spec",
-        "emit_ranges", "packed_tcols", "interpret",
+        "emit_ranges", "packed_tcols", "pam_staged", "interpret",
     ),
 )
 def _screen_genome_span(
     genome, qv_fw, qv_rc, n_batches, min_score, base0, *,
     window, step, batch_windows, max_batches, Q, match, mismatch, qgap,
     tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
-    interpret=False,
+    pam_staged=False, interpret=False,
 ):
     """A window-span slice of the contig screen (traced ``base0`` genome
     offset): the segmented screen dispatches several of these back to
@@ -492,7 +573,7 @@ def _screen_genome_span(
         max_batches=max_batches, Q=Q, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
         emit_ranges=emit_ranges, packed_tcols=packed_tcols,
-        interpret=interpret,
+        pam_staged=pam_staged, interpret=interpret,
     )
 
 
@@ -508,6 +589,7 @@ class GenomeScreen:
         interpret: bool = False,
         pack_staging: bool | None = None,
         packed_tcols: bool = True,
+        pam_staged: bool = True,
     ):
         assert batch_windows % LANES == 0
         self.scorer = scorer
@@ -522,11 +604,34 @@ class GenomeScreen:
         #: 4-bytes-per-int32 kernel tcols (4x less relayout traffic);
         #: False = legacy layout, kept as the in-process A/B baseline
         self.packed_tcols = packed_tcols
+        #: PAM gate bits staged once per contig (annotate_genome_pam)
+        #: instead of recomputed per window batch; False = per-batch
+        #: planes, kept as the in-process A/B baseline
+        self.pam_staged = pam_staged
+        #: (id(genome_dev), pam_spec) -> (genome_dev, annotated) — the
+        #: genome ref pins the id so it cannot be recycled while cached
+        self._anno_cache: dict = {}
 
     def _should_pack(self) -> bool:
         if self.pack_staging is None:
             self.pack_staging = _packing_pays()
         return self.pack_staging
+
+    def _annotate(self, genome_dev, static_pam_spec):
+        """Staged-gate form of the genome for this pam_spec (cached —
+        multiple guides sharing a PAM spec reuse one annotation pass)."""
+        key = (id(genome_dev), static_pam_spec)
+        hit = self._anno_cache.get(key)
+        if hit is not None:
+            return hit[1]
+        anno = self._annotate_fn(genome_dev, static_pam_spec)
+        if len(self._anno_cache) >= 4:
+            self._anno_cache.pop(next(iter(self._anno_cache)))
+        self._anno_cache[key] = (genome_dev, anno)
+        return anno
+
+    def _annotate_fn(self, genome_dev, static_pam_spec):
+        return annotate_genome_pam(genome_dev, pam_spec=static_pam_spec)
 
     #: H2D staging chunk (large single transfers stall on tunneled links)
     STAGE_CHUNK = 64 * 1024 * 1024
@@ -655,11 +760,14 @@ class GenomeScreen:
         # instead of recompiling per contig.
         max_batches = 1 << (n_batches - 1).bit_length()
         need = (max_batches * bw - 1) * step + self.window + step
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
+        pam_staged = self.pam_staged and static_pam_spec is not None
+        if pam_staged:
+            genome_dev = self._annotate(genome_dev, static_pam_spec)
         genome_dev = _pad_genome(genome_dev, need)
         s = self.scorer
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
         qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
-        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         packed, packed_ranges = _screen_genome(
             genome_dev, qv_fw, qv_rc, jnp.int32(n_batches),
             jnp.int32(min_score),
@@ -669,7 +777,7 @@ class GenomeScreen:
             qgap=s.query_gap_score, tgap=s.target_gap_score,
             use_pallas=use_pallas, pam_spec=static_pam_spec,
             emit_ranges=return_ranges, packed_tcols=self.packed_tcols,
-            interpret=self.interpret,
+            pam_staged=pam_staged, interpret=self.interpret,
         )
         chain_flags = _unpack_flag_bits(np.asarray(packed), n)  # [2, n]
         if return_ranges:
@@ -740,11 +848,14 @@ class GenomeScreen:
         max_batches = 1 << (bps - 1).bit_length()
         last_base = (segments - 1) * bps * bw * step
         need = last_base + (max_batches * bw - 1) * step + self.window + step
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
+        pam_staged = self.pam_staged and static_pam_spec is not None
+        if pam_staged:
+            genome_dev = self._annotate(genome_dev, static_pam_spec)
         genome_dev = _pad_genome(genome_dev, need)
         s = self.scorer
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
         qv_rc = jnp.asarray(encode_query(dp_query_rc).astype(np.int32)[None, :])
-        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         out = []
         for seg in range(segments):
             b0 = seg * bps
@@ -759,7 +870,8 @@ class GenomeScreen:
                 mismatch=s.mismatch_score, qgap=s.query_gap_score,
                 tgap=s.target_gap_score, use_pallas=use_pallas,
                 pam_spec=static_pam_spec, emit_ranges=True,
-                packed_tcols=self.packed_tcols, interpret=self.interpret,
+                packed_tcols=self.packed_tcols, pam_staged=pam_staged,
+                interpret=self.interpret,
             )
 
             # Start the (tiny) D2H copies as soon as each span's compute
@@ -826,6 +938,10 @@ class GenomeScreen:
         max_batches = 1 << (bps - 1).bit_length()
         last_base = (segments - 1) * bps * bw * step
         need = last_base + (max_batches * bw - 1) * step + self.window + step
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
+        pam_staged = self.pam_staged and static_pam_spec is not None
+        if pam_staged:
+            genome_dev = self._annotate(genome_dev, static_pam_spec)
         genome_dev = _pad_genome(genome_dev, need)
         s = self.scorer
         qvals = jnp.asarray(
@@ -839,7 +955,6 @@ class GenomeScreen:
             )
         )
         ms = jnp.asarray(np.asarray(min_scores, dtype=np.int32))
-        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         out = []
         for seg in range(segments):
             b0 = seg * bps
@@ -854,7 +969,8 @@ class GenomeScreen:
                 mismatch=s.mismatch_score, qgap=s.query_gap_score,
                 tgap=s.target_gap_score, use_pallas=use_pallas,
                 pam_spec=static_pam_spec, emit_ranges=True,
-                packed_tcols=self.packed_tcols, interpret=self.interpret,
+                packed_tcols=self.packed_tcols, pam_staged=pam_staged,
+                interpret=self.interpret,
             )
             try:
                 packed.copy_to_host_async()
@@ -879,7 +995,8 @@ class GenomeScreen:
 def make_sharded_grid_screen(
     mesh, *, window, step, batch_windows, batches_per_dev, Q,
     match, mismatch, qgap, tgap, use_pallas, pam_spec=None,
-    emit_ranges=False, packed_tcols=True, interpret=False,
+    emit_ranges=False, packed_tcols=True, pam_staged=False,
+    interpret=False,
 ):
     """Jit a mesh-sharded :func:`_screen_grid`: each device owns a
     contiguous span of ``batches_per_dev`` window batches (its ``base0``)
@@ -900,7 +1017,8 @@ def make_sharded_grid_screen(
             max_batches=batches_per_dev, Q=Q, match=match,
             mismatch=mismatch, qgap=qgap, tgap=tgap, use_pallas=use_pallas,
             pam_spec=pam_spec, emit_ranges=emit_ranges,
-            packed_tcols=packed_tcols, interpret=interpret,
+            packed_tcols=packed_tcols, pam_staged=pam_staged,
+            interpret=interpret,
         )
 
     shard = jax.shard_map(
@@ -916,7 +1034,8 @@ def make_sharded_grid_screen(
 def make_sharded_grid_screen_multi(
     mesh, *, window, step, batch_windows, batches_per_dev, Q, G,
     match, mismatch, qgap, tgap, use_pallas, pam_spec=None,
-    emit_ranges=False, packed_tcols=True, interpret=False,
+    emit_ranges=False, packed_tcols=True, pam_staged=False,
+    interpret=False,
 ):
     """Jit a mesh-sharded :func:`_screen_grid_multi`: the multi-guide
     analogue of :func:`make_sharded_grid_screen` — each device owns a
@@ -934,7 +1053,8 @@ def make_sharded_grid_screen_multi(
             max_batches=batches_per_dev, Q=Q, G=G, match=match,
             mismatch=mismatch, qgap=qgap, tgap=tgap, use_pallas=use_pallas,
             pam_spec=pam_spec, emit_ranges=emit_ranges,
-            packed_tcols=packed_tcols, interpret=interpret,
+            packed_tcols=packed_tcols, pam_staged=pam_staged,
+            interpret=interpret,
         )
 
     shard = jax.shard_map(
@@ -988,6 +1108,20 @@ class ShardedGenomeScreen(GenomeScreen):
         assert out.sharding.is_fully_replicated
         return out
 
+    def _annotate_fn(self, genome_dev, static_pam_spec):
+        # Pin the annotation replicated on the mesh (elementwise on a
+        # replicated input would stay replicated anyway; the explicit
+        # out_sharding makes it structural).
+        key = ("anno_fn", static_pam_spec)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(annotate_genome_pam, pam_spec=static_pam_spec),
+                out_shardings=self._sharding(),
+            )
+            self._fn_cache[key] = fn
+        return fn(genome_dev)
+
     def _pad_replicated(self, genome_dev, need: int):
         extra = need - genome_dev.shape[0]
         fn = self._fn_cache.get("pad")
@@ -1034,13 +1168,16 @@ class ShardedGenomeScreen(GenomeScreen):
         batches_per_dev = 1 << (-(-batches_total // n_dev) - 1).bit_length()
         total = n_dev * batches_per_dev * bw
         need = (total - 1) * step + self.window + step
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
+        pam_staged = self.pam_staged and static_pam_spec is not None
+        if pam_staged:
+            genome_dev = self._annotate(genome_dev, static_pam_spec)
         if need > genome_dev.shape[0]:
             need = 1 << (need - 1).bit_length()
             genome_dev = self._pad_replicated(genome_dev, need)
-        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (
             Q, step, bw, batches_per_dev, static_pam_spec, return_ranges,
-            use_pallas, self.packed_tcols,
+            use_pallas, self.packed_tcols, pam_staged,
         )
         fn = self._fn_cache.get(key)
         if fn is None:
@@ -1051,7 +1188,7 @@ class ShardedGenomeScreen(GenomeScreen):
                 qgap=s.query_gap_score, tgap=s.target_gap_score,
                 use_pallas=use_pallas, pam_spec=static_pam_spec,
                 emit_ranges=return_ranges, packed_tcols=self.packed_tcols,
-                interpret=self.interpret,
+                pam_staged=pam_staged, interpret=self.interpret,
             )
             self._fn_cache[key] = fn
         # Per-shard span origins and live batch counts: tail shards run
@@ -1126,13 +1263,16 @@ class ShardedGenomeScreen(GenomeScreen):
         seg_batches = n_dev * batches_per_dev
         segments = -(-batches_total // seg_batches)
         need = (batches_total * bw + bw - 1) * step + self.window + step
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
+        pam_staged = self.pam_staged and static_pam_spec is not None
+        if pam_staged:
+            genome_dev = self._annotate(genome_dev, static_pam_spec)
         if need > genome_dev.shape[0]:
             need = 1 << (need - 1).bit_length()
             genome_dev = self._pad_replicated(genome_dev, need)
-        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (
             Q, step, bw, batches_per_dev, static_pam_spec, True, use_pallas,
-            self.packed_tcols,
+            self.packed_tcols, pam_staged,
         )
         fn = self._fn_cache.get(key)
         if fn is None:
@@ -1143,7 +1283,7 @@ class ShardedGenomeScreen(GenomeScreen):
                 qgap=s.query_gap_score, tgap=s.target_gap_score,
                 use_pallas=use_pallas, pam_spec=static_pam_spec,
                 emit_ranges=True, packed_tcols=self.packed_tcols,
-                interpret=self.interpret,
+                pam_staged=pam_staged, interpret=self.interpret,
             )
             self._fn_cache[key] = fn
         qv_fw = jnp.asarray(encode_query(dp_query).astype(np.int32)[None, :])
@@ -1221,13 +1361,16 @@ class ShardedGenomeScreen(GenomeScreen):
         seg_batches = n_dev * batches_per_dev
         segments = -(-batches_total // seg_batches)
         need = (batches_total * bw + bw - 1) * step + self.window + step
+        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
+        pam_staged = self.pam_staged and static_pam_spec is not None
+        if pam_staged:
+            genome_dev = self._annotate(genome_dev, static_pam_spec)
         if need > genome_dev.shape[0]:
             need = 1 << (need - 1).bit_length()
             genome_dev = self._pad_replicated(genome_dev, need)
-        static_pam_spec = _static_pam_spec(pam_spec, use_pallas)
         key = (
             "multi", Q, G, step, bw, batches_per_dev, static_pam_spec,
-            use_pallas, self.packed_tcols,
+            use_pallas, self.packed_tcols, pam_staged,
         )
         fn = self._fn_cache.get(key)
         if fn is None:
@@ -1238,7 +1381,7 @@ class ShardedGenomeScreen(GenomeScreen):
                 qgap=s.query_gap_score, tgap=s.target_gap_score,
                 use_pallas=use_pallas, pam_spec=static_pam_spec,
                 emit_ranges=True, packed_tcols=self.packed_tcols,
-                interpret=self.interpret,
+                pam_staged=pam_staged, interpret=self.interpret,
             )
             self._fn_cache[key] = fn
         qvals = jnp.asarray(
@@ -1310,6 +1453,7 @@ def _screen_grid_multi(
     pam_spec=None,
     emit_ranges: bool = False,
     packed_tcols: bool = True,
+    pam_staged: bool = False,
     interpret: bool = False,
 ):
     """The multi-guide analogue of :func:`_screen_grid`: one window
@@ -1332,10 +1476,11 @@ def _screen_grid_multi(
                 pack_tcols_jax,
             )
 
-            if pam_spec is not None:
+            if pam_spec is not None and not pam_staged:
                 end_ok, start_ok = _pam_bit_planes(wins, pam_spec)
                 packed_w = wins | (end_ok << 4) | (start_ok << 5)
             else:
+                # pam_staged: gate bits ride in the annotated genome
                 packed_w = wins
             if packed_tcols:
                 tcols = pack_tcols_jax(packed_w)
@@ -1416,14 +1561,15 @@ def _screen_grid_multi(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
-        "pam_spec", "emit_ranges", "packed_tcols", "interpret",
+        "pam_spec", "emit_ranges", "packed_tcols", "pam_staged",
+        "interpret",
     ),
 )
 def _screen_genome_multi(
     genome, qvals, n_batches, min_scores, *,
     window, step, batch_windows, max_batches, Q, G, match, mismatch, qgap,
     tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
-    interpret=False,
+    pam_staged=False, interpret=False,
 ):
     return _screen_grid_multi(
         genome, qvals, n_batches, min_scores, jnp.int32(0),
@@ -1431,7 +1577,7 @@ def _screen_genome_multi(
         max_batches=max_batches, Q=Q, G=G, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
         emit_ranges=emit_ranges, packed_tcols=packed_tcols,
-        interpret=interpret,
+        pam_staged=pam_staged, interpret=interpret,
     )
 
 
@@ -1440,14 +1586,15 @@ def _screen_genome_multi(
     static_argnames=(
         "window", "step", "batch_windows", "max_batches",
         "Q", "G", "match", "mismatch", "qgap", "tgap", "use_pallas",
-        "pam_spec", "emit_ranges", "packed_tcols", "interpret",
+        "pam_spec", "emit_ranges", "packed_tcols", "pam_staged",
+        "interpret",
     ),
 )
 def _screen_genome_multi_span(
     genome, qvals, n_batches, min_scores, base0, *,
     window, step, batch_windows, max_batches, Q, G, match, mismatch, qgap,
     tgap, use_pallas, pam_spec=None, emit_ranges=False, packed_tcols=True,
-    interpret=False,
+    pam_staged=False, interpret=False,
 ):
     """A window-span slice of the multi-guide contig screen (traced
     ``base0``), the segmented-dispatch unit of
@@ -1458,7 +1605,7 @@ def _screen_genome_multi_span(
         max_batches=max_batches, Q=Q, G=G, match=match, mismatch=mismatch,
         qgap=qgap, tgap=tgap, use_pallas=use_pallas, pam_spec=pam_spec,
         emit_ranges=emit_ranges, packed_tcols=packed_tcols,
-        interpret=interpret,
+        pam_staged=pam_staged, interpret=interpret,
     )
 
 
@@ -1544,12 +1691,64 @@ def _unpack_slot_nibbles(packed):
     ).reshape(B, -1)
 
 
+#: (mesh, Q, G, scores..., use_pallas, packed_tcols, interpret) -> jitted
+#: shard_map'd slot screen (jax.sharding.Mesh is hashable)
+_SHARDED_SLOT_FN_CACHE: dict = {}
+
+
+def make_sharded_slot_flags(
+    mesh, *, Q, G, match, mismatch, qgap, tgap, use_pallas,
+    packed_tcols=True, interpret=False,
+):
+    """Jit a mesh-sharded :func:`_slot_flags_multi`: the slot-batch axis
+    is data-parallel across the mesh (each device screens its own span
+    of rows for every guide in the group, exactly like the single-device
+    dispatch), queries replicated, bit-packed per-shard flags gathered
+    in row order — so the unpacked flags are bit-identical to
+    single-device execution.  This is the variant pass's multi-device
+    screen: variant windows are explicit [B, slot] batches, so the
+    batch axis plays the role the window grid plays in
+    :func:`make_sharded_grid_screen` (SURVEY.md §2.10; variant windows
+    share the reference pass's pool in SearchReference.scala:582)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(qvals, tmasks, lengths, min_scores):
+        return _slot_flags_multi(
+            qvals, tmasks, lengths, min_scores, Q=Q, G=G, match=match,
+            mismatch=mismatch, qgap=qgap, tgap=tgap, use_pallas=use_pallas,
+            packed_tcols=packed_tcols, interpret=interpret,
+        )
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def slot_batch_unit(any_pallas: bool, mesh=None) -> int:
+    """Row granularity of one slot batch: whole Pallas blocks (or the
+    bit-packer's 8) per device, times the mesh size when sharded."""
+    from calitas_tpu.ops.dp_pallas2 import BLOCK_W
+
+    unit = BLOCK_W if any_pallas else 8
+    if mesh is not None:
+        unit *= mesh.devices.size
+    return unit
+
+
 def screen_slots_multi(
     scorer: Scorer,
-    tmasks: np.ndarray,  # [B, T] uint8, B a multiple of 8 (1024 if pallas)
+    tmasks: np.ndarray,  # [B, T] uint8, B a multiple of slot_batch_unit()
     lengths: np.ndarray,  # [B] valid slot lengths
     groups,  # [(use_pallas, qvals [G,2,Q] int32, min_scores [G]), ...]
     interpret: bool = False,
+    mesh=None,
 ) -> list:
     """Screen one slot batch for several same-length guide groups: the
     batch uploads ONCE and each group costs one fused dispatch plus one
@@ -1557,26 +1756,50 @@ def screen_slots_multi(
     guide count).  Returns one zero-arg resolver per group; resolving
     blocks on that group's (tiny) D2H and returns [G, B] bool flags.
 
+    With a ``mesh`` the batch rows shard across the devices
+    (:func:`make_sharded_slot_flags`) — B must then be a multiple of
+    ``slot_batch_unit(any_pallas, mesh)``; flags are bit-identical to
+    the single-device screen.
+
     Transport is link-adaptive like genome staging: on slow (tunneled)
     links the 4-bit masks ship nibble-packed — HALF the H2D bytes, the
     per-batch bottleneck of the variant pass — and unpack on device."""
     B, T = tmasks.shape
+    sharding = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def put(host_arr):
+        arr = jnp.asarray(host_arr)
+        return jax.device_put(arr, sharding) if sharding is not None else arr
+
     if T % 2 == 0 and _packing_pays():
         packed = tmasks[:, 0::2] | (tmasks[:, 1::2] << 4)
-        tm = _unpack_slot_nibbles(jnp.asarray(packed))
+        tm = _unpack_slot_nibbles(put(packed))
     else:
-        tm = jnp.asarray(tmasks)
-    ln = jnp.asarray(lengths.astype(np.int32))
+        tm = put(tmasks)
+    ln = put(lengths.astype(np.int32))
     outs = []
     for use_pallas, qvals, min_scores in groups:
-        out = _slot_flags_multi(
-            jnp.asarray(qvals), tm, ln,
-            jnp.asarray(np.asarray(min_scores, np.int32)),
-            Q=qvals.shape[2], G=qvals.shape[0],
+        kw = dict(
+            Q=int(qvals.shape[2]), G=int(qvals.shape[0]),
             match=scorer.match_score, mismatch=scorer.mismatch_score,
             qgap=scorer.query_gap_score, tgap=scorer.target_gap_score,
             use_pallas=use_pallas, interpret=interpret,
         )
+        qv = jnp.asarray(qvals)
+        ms = jnp.asarray(np.asarray(min_scores, np.int32))
+        if sharding is not None:
+            key = (mesh, *sorted(kw.items()))
+            fn = _SHARDED_SLOT_FN_CACHE.get(key)
+            if fn is None:
+                fn = make_sharded_slot_flags(mesh, **kw)
+                _SHARDED_SLOT_FN_CACHE[key] = fn
+            out = fn(qv, tm, ln, ms)
+        else:
+            out = _slot_flags_multi(qv, tm, ln, ms, **kw)
         # Start the D2H copy as soon as the compute finishes so resolvers
         # wait instead of paying one serialized round trip each.
         try:

@@ -746,8 +746,9 @@ def screened_variant_windows_multi(
     guide_specs,  # sequence of (key, Guide, min_score)
     *,
     slot: int = 512,
-    batch_slots: int = 2048,
+    batch_slots: int = 8192,
     pipeline_depth: int = 3,
+    mesh=None,
 ):
     """Yield ``(window, flagged_keys)`` pairs: for every variant window,
     the set of guides whose exact device screen says the window can
@@ -768,6 +769,10 @@ def screened_variant_windows_multi(
     to ``pipeline_depth`` of them stay in flight before the oldest is
     resolved — at gnomAD scale the screen rides almost entirely under
     the window builder.
+
+    With a ``mesh`` each batch's rows shard data-parallel across the
+    devices (the variant pass's multi-device path — flags bit-identical
+    to single-device; genome_screen.make_sharded_slot_flags).
     """
     import numpy as np
 
@@ -797,8 +802,14 @@ def screened_variant_windows_multi(
     any_pallas = any(up for up, _, _ in groups)
 
     all_keys = frozenset(k for k, *_ in guide_specs)
-    batch: list = []
-    pending: list = []  # [(windows, [([keys], resolver), ...] | None)]
+    # The batch is a list of SEGMENTS — (block, row-indices) spans from
+    # raw builder blocks, or (window, None) singletons — so filling,
+    # screening and flag fan-out run as vectorized NumPy over whole
+    # spans instead of per-window Python (at gnomAD scale the per-window
+    # loop, not the device, dominated the screen's cost).
+    batch: list = []  # [(item, bis ndarray | None)]
+    batch_count = 0
+    pending: list = []  # [(segments, [([keys], resolver), ...] | None)]
 
     def _warn_device_failure():
         import logging
@@ -808,6 +819,11 @@ def screened_variant_windows_multi(
             "windows unscreened.", exc_info=True,
         )
 
+    def _seg_lengths(item, bis):
+        if bis is None:
+            return np.asarray([item.length], dtype=np.int64)
+        return item._wlen[bis].astype(np.int64)
+
     def dispatch():
         """Pack the current batch and launch every guide group's fused
         screen asynchronously; the device works while the host
@@ -816,31 +832,52 @@ def screened_variant_windows_multi(
         longest window (variant windows are ~2x padding ~ 64-128 bases;
         packing them into the 512-byte cap would make the transfer and
         the kernel ~4x larger than needed)."""
-        nonlocal batch
+        nonlocal batch, batch_count
         from calitas_tpu.ops.genome_screen import screen_slots_multi
 
-        longest = max(L for _item, _bi, L in batch)
+        longest = max(
+            int(_seg_lengths(item, bis).max()) for item, bis in batch
+        )
         slot_b = max(64, 1 << (longest - 1).bit_length())
-        # The Pallas kernel needs whole [8, 128] blocks; the packer needs
-        # a multiple of 8.  Padding rows are zero -> never flagged above
-        # any real threshold's windows (they're trimmed at resolve).
-        unit = BLOCK_W if any_pallas else 8
-        B = -(-max(len(batch), batch_slots) // unit) * unit
+        # The Pallas kernel needs whole [8, 128] blocks per device; the
+        # packer needs a multiple of 8.  Padding rows are zero -> never
+        # flagged above any real threshold's windows (trimmed at
+        # resolve).
+        from calitas_tpu.ops.genome_screen import slot_batch_unit
+
+        unit = slot_batch_unit(any_pallas, mesh)
+        B = -(-max(batch_count, batch_slots) // unit) * unit
         tmasks = np.zeros((B, slot_b), dtype=np.uint8)
         lengths = np.zeros(B, dtype=np.int32)
-        for row, (item, bi, L) in enumerate(batch):
-            # Block entries read pre-encoded masks straight from the
-            # builder buffer; plain windows encode here.
-            m = (
-                item.mask_row(bi)
-                if bi is not None
-                else TARGET_MASK_TABLE[item.bases]
+        flat = tmasks.reshape(-1)
+        row = 0
+        for item, bis in batch:
+            if bis is None:
+                m = TARGET_MASK_TABLE[item.bases]
+                tmasks[row, : len(m)] = m
+                lengths[row] = len(m)
+                row += 1
+                continue
+            # Vectorized ragged copy: the block's mask rows are
+            # consecutive slices of one buffer; scatter them into the
+            # slot grid with one fancy-indexed assignment.
+            wl = item._wlen[bis].astype(np.int64)
+            off = item._woff[bis].astype(np.int64)
+            tot = int(wl.sum())
+            ends = np.cumsum(wl)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                ends - wl, wl
             )
-            tmasks[row, :L] = m
-            lengths[row] = L
+            src = np.repeat(off, wl) + within
+            dst = np.repeat(
+                (row + np.arange(len(bis), dtype=np.int64)) * slot_b, wl
+            ) + within
+            flat[dst] = item.masks[src]
+            lengths[row : row + len(bis)] = wl
+            row += len(bis)
         try:
             resolvers = screen_slots_multi(
-                aligner.scorer, tmasks, lengths, groups
+                aligner.scorer, tmasks, lengths, groups, mesh=mesh
             )
             launched = list(zip(group_keys, resolvers))
         except Exception as ex:
@@ -852,25 +889,24 @@ def screened_variant_windows_multi(
             launched = None  # degrade: every window flagged for all guides
         out = (batch, launched)
         batch = []
+        batch_count = 0
         return out
 
-    def _window_of(entry):
-        item, bi, _L = entry
-        return item.window(bi) if bi is not None else item
+    def _materialize_all(segments):
+        for item, bis in segments:
+            if bis is None:
+                yield item, all_keys
+            else:
+                for bi in bis.tolist():
+                    yield item.window(bi), all_keys
 
     def resolve(p):
-        entries, launched = p
+        segments, launched = p
         if launched is None:
-            for e in entries:
-                yield _window_of(e), all_keys
+            yield from _materialize_all(segments)
             return
-        flagged = [set() for _ in entries]
         try:
-            for keys, resolver in launched:
-                fl = resolver()  # [G, B] bool
-                for g, key in enumerate(keys):
-                    for i in np.nonzero(fl[g, : len(entries)])[0]:
-                        flagged[i].add(key)
+            fls = [(keys, resolver()) for keys, resolver in launched]
         except Exception as ex:
             from calitas_tpu.utils import degradable
 
@@ -880,33 +916,60 @@ def screened_variant_windows_multi(
             # just gets aligned for every guide (flags are a
             # conservative superset anyway).
             _warn_device_failure()
-            for e in entries:
-                yield _window_of(e), all_keys
+            yield from _materialize_all(segments)
             return
-        for e, keys in zip(entries, flagged):
-            if keys:
-                yield _window_of(e), keys
+        # [G_total, B] bool stacked over groups, keys flattened to match
+        keys_flat = [k for keys, _fl in fls for k in keys]
+        fl = np.concatenate([f for _k, f in fls], axis=0)
+        any_fl = fl.any(axis=0)
+        row = 0
+        for item, bis in segments:
+            nrows = 1 if bis is None else len(bis)
+            hit_rows = np.nonzero(any_fl[row : row + nrows])[0]
+            for r in hit_rows.tolist():
+                keys = {
+                    k
+                    for g, k in enumerate(keys_flat)
+                    if fl[g, row + r]
+                }
+                w = item if bis is None else item.window(int(bis[r]))
+                yield w, keys
+            row += nrows
 
-    def entry_stream():
-        """Flatten the input into (provider, block_index | None, length)
-        triples — plain windows and raw blocks screen identically, only
-        materialization differs."""
-        for it in window_iter:
-            if isinstance(it, _WindowBlock):
-                for bi in range(it.n):
-                    yield it, bi, it.length(bi)
-            else:
-                yield it, None, it.length
+    def flush_full():
+        nonlocal pending
+        pending.append(dispatch())
+        if len(pending) > pipeline_depth:
+            return resolve(pending.pop(0))
+        return ()
 
-    for e in entry_stream():
-        if e[2] > slot:
-            yield _window_of(e), all_keys  # too long; align unscreened
-            continue
-        batch.append(e)
-        if len(batch) == batch_slots:
-            pending.append(dispatch())
-            if len(pending) > pipeline_depth:
-                yield from resolve(pending.pop(0))
+    for it in window_iter:
+        if isinstance(it, _WindowBlock):
+            wl = it._wlen[: it.n]
+            long_idx = np.nonzero(wl > slot)[0]
+            for bi in long_idx.tolist():  # rare: align unscreened
+                yield it.window(bi), all_keys
+            ok = (
+                np.arange(it.n, dtype=np.int64)
+                if not len(long_idx)
+                else np.nonzero(wl <= slot)[0]
+            )
+            pos = 0
+            while pos < len(ok):
+                take = min(batch_slots - batch_count, len(ok) - pos)
+                batch.append((it, ok[pos : pos + take]))
+                batch_count += take
+                pos += take
+                if batch_count == batch_slots:
+                    yield from flush_full()
+        else:
+            if it.length > slot:
+                yield it, all_keys  # too long; align unscreened
+                continue
+            batch.append((it, None))
+            batch_count += 1
+            if batch_count == batch_slots:
+                yield from flush_full()
     if batch:
         pending.append(dispatch())
     for p in pending:
@@ -920,7 +983,7 @@ def screened_variant_windows(
     min_score: int,
     *,
     slot: int = 512,
-    batch_slots: int = 2048,
+    batch_slots: int = 8192,
 ):
     """Single-guide wrapper over :func:`screened_variant_windows_multi`:
     yield only variant windows that can contain a hit for ``guide``."""

@@ -87,6 +87,7 @@ def run(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     distributed: bool = False,
+    mesh=None,  # jax.sharding.Mesh: shard both passes' device screens
     _vcf_index=None,  # injectable prebuilt VcfIndex (tests / resident serving)
     _screen=None,  # injectable GenomeScreen (resident serving)
     _prestaged=None,  # {contig: staged device array} (resident serving)
@@ -309,7 +310,7 @@ def run(
                 name, contig_hits, specs, builders, aligner, ref_file,
                 vcf_index, max_variants, window_size, step_for, use_tpu,
                 threads, align_kwargs, progress, logger,
-                screen=_screen, prestaged=_prestaged,
+                screen=_screen, prestaged=_prestaged, mesh=mesh,
             )
             state.record(name, contig_hits)
             hits.extend(contig_hits)
@@ -324,14 +325,14 @@ def run(
                 name, hits, specs, builders, aligner, ref_file, vcf_index,
                 max_variants, window_size, step_for, use_tpu, threads,
                 align_kwargs, progress, logger,
-                screen=_screen, prestaged=_prestaged,
+                screen=_screen, prestaged=_prestaged, mesh=mesh,
             )
     else:
         _run_both_passes(
             chrom, hits, specs, builders, aligner, ref_file, vcf_index,
             max_variants, window_size, step_for, use_tpu, threads,
             align_kwargs, progress, logger,
-            screen=_screen, prestaged=_prestaged,
+            screen=_screen, prestaged=_prestaged, mesh=mesh,
         )
     _finalize(
         hits, max_overlap, dictionary, output, profile_dir, run_start,
@@ -342,7 +343,7 @@ def run(
 def _run_both_passes(
     chrom, hits, specs, builders, aligner, ref_file, variants, max_variants,
     window_size, step_for, use_tpu, threads, align_kwargs, progress, logger,
-    screen=None, prestaged=None,
+    screen=None, prestaged=None, mesh=None,
 ):
     """Both search passes (reference windows + variant windows) for one
     chromosome restriction (or the whole genome when chrom is None),
@@ -375,7 +376,7 @@ def _run_both_passes(
             ref_file, chrom, gtasks, aligner,
             window_size=window_size, threads=threads, swallow_errors=True,
             hit_spec=hit_spec, screen=screen, prestaged=prestaged,
-            **align_kwargs,
+            mesh=mesh, **align_kwargs,
         ):
             # Columnar blocks append whole (the dedup reads their key
             # arrays directly); object rows extend as before.
@@ -453,6 +454,7 @@ def _run_both_passes(
                         (gid, g, aligner.min_guide_score(g, max_guide_diffs))
                         for gid, _, g in gspecs
                     ],
+                    mesh=mesh,
                 )
             else:
                 all_ids = frozenset(gid for gid, _, _ in gspecs)
