@@ -30,6 +30,80 @@ QUEUE_FACTOR = 500
 FEED_THREAD = True
 
 
+class BlockFeed:
+    """Producer-thread block chunker with CONSTRUCTION-TIME start: the
+    producer begins pulling ``stream`` the moment the feed is created,
+    so an expensive upstream (the variant window builder + device
+    screen) overlaps whatever runs between construction and draining
+    (e.g. the reference pass — the tool creates the variant feeds
+    before pass 1).  At most ``depth`` completed blocks buffer;
+    exceptions from the stream re-raise at the draining side; close()
+    (or abandoning the drain) stops the producer."""
+
+    def __init__(self, stream: Iterable[W], block_size: int, depth: int = 2):
+        import queue as _queue
+        import threading
+
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._empty = _queue.Empty
+
+        q = self._q
+        stop = self._stop
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def produce():
+            block: list = []
+            try:
+                for w in stream:
+                    block.append(w)
+                    if len(block) >= block_size:
+                        if not _put(block):
+                            return
+                        block = []
+                    if stop.is_set():
+                        return
+                if block and not _put(block):
+                    return
+                _put(None)
+            except BaseException as ex:
+                _put(("__exc__", ex))
+
+        self._thread = threading.Thread(
+            target=produce, daemon=True, name="calitas-blocks"
+        )
+        self._thread.start()
+
+    def __iter__(self) -> Iterator[list]:
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    break
+                if type(item) is tuple and item[0] == "__exc__":
+                    raise item[1]
+                yield item
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except self._empty:
+                break
+        self._thread.join(timeout=10)
+
+
 def iter_blocks_threaded(
     stream: Iterable[W],
     block_size: int,
@@ -39,14 +113,13 @@ def iter_blocks_threaded(
 ) -> Iterator[list[W]]:
     """Chunk ``stream`` into lists of ``block_size`` items, pulling the
     stream from a PRODUCER THREAD with at most ``depth`` completed
-    blocks buffered.  Used to overlap an expensive upstream (the variant
-    window builder + device screen) with an expensive downstream (the
-    finish pool): neither side ever waits for the other unless the
-    buffer is empty/full.  Exceptions from the stream re-raise here;
-    abandoning the iterator stops the producer."""
-    import queue as _queue
-    import threading
-
+    blocks buffered (a lazily-constructed :class:`BlockFeed` — the
+    producer starts at the first ``next()``).  Used to overlap an
+    expensive upstream (the variant window builder + device screen)
+    with an expensive downstream (the finish pool): neither side ever
+    waits for the other unless the buffer is empty/full.  Exceptions
+    from the stream re-raise here; abandoning the iterator stops the
+    producer."""
     if not enabled or block_size <= 0:
         block: list = []
         for w in stream:
@@ -58,53 +131,7 @@ def iter_blocks_threaded(
             yield block
         return
 
-    q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
-    stop = threading.Event()
-
-    def _put(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.05)
-                return True
-            except _queue.Full:
-                continue
-        return False
-
-    def produce():
-        block: list = []
-        try:
-            for w in stream:
-                block.append(w)
-                if len(block) >= block_size:
-                    if not _put(block):
-                        return
-                    block = []
-                if stop.is_set():
-                    return
-            if block and not _put(block):
-                return
-            _put(None)
-        except BaseException as ex:
-            _put(("__exc__", ex))
-
-    t = threading.Thread(target=produce, daemon=True, name="calitas-blocks")
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if type(item) is tuple and item[0] == "__exc__":
-                raise item[1]
-            yield item
-    finally:
-        stop.set()
-        while True:
-            try:
-                q.get_nowait()
-            except _queue.Empty:
-                break
-        t.join(timeout=10)
+    yield from BlockFeed(stream, block_size, depth=depth)
 
 
 def map_windows(

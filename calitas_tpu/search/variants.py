@@ -777,7 +777,7 @@ def screened_variant_windows_multi(
     import numpy as np
 
     from calitas_tpu.core.sequence import TARGET_MASK_TABLE, encode_query, revcomp
-    from calitas_tpu.ops.dp_pallas2 import BLOCK_W, PallasScreenKernelV2
+    from calitas_tpu.ops.dp_pallas2 import PallasScreenKernelV2
     from calitas_tpu.ops.genome_screen import default_device_platform
 
     on_tpu = default_device_platform() == "tpu"

@@ -353,6 +353,46 @@ def _run_both_passes(
     hits_progress = ProgressLogger(
         logger, noun="hits", verb="Collected", unit=25_000
     )
+
+    # Start the variant-pass feeds BEFORE the reference pass (use_tpu
+    # only): the native window builder + device screen produce from a
+    # BlockFeed thread immediately, overlapping pass 1 — the builder is
+    # the variant pass's dominant host phase, and serialized behind
+    # pass 1 it was pure added wall-clock.  Host-engine runs keep the
+    # lazy iterator (the host pass already saturates every core).
+    variant_feeds = _start_variant_feeds(
+        chrom, specs, aligner, ref_file, variants, max_variants, step_for,
+        use_tpu, align_kwargs, mesh,
+    )
+
+    try:
+        _reference_pass(
+            chrom, hits, specs, builders, aligner, ref_file, window_size,
+            step_for, use_tpu, threads, align_kwargs, progress,
+            hits_progress, logger, screen, prestaged, mesh,
+        )
+    except BaseException:
+        if variant_feeds is not None:
+            for _gspecs, feed in variant_feeds:
+                if hasattr(feed, "close"):
+                    feed.close()
+        raise
+    logger.info("Reference windows processed.")
+
+    if variant_feeds is not None:
+        _variant_pass(
+            variant_feeds, hits, specs, builders, aligner, threads,
+            align_kwargs, logger,
+        )
+        logger.info("Variant windows processed.")
+
+
+def _reference_pass(
+    chrom, hits, specs, builders, aligner, ref_file, window_size, step_for,
+    use_tpu, threads, align_kwargs, progress, hits_progress, logger,
+    screen, prestaged, mesh,
+):
+    """Pass 1: the unaltered reference (SearchReference.scala:527-564)."""
     if use_tpu:
         from calitas_tpu.parallel.screen_runner import GuideTask, screened_search
 
@@ -411,102 +451,130 @@ def _run_both_passes(
                     hits.append(b.build(a))
                 progress.record(window.chrom, window.start)
 
-    logger.info("Reference windows processed.")
 
-    # ------------------------------------------------------------------
-    # Pass 2: reference with variants (SearchReference.scala:570-630)
-    # ------------------------------------------------------------------
-    if variants is not None:
-        from calitas_tpu.search.variants import (
-            flank_and_absolutize,
-            screened_variant_windows_multi,
-            variant_window_iterator,
+def _start_variant_feeds(
+    chrom, specs, aligner, ref_file, variants, max_variants, step_for,
+    use_tpu, align_kwargs, mesh,
+):
+    """Build the variant-pass block feeds (SearchReference.scala:570-630's
+    window streams), one per guide padding group.
+
+    Guides with identical padding see an identical window stream (both
+    the chunking distance and the window construction depend only on
+    padding, SearchReference.scala:217-256) — so the stream is built
+    ONCE per padding group and every guide in the group is aligned
+    against the same materialized windows.  The VCF itself was parsed
+    once per run (VcfIndex), never per guide/contig.
+
+    On the device engine each feed is an eagerly-started
+    :class:`~calitas_tpu.parallel.host_pool.BlockFeed`: the native
+    window builder + device screen start producing immediately so they
+    overlap the reference pass.  The host engine keeps a lazy iterator
+    (its reference pass already saturates every core).  Returns
+    ``[(gspecs, feed)]`` or None when there is no VCF."""
+    if variants is None:
+        return None
+    from calitas_tpu.parallel.host_pool import BlockFeed, iter_blocks_threaded
+    from calitas_tpu.search.variants import (
+        screened_variant_windows_multi,
+        variant_window_iterator,
+    )
+
+    max_guide_diffs = align_kwargs["max_guide_diffs"]
+    max_gaps = align_kwargs["max_gaps_between_guide_and_pam"]
+    groups: dict[int, list] = {}
+    for spec in specs:
+        padding = spec[2].length - 1 + max_guide_diffs + max_gaps
+        groups.setdefault(padding, []).append(spec)
+    feeds = []
+    for padding, gspecs in groups.items():
+        # The screened path takes raw native-builder blocks: mask rows
+        # pack straight from the block buffers and only flagged windows
+        # materialize Python objects.
+        vwindows = variant_window_iterator(
+            ref_file, variants, chrom, padding, max_variants,
+            blocks=use_tpu,
+        )
+        if use_tpu:
+            flagged = screened_variant_windows_multi(
+                vwindows, aligner,
+                [
+                    (gid, g, aligner.min_guide_score(g, max_guide_diffs))
+                    for gid, _, g in gspecs
+                ],
+                mesh=mesh,
+            )
+            feed = BlockFeed(flagged, 8192, depth=2)  # producing NOW
+        else:
+            # A generator FUNCTION, not a genexp: the group's id set must
+            # bind at creation — feeds are drained after this loop ends,
+            # when a genexp's free variables would hold the LAST group's
+            # values.
+            def _tag_all(stream, ids):
+                for w in stream:
+                    yield w, ids
+
+            flagged = _tag_all(vwindows, frozenset(g[0] for g in gspecs))
+            feed = iter_blocks_threaded(flagged, 8192, depth=2)
+        feeds.append((gspecs, feed))
+    return feeds
+
+
+def _variant_pass(
+    variant_feeds, hits, specs, builders, aligner, threads, align_kwargs,
+    logger,
+):
+    """Pass 2: reference with variants (SearchReference.scala:570-630) —
+    drain the (already-producing) feeds through the finish pool."""
+    from calitas_tpu.search.variants import flank_and_absolutize
+    from calitas_tpu.utils import ProgressLogger
+
+    vprogress = ProgressLogger(
+        logger, noun="variant windows", verb="Processed", unit=100_000
+    )
+    per_guide_rows: dict[str, list] = {gid: [] for gid, _, _ in specs}
+    for gspecs, feed in variant_feeds:
+        # Window DP fans out to the worker pool in blocks (the
+        # reference pools variant windows too, SearchReference.scala
+        # :582); variant bookkeeping (lift-back, annotation, row
+        # build) stays in the parent where the VariantWindow lives.
+        from calitas_tpu.parallel.host_pool import (
+            _mp_align_chunk_batched,
+            make_align_spec,
+            map_items_mp,
         )
 
-        vprogress = ProgressLogger(
-            logger, noun="variant windows", verb="Processed", unit=100_000
-        )
-        max_guide_diffs = align_kwargs["max_guide_diffs"]
-        max_gaps = align_kwargs["max_gaps_between_guide_and_pam"]
-        # Guides with identical padding see an identical window stream
-        # (both the chunking distance and the window construction depend
-        # only on padding, SearchReference.scala:217-256) — so the stream
-        # is built ONCE per padding group and every guide in the group is
-        # aligned against the same materialized windows.  The VCF itself
-        # was parsed once per run (VcfIndex), never per guide/contig.
-        groups: dict[int, list] = {}
-        for spec in specs:
-            padding = spec[2].length - 1 + max_guide_diffs + max_gaps
-            groups.setdefault(padding, []).append(spec)
-        per_guide_rows: dict[str, list] = {gid: [] for gid, _, _ in specs}
-        for padding, gspecs in groups.items():
-            # The screened path takes raw native-builder blocks: mask
-            # rows pack straight from the block buffers and only flagged
-            # windows materialize Python objects.
-            vwindows = variant_window_iterator(
-                ref_file, variants, chrom, padding, max_variants,
-                blocks=use_tpu,
-            )
-            if use_tpu:
-                flagged = screened_variant_windows_multi(
-                    vwindows, aligner,
-                    [
-                        (gid, g, aligner.min_guide_score(g, max_guide_diffs))
-                        for gid, _, g in gspecs
-                    ],
-                    mesh=mesh,
-                )
-            else:
-                all_ids = frozenset(gid for gid, _, _ in gspecs)
-                flagged = ((w, all_ids) for w in vwindows)
-            # Window DP fans out to the worker pool in blocks (the
-            # reference pools variant windows too, SearchReference.scala
-            # :582); variant bookkeeping (lift-back, annotation, row
-            # build) stays in the parent where the VariantWindow lives.
-            from calitas_tpu.parallel.host_pool import (
-                _mp_align_chunk_batched,
-                make_align_spec,
-                map_items_mp,
-            )
+        specs_by_gid = {
+            gid: make_align_spec(g, aligner, align_kwargs)
+            for gid, _gstr, g in gspecs
+        }
 
-            specs_by_gid = {
-                gid: make_align_spec(g, aligner, align_kwargs)
-                for gid, _gstr, g in gspecs
-            }
+        def process_block(block):
+            for gid, _gstr, g in gspecs:
+                wins = [vw for vw, keys in block if gid in keys]
+                if not wins:
+                    continue
+                b = builders[gid]
+                rows = per_guide_rows[gid]
+                for vw, results in map_items_mp(
+                    wins, specs_by_gid[gid], threads,
+                    worker_fn=_mp_align_chunk_batched,
+                    to_payload=lambda vw: (
+                        vw.chrom, 1, vw.bases, ("fwd", "rev"),
+                    ),
+                    swallow_errors=True, logger=logger,
+                ):
+                    for a in flank_and_absolutize(results, vw):
+                        rows.append(b.build(a, vw.variants))
+            for vw, _keys in block:
+                vprogress.record(vw.chrom, vw.start)
 
-            def process_block(block):
-                for gid, _gstr, g in gspecs:
-                    wins = [vw for vw, keys in block if gid in keys]
-                    if not wins:
-                        continue
-                    b = builders[gid]
-                    rows = per_guide_rows[gid]
-                    for vw, results in map_items_mp(
-                        wins, specs_by_gid[gid], threads,
-                        worker_fn=_mp_align_chunk_batched,
-                        to_payload=lambda vw: (
-                            vw.chrom, 1, vw.bases, ("fwd", "rev"),
-                        ),
-                        swallow_errors=True, logger=logger,
-                    ):
-                        for a in flank_and_absolutize(results, vw):
-                            rows.append(b.build(a, vw.variants))
-                for vw, _keys in block:
-                    vprogress.record(vw.chrom, vw.start)
-
-            # The builder + device screen run in a producer thread so
-            # they overlap the finish pool (the builder is the variant
-            # pass's dominant host phase; serialized with the finish it
-            # was the measured round-4 bottleneck).
-            from calitas_tpu.parallel.host_pool import iter_blocks_threaded
-
-            for block in iter_blocks_threaded(flagged, 8192, depth=2):
-                process_block(block)
-        # Guide-major append order, exactly as the previous per-guide loop
-        # produced (keeps dedup/sort tie-breaks insertion-stable).
-        for gid, _, _ in specs:
-            hits.extend(per_guide_rows[gid])
-        logger.info("Variant windows processed.")
+        for block in feed:
+            process_block(block)
+    # Guide-major append order, exactly as the previous per-guide loop
+    # produced (keeps dedup/sort tie-breaks insertion-stable).
+    for gid, _, _ in specs:
+        hits.extend(per_guide_rows[gid])
 
 
 def _finalize(
