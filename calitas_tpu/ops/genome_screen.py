@@ -344,10 +344,10 @@ def annotate_genome_pam(genome, *, pam_spec):
         [jnp.zeros(pad, jnp.uint8), genome, jnp.zeros(pad, jnp.uint8)]
     )
     C = min(_ENCODE_CHUNK, L)
-    n_chunks = L // C  # L is a power of two >= C
+    n_chunks = L // C  # exact for staged arrays (power-of-two lengths)
 
-    def block(i):
-        base = i * C + pad  # gp index of genome position i*C
+    def block(base0):
+        base = base0 + pad  # gp index of genome position base0
         ext = C + max_gap
         end = jnp.zeros(C, jnp.bool_)
         start = jnp.zeros(C, jnp.bool_)
@@ -382,13 +382,19 @@ def annotate_genome_pam(genome, *, pam_spec):
             | (start.astype(jnp.uint8) << 5)
         )
 
-    if n_chunks <= 1:
+    if L == C:
         return block(0)
 
     def body(i, out):
-        return jax.lax.dynamic_update_slice(out, block(i), (i * C,))
+        return jax.lax.dynamic_update_slice(out, block(i * C), (i * C,))
 
-    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(L, jnp.uint8))
+    out = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(L, jnp.uint8))
+    if L % C:
+        # Ragged tail (non-power-of-two caller arrays): recompute the
+        # last C positions anchored at the end — the overlapped span
+        # gets identical values, so the double write is a no-op.
+        out = jax.lax.dynamic_update_slice(out, block(L - C), (L - C,))
+    return out
 
 
 def _screen_grid(

@@ -830,3 +830,86 @@ class TestBatchWindowsFor:
             for unit in (8, 128, 384):
                 bw = s._batch_windows_for(n, unit)
                 assert bw % unit == 0 and bw >= unit
+
+
+class TestAnnotateGenomePam:
+    """annotate_genome_pam (staged PAM gates): per-position bits must be
+    a conservative superset of the window-local planes (window edges
+    relaxed), exactly equal away from window edges, and robust to
+    ragged (non-power-of-two) array lengths."""
+
+    def _spec(self):
+        from calitas_tpu.core.sequence import encode_query
+
+        pams = (tuple(int(m) for m in encode_query("nrg")),)
+        return (pams, 1, 3)
+
+    def test_matches_window_planes_away_from_edges(self):
+        import jax.numpy as jnp
+
+        from calitas_tpu.core.sequence import TARGET_MASK_TABLE
+        from calitas_tpu.ops.genome_screen import (
+            _pam_bit_planes,
+            annotate_genome_pam,
+        )
+
+        rng = np.random.default_rng(5)
+        letters = np.frombuffer(b"ACGTN", dtype=np.uint8)
+        raw = letters[rng.integers(0, 5, size=4096)]
+        masks = TARGET_MASK_TABLE[raw]
+        spec = self._spec()
+        anno = np.asarray(
+            annotate_genome_pam(jnp.asarray(masks), pam_spec=spec)
+        )
+        assert ((anno & 15) == masks).all()
+
+        # window-local planes over interior windows
+        T = 256
+        pad = 16  # PAM reach: edges within this margin may be relaxed
+        for start in (0, 777, 2048, 4096 - T):
+            wins = masks[start : start + T][None, :]
+            end_ok, start_ok = (
+                np.asarray(x) for x in _pam_bit_planes(jnp.asarray(wins), spec)
+            )
+            a_end = (anno[start : start + T] >> 4) & 1
+            a_start = (anno[start : start + T] >> 5) & 1
+            # superset everywhere
+            assert not np.any(end_ok[0] & ~a_end)
+            assert not np.any(start_ok[0] & ~a_start)
+            # exact equality away from the window edges
+            sl = slice(pad, T - pad)
+            np.testing.assert_array_equal(a_end[sl], end_ok[0][sl])
+            np.testing.assert_array_equal(a_start[sl], start_ok[0][sl])
+
+    def test_ragged_length_tail_annotated(self):
+        import jax.numpy as jnp
+
+        from calitas_tpu.core.sequence import TARGET_MASK_TABLE
+        from calitas_tpu.ops.genome_screen import annotate_genome_pam
+        import calitas_tpu.ops.genome_screen as gs
+
+        rng = np.random.default_rng(6)
+        letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+        spec = self._spec()
+        # force multi-chunk + ragged tail with a tiny chunk size
+        old = gs._ENCODE_CHUNK
+        gs._ENCODE_CHUNK = 512
+        try:
+            raw = letters[rng.integers(0, 4, size=1500)]  # 2 chunks + 476
+            masks = TARGET_MASK_TABLE[raw]
+            got = np.asarray(
+                annotate_genome_pam(jnp.asarray(masks), pam_spec=spec)
+            )
+        finally:
+            gs._ENCODE_CHUNK = old
+        # Reference: a zero-padded power-of-two array compiles as a
+        # separate (single-chunk) program; its prefix must match
+        # (the pad can only relax tail gates, and 'nrg' against mask-0
+        # pad bases is always a mismatch, so it does not here).
+        padded = np.zeros(2048, np.uint8)
+        padded[:1500] = masks
+        want = np.asarray(
+            annotate_genome_pam(jnp.asarray(padded), pam_spec=spec)
+        )[:1500]
+        np.testing.assert_array_equal(got, want)
+        assert got[1024:].any()  # the tail is annotated, not zeros
