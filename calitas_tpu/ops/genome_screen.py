@@ -614,9 +614,6 @@ class GenomeScreen:
         #: instead of recomputed per window batch; False = per-batch
         #: planes, kept as the in-process A/B baseline
         self.pam_staged = pam_staged
-        #: (id(genome_dev), pam_spec) -> (genome_dev, annotated) — the
-        #: genome ref pins the id so it cannot be recycled while cached
-        self._anno_cache: dict = {}
 
     def _should_pack(self) -> bool:
         if self.pack_staging is None:
@@ -624,17 +621,12 @@ class GenomeScreen:
         return self.pack_staging
 
     def _annotate(self, genome_dev, static_pam_spec):
-        """Staged-gate form of the genome for this pam_spec (cached —
-        multiple guides sharing a PAM spec reuse one annotation pass)."""
-        key = (id(genome_dev), static_pam_spec)
-        hit = self._anno_cache.get(key)
-        if hit is not None:
-            return hit[1]
-        anno = self._annotate_fn(genome_dev, static_pam_spec)
-        if len(self._anno_cache) >= 4:
-            self._anno_cache.pop(next(iter(self._anno_cache)))
-        self._anno_cache[key] = (genome_dev, anno)
-        return anno
+        """Staged-gate form of the genome for this pam_spec.  Computed
+        per screen call — one fused device pass over the contig, a few
+        percent of the screen it precedes; deliberately NOT cached (an
+        id-keyed cache would pin staged contigs in HBM past their
+        lifetime)."""
+        return self._annotate_fn(genome_dev, static_pam_spec)
 
     def _annotate_fn(self, genome_dev, static_pam_spec):
         return annotate_genome_pam(genome_dev, pam_spec=static_pam_spec)
