@@ -153,9 +153,16 @@ def _uncompressed_cache_for(path: Path) -> Path:
 
     st = path.stat()
     uid = os.getuid() if hasattr(os, "getuid") else 0
-    key = hashlib.md5(
-        f"{path.resolve()}:{st.st_size}:{st.st_mtime_ns}:{uid}".encode()
-    ).hexdigest()
+    # Two-part key: the PATH part scopes eviction (only stale caches of
+    # this same source file + uid may be deleted — a shared fallback dir
+    # can hold same-named FASTAs from different directories or users),
+    # the STAT part keys freshness.
+    pathkey = hashlib.md5(
+        f"{path.resolve()}:{uid}".encode()
+    ).hexdigest()[:12]
+    statkey = hashlib.md5(
+        f"{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     # Prefer a sidecar next to the FASTA (conventional, survives /tmp
     # limits — a 3 Gb genome won't fit a RAM-backed tmpfs); fall back to
     # CALITAS_TPU_CACHE_DIR or the system tempdir when the directory is
@@ -165,7 +172,7 @@ def _uncompressed_cache_for(path: Path) -> Path:
         Path(os.environ.get("CALITAS_TPU_CACHE_DIR")
              or tempfile.gettempdir()),
     ):
-        cache = base / f".{path.name}.calitas_cache_{key}.fa"
+        cache = base / f".{path.name}.calitas_cache_{pathkey}_{statkey}.fa"
         if cache.exists():
             return cache
         tmp = cache.with_name(cache.name + f".tmp{os.getpid()}")
@@ -173,16 +180,23 @@ def _uncompressed_cache_for(path: Path) -> Path:
             with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
                 shutil.copyfileobj(src, dst, 16 << 20)
             os.replace(tmp, cache)
-            # Evict stale caches for the same FASTA (older mtime keys):
+            # Evict stale caches for the same FASTA (older stat keys):
             # without this each touch of a multi-GB .fa.gz leaks a new
-            # full-size sidecar.  Best-effort; a racing reader that has
-            # the old file open keeps it alive via its fd.
-            try:
-                for old in base.glob(f".{path.name}.calitas_cache_*.fa"):
-                    if old.name != cache.name:
-                        old.unlink(missing_ok=True)
-            except OSError:
-                pass
+            # full-size sidecar.  The glob is scoped by the path key so
+            # a same-named FASTA from another directory (or user) in a
+            # shared fallback dir is never touched; per-file errors
+            # (e.g. sticky-bit /tmp) skip that file, not the loop.
+            # Best-effort; a racing reader that has the old file open
+            # keeps it alive via its fd.
+            for old in base.glob(
+                f".{path.name}.calitas_cache_{pathkey}_*.fa"
+            ):
+                if old.name == cache.name:
+                    continue
+                try:
+                    old.unlink(missing_ok=True)
+                except OSError:
+                    continue
             return cache
         except (gzip.BadGzipFile, EOFError, zlib.error) as e:
             # Corrupt/truncated input, not a cache-dir problem: falling

@@ -383,11 +383,16 @@ def map_items_mp(
             for w in windows:
                 buf.append(w)
                 if len(buf) >= chunk:
+                    # stop check BEFORE submit: a consumer that
+                    # abandoned the drain (teardown, error) must not
+                    # have work dispatched to the shared pool after it
+                    if stop.is_set():
+                        return
                     if not _put(_submitted(buf)):
                         return
                     buf = []
-                if stop.is_set():
-                    return
+            if stop.is_set():
+                return
             if buf and not _put(_submitted(buf)):
                 return
             _put(None)
@@ -446,7 +451,7 @@ def map_items_mp(
             item = inflight.get()
             if item is None:
                 break
-            if item[0] == "__exc__":
+            if type(item) is tuple and item[0] == "__exc__":
                 raise item[1]
             yield from drain(*item)
     finally:

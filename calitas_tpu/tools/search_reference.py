@@ -365,26 +365,31 @@ def _run_both_passes(
         use_tpu, align_kwargs, mesh,
     )
 
+    def _close_feeds():
+        for _gspecs, feed in variant_feeds or ():
+            if hasattr(feed, "close"):
+                feed.close()  # idempotent; stops a still-producing thread
+
     try:
         _reference_pass(
             chrom, hits, specs, builders, aligner, ref_file, window_size,
             step_for, use_tpu, threads, align_kwargs, progress,
             hits_progress, logger, screen, prestaged, mesh,
         )
-    except BaseException:
-        if variant_feeds is not None:
-            for _gspecs, feed in variant_feeds:
-                if hasattr(feed, "close"):
-                    feed.close()
-        raise
-    logger.info("Reference windows processed.")
+        logger.info("Reference windows processed.")
 
-    if variant_feeds is not None:
-        _variant_pass(
-            variant_feeds, hits, specs, builders, aligner, threads,
-            align_kwargs, logger,
-        )
-        logger.info("Variant windows processed.")
+        if variant_feeds is not None:
+            _variant_pass(
+                variant_feeds, hits, specs, builders, aligner, threads,
+                align_kwargs, logger,
+            )
+            logger.info("Variant windows processed.")
+    except BaseException:
+        # An error in EITHER pass must stop every remaining eager
+        # producer thread (builder + device screen) — a leaked feed
+        # keeps screening the VCF against a device nobody is draining.
+        _close_feeds()
+        raise
 
 
 def _reference_pass(

@@ -71,11 +71,23 @@ def degradable(exc: BaseException) -> bool:
     may degrade on (falling back to host alignment with identical
     output); False for programming errors, which must propagate.
 
-    Exceptions raised by jax/jaxlib itself are always degradable, even
-    when their Python type is a builtin (jax raises ValueError for some
+    Exceptions raised by jax/jaxlib themselves are degradable even when
+    their Python type is a builtin (jax raises ValueError for some
     device/sharding mismatch states after a backend drop): a tunnel
-    failure must degrade, never abort."""
+    failure must degrade, never abort.  Tracer/concretization errors
+    (jax.errors.JAXTypeError/JAXIndexError trees) are the exception —
+    they are programming errors by jax's own contract and must surface,
+    not silently disable the device screen."""
     mod = type(exc).__module__ or ""
-    if mod.startswith("jax") or mod.startswith("jaxlib"):
+    if mod == "jax" or mod.startswith("jax.") or mod.startswith("jaxlib"):
+        try:
+            import jax
+
+            if isinstance(
+                exc, (jax.errors.JAXTypeError, jax.errors.JAXIndexError)
+            ):
+                return False
+        except Exception:
+            pass
         return True
     return not isinstance(exc, _PROGRAMMING_ERRORS)

@@ -164,3 +164,44 @@ def test_variant_screen_programming_error_propagates(monkeypatch):
         list(screened_variant_windows_multi(
             iter(wins), aligner, [("g", g, 0)], batch_slots=4,
         ))
+
+
+def test_degradable_jax_classification():
+    """jax-raised runtime failures degrade; jax tracer/concretization
+    errors are programming errors and must propagate (a silently
+    disabled device screen is a masked 30x slowdown)."""
+    import jax
+    import jax.numpy as jnp
+
+    from calitas_tpu.utils import degradable
+
+    # runtime-ish: XlaRuntimeError (module jaxlib/jax._src.lib)
+    try:
+        jax.errors.JaxRuntimeError  # modern alias
+        assert degradable(jax.errors.JaxRuntimeError("backend dropped"))
+    except AttributeError:
+        pass
+
+    # tracer error: raised by jax itself, but a programming error
+    tracer_exc = None
+    try:
+        jax.jit(lambda x: bool(x))(jnp.ones(()))
+    except Exception as e:
+        tracer_exc = e
+    assert tracer_exc is not None
+    assert not degradable(tracer_exc)
+
+    # concretization via data-dependent branching
+    conc_exc = None
+    try:
+        jax.jit(lambda x: x[x[0]])(jnp.arange(3))
+    except Exception as e:
+        conc_exc = e
+    if conc_exc is not None and isinstance(
+        conc_exc, (jax.errors.JAXTypeError, jax.errors.JAXIndexError)
+    ):
+        assert not degradable(conc_exc)
+
+    # builtin errors from our own code still classify as before
+    assert not degradable(ValueError("shape mismatch"))
+    assert degradable(OSError("tunnel reset"))
