@@ -35,6 +35,11 @@ from calitas_tpu.utils import degradable
 #: columnar RenderedBlock comes back per item)
 _CAND_BATCH = 1024
 
+#: resolve segment readbacks on a small thread pool instead of serially
+#: in the candidate stream (each serial resolve costs a link round trip
+#: on high-latency tunnels); False = serial, the in-process A/B baseline
+PREFETCH_RESOLVES = True
+
 
 def _memoize(resolve):
     """Resolve once, serve every caller (a guide group's segment readback
@@ -518,13 +523,41 @@ def _finish_segments(
     log = logging.getLogger("calitas_tpu.SearchReference")
     stats = {"cand": 0}
 
+    # Resolve the spans' (tiny, already-async-copied) readbacks on a
+    # small thread pool instead of one by one in the candidate stream:
+    # on a high-latency link each serial resolve costs a round trip
+    # (~28 ms x 16 segments on the dev tunnel), which otherwise stalls
+    # candidate production behind the screen.  Results are consumed in
+    # span order, so flags/ranges and the ordered-yield contract are
+    # untouched; a failed readback still degrades that span and every
+    # later one (their prefetched resolves fail the same way).
+    from concurrent.futures import ThreadPoolExecutor
+
+    if PREFETCH_RESOLVES:
+        resolver = ThreadPoolExecutor(
+            max_workers=min(4, max(1, len(segs))),
+            thread_name_prefix="calitas-resolve",
+        )
+        futs = [resolver.submit(resolve) for _i0, _n, resolve in segs]
+    else:  # A/B baseline: resolve serially inside the candidate stream
+        resolver = None
+
+        class _Lazy:
+            def __init__(self, fn):
+                self._fn = fn
+
+            def result(self):
+                return self._fn()
+
+        futs = [_Lazy(resolve) for _i0, _n, resolve in segs]
+
     def cand_stream():
         degraded = False
-        for i0, n_seg, resolve in segs:
+        for (i0, n_seg, _resolve), fut in zip(segs, futs):
             chain_flags = cranges = None
             if not degraded:
                 try:
-                    chain_flags, cranges = resolve()
+                    chain_flags, cranges = fut.result()
                 except Exception as ex:
                     if not degradable(ex):
                         raise
@@ -577,16 +610,20 @@ def _finish_segments(
         swallow_errors=swallow_errors,
         **hit_spec,
     )
-    for (_tag, c, bstarts, *_rest), rows in map_items_mp(
-        cand_stream(), spec, threads,
-        worker_fn=_mp_finish_chunk,
-        to_payload=lambda t: t,
-        chunk=1,
-        swallow_errors=swallow_errors,
-        logger=log,
-    ):
-        if len(rows):
-            yield task, c, int(bstarts[0]) + 1, rows
+    try:
+        for (_tag, c, bstarts, *_rest), rows in map_items_mp(
+            cand_stream(), spec, threads,
+            worker_fn=_mp_finish_chunk,
+            to_payload=lambda t: t,
+            chunk=1,
+            swallow_errors=swallow_errors,
+            logger=log,
+        ):
+            if len(rows):
+                yield task, c, int(bstarts[0]) + 1, rows
+    finally:
+        if resolver is not None:
+            resolver.shutdown(wait=False)
     log.info(
         "Screen %s/%s: %d of %d windows are candidates (%.2f%%).",
         name, task.guide_id, stats["cand"], len(starts),
