@@ -410,6 +410,11 @@ def map_items_mp(
                 # shared pool was replaced under us (a concurrent caller
                 # grew it, cancelling our queued futures); recompute this
                 # chunk in-process and stop fanning out.
+                if not state["broken"] and logger is not None:
+                    logger.warning(
+                        "Worker pool broken; finishing in-process "
+                        "(single-threaded) from here on.", exc_info=True,
+                    )
                 state["broken"] = True
                 results = worker_fn(spec, [to_payload(w) for w in ws])
         else:
